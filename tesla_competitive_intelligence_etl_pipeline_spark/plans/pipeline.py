@@ -1,0 +1,101 @@
+"""Pipeline composition (SURVEY.md §3.1): bronze → silver → gold → checks.
+
+The reference's eager three-stage imperative pipeline (main.py:38-75) becomes
+one lazy logical plan per layer; Catalyst fuses the scalar transforms into a
+single whole-stage-codegen pass (the reference's hand-written loop fusion,
+§4), and the gold merge is the one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.functions import scalars
+from tesla_competitive_intelligence_etl_pipeline_spark.functions import validation
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
+from tesla_competitive_intelligence_etl_pipeline_spark.sources import merge as merge_mod
+from tesla_competitive_intelligence_etl_pipeline_spark.sources import seed as seed_mod
+
+
+def silver_from_fmp(bronze: DataFrame) -> DataFrame:
+    """T-stage for FMP records (reference extract_core_metrics
+    transform.py:71-100): PROJ-1 projection, PROJ-2 coalesce of alternative
+    fields, FN-1 date parse, FN-2 quarter label, FIL-2 invalid-date drop,
+    FN-3/4 safe decimal, FN-5 millions rescale."""
+    d = scalars.parse_date_multi(F.col("date"))
+    eps_raw = F.coalesce(F.col("eps"), F.col("netIncomePerShare"))  # PROJ-2
+    revenue = scalars.rescale_millions(
+        scalars.safe_decimal(F.col("revenue"), 15, 2).cast("double")
+    ).cast("decimal(15,2)")
+    gross = scalars.rescale_millions(
+        scalars.safe_decimal(F.col("grossProfit"), 15, 2).cast("double")
+    ).cast("decimal(15,2)")
+    return (
+        bronze.select(
+            F.col("symbol").alias("ticker"),
+            d.alias("quarter_date"),
+            scalars.quarter_label(d).alias("quarter_label"),
+            revenue.alias("revenue"),
+            scalars.safe_decimal(eps_raw, 10, 4).alias("eps"),
+            gross.alias("gross_profit"),
+        )
+        .filter(F.col("quarter_label").isNotNull())  # FIL-2 transform.py:77-79
+    )
+
+
+def silver_from_yfinance(bronze: DataFrame, spark: SparkSession) -> DataFrame:
+    """T-stage for the yfinance branch (transform.py:105-128): eps derived
+    from net income via the share-count broadcast lookup (FN-6/JOIN-5)."""
+    shares = seed_mod.share_counts(spark)
+    d = scalars.parse_date_multi(F.col("date"))
+    enriched = bronze.join(F.broadcast(shares), bronze.symbol == shares.ticker, "left").withColumn(
+        "shares_millions", F.coalesce(F.col("shares_millions"), F.lit(seed_mod.SHARE_COUNT_DEFAULT))
+    )
+    return (
+        enriched.select(
+            F.col("symbol").alias("ticker"),
+            d.alias("quarter_date"),
+            scalars.quarter_label(d).alias("quarter_label"),
+            scalars.rescale_millions(F.col("revenue")).cast("decimal(15,2)").alias("revenue"),
+            scalars.eps_from_net_income(F.col("netIncome"), F.col("shares_millions"))
+            .cast("decimal(10,4)")
+            .alias("eps"),
+            scalars.rescale_millions(F.col("grossProfit")).cast("decimal(15,2)").alias("gross_profit"),
+        )
+        .filter(F.col("quarter_label").isNotNull())
+    )
+
+
+def gold_financials(silver: DataFrame) -> DataFrame:
+    """Gold: DEDUP-1 natural-key last-write-wins + LIM-1 top-8 quarters per
+    ticker, ordered for export (SORT-1)."""
+    deduped = topk.dedup_last_write_wins(
+        silver, keys=["ticker", "quarter_date"], order_cols=["revenue", "eps"]
+    )
+    top8 = topk.top_k_per_group(
+        deduped, ["ticker"], [F.desc("quarter_date")], k=8
+    )
+    return top8.orderBy(F.asc("ticker"), F.desc("quarter_date"))
+
+
+def run_pipeline(spark: SparkSession, fmp_bronze: DataFrame, yf_bronze: DataFrame | None = None):
+    """Full E→T→L replay (entry point A, main.py:38-75). Returns
+    (gold DataFrame, metrics dict, golden verdict bool)."""
+    silver = silver_from_fmp(fmp_bronze)
+    if yf_bronze is not None:
+        silver = topk.union_branches(silver, silver_from_yfinance(yf_bronze, spark))
+    gold = gold_financials(silver)
+    seeded = seed_mod.seed_companies(spark)
+    merged = merge_mod.insert_if_absent(
+        seeded, gold.select(F.col("ticker")).distinct().withColumn("name", F.col("ticker")).withColumn(
+            "sector", F.lit("Electric Vehicles")
+        ),
+        keys=["ticker"],
+    )
+    metrics = {
+        "transformation_count": gold.count(),
+        "company_count": merged.count(),
+    }
+    verdict = validation.validate_golden(gold)
+    return gold, metrics, verdict

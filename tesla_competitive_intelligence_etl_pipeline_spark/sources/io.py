@@ -1,0 +1,71 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+SRC-6 DataFrame re-ingestion, SNK-1 raw JSON bronze sink, SNK-2 CSV sink,
+SNK-3 append sink (parquet stands in for JDBC in tests; the JDBC writer is the
+same ``df.write`` call with format('jdbc')).
+
+Scale notes:
+- ``load_table`` reads parquet *without* collect; filters/projections applied
+  by callers reach the scan via Catalyst pushdown (verified in tests by
+  checking PushedFilters in the explain output).
+- bronze JSON is partitioned by ticker (reference writes one file per ticker,
+  extract.py:104-107); at 100 TB the partition column keeps per-ticker reads
+  pruned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table. Parquet is self-describing; explicit
+    select/filter by callers still prunes columns and pushes predicates."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
+    (spark.sql.legacy.parquet.nanosAsLong). Truncate to microseconds —
+    bit-identical to DuckDB's CAST(ts AS TIMESTAMP)."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def write_json_bronze(df: DataFrame, path: str, partition_col: str = "ticker") -> None:
+    """SNK-1: raw payload bronze layer (reference extract.py:104-107 writes
+    data/raw/{ticker}_*.json; here partitioned JSON, prunable by ticker)."""
+    df.write.mode("overwrite").partitionBy(partition_col).json(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """SNK-2: CSV export with header, no index (reference transform.py:281-289).
+
+    ``single_file`` mirrors the reference's one-file export; leave False at
+    scale — coalesce(1) funnels everything through one task.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "append") -> None:
+    """SNK-3: bulk append sink (reference load.py:125 bulk INSERT). Parquet
+    with partition columns replaces B-tree indexes (schema.sql:50-54)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_csv_typed(spark: SparkSession, path: str, schema) -> DataFrame:
+    """SRC-6: CSV/DataFrame round-trip back into typed records
+    (reference load.py:202-227: str->Decimal, str->date via cast projection)."""
+    return spark.read.option("header", True).schema(schema).csv(path)

@@ -1,0 +1,73 @@
+"""End-to-end pipeline replay (SURVEY.md §3.1, §7.2 step 6) over the golden
+financial fixtures (FIXTURES.md §1-§2)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.plans import pipeline
+from tesla_competitive_intelligence_etl_pipeline_spark.sources import fixtures
+
+
+def test_silver_from_fmp(spark):
+    silver = pipeline.silver_from_fmp(fixtures.fmp_income_raw(spark))
+    assert silver.count() == 10  # 11 fixture rows - 1 invalid date (FIL-2)
+    rows = {(r.ticker, str(r.quarter_date)): r for r in silver.collect()}
+    assert len(rows) == 9  # duplicate TSLA 2025-06-30 natural key collapses in the dict
+    golden = rows[("TSLA", "2025-06-30")]
+    assert golden.quarter_label == "2025-Q2"
+    # dirty currency string cleaned (FN-3/4)
+    dirty = rows[("TSLA", "2024-12-31")]
+    assert dirty.revenue == Decimal("25700000000.00")
+    assert dirty.eps is None and dirty.gross_profit is None
+    # MM/DD/YYYY parsed (FN-1)
+    assert ("TSLA", "2024-09-30") in rows
+    # sub-million rescale (FN-5): 732.5 -> 732500000
+    assert rows[("LCID", "2024-06-30")].revenue == Decimal("732500000.00")
+    # alternative eps key coalesced (PROJ-2)
+    assert rows[("RIVN", "2025-03-31")].eps == Decimal("-0.5500")
+
+
+def test_gold_dedup_and_validation(spark):
+    silver = pipeline.silver_from_fmp(fixtures.fmp_income_raw(spark))
+    gold = pipeline.gold_financials(silver)
+    # duplicate TSLA 2025-06-30 key collapsed, higher revenue wins
+    tsla_q2 = gold.filter(
+        (F.col("ticker") == "TSLA") & (F.col("quarter_label") == "2025-Q2")
+    ).collect()
+    assert len(tsla_q2) == 1
+    assert tsla_q2[0].revenue == Decimal("22600000000.00")
+
+
+def test_full_pipeline_with_yfinance_branch(spark):
+    gold, metrics, verdict = pipeline.run_pipeline(
+        spark, fixtures.fmp_income_raw(spark), fixtures.yfinance_income_raw(spark)
+    )
+    tickers = {r.ticker for r in gold.select("ticker").distinct().collect()}
+    assert tickers == {"TSLA", "RIVN", "LCID", "NIO"}
+    # NIO eps derived from net income / default 1000M shares (FN-6)
+    nio = gold.filter((F.col("ticker") == "NIO") & (F.col("quarter_label") == "2025-Q2")).first()
+    assert nio.eps == Decimal("-0.5100")
+    assert metrics["transformation_count"] == gold.count()
+    assert metrics["company_count"] == 4  # TSLA/RIVN/LCID seed + NIO inserted
+    # golden row revenue is 22.6e9 (last-write-wins) -> outside 0.1% tolerance
+    # of 22.5e9, so the verdict must be False; eps 0.41 vs 0.3709±0.01 also fails
+    assert verdict is False
+
+
+def test_golden_validation_passes_on_clean_data(spark):
+    clean = fixtures.fmp_income_raw(spark).filter(
+        ~((F.col("date") == "2025-06-30") & (F.col("symbol") == "TSLA") & (F.col("revenue") == "22600000000"))
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.functions import validation
+
+    gold = pipeline.gold_financials(pipeline.silver_from_fmp(clean))
+    # revenue 22.5e9 passes; eps 0.40 vs 0.3709 ±0.01 fails -> False
+    assert validation.validate_golden(gold) is False
+    # with eps within tolerance the verdict flips
+    gold2 = gold.withColumn(
+        "eps", F.when(F.col("ticker") == "TSLA", F.lit(0.3709).cast("decimal(10,4)")).otherwise(F.col("eps"))
+    )
+    assert validation.validate_golden(gold2) is True
