@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import REGISTRY  # noqa: E402
+from tesla_competitive_intelligence_etl_pipeline_spark.plans import load_registry  # noqa: E402
+
+REGISTRY = load_registry()
 
 
 def _configure(spark: SparkSession) -> SparkSession:
