@@ -1,0 +1,250 @@
+"""X-1/X-2: deduplication operators for LLM-data pipelines (SURVEY.md §2.9).
+
+Scale design (the point of these at 100 TB):
+- exact dedup: one hash-aggregate on a 128-bit content key — no full-text
+  shuffle (the key is computed map-side; only (key, doc_id) pairs move).
+- MinHash LSH: signatures are computed map-side as JVM expressions (xxhash64,
+  no Python); the only shuffle is the band-bucket groupBy whose keys are
+  (band_id, band_hash). Candidate pairs are verified with exact Jaccard
+  before reporting — LSH chooses *which* pairs get verified, never the
+  verdict itself.
+- SimHash: 64-bit signature map-side; near-dup = hamming distance <= k via
+  bit_count(xor) on a band-bucketed self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators.text import (
+    fingerprint_md5,
+    normalized_text,
+    shingles,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# X-1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact (normalized) content; report group size.
+    groupBy on the md5 key — map-side partial agg, single shuffle of keys."""
+    return (
+        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-2a: MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
+    """num_hashes independent min-hashes: h_j(s) = xxhash64(s, seed=j).
+    Pure JVM expression — O(|shingles| * num_hashes) map-side, no Python."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_arr, lambda s, j=j: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def _with_shingles_and_sig(
+    docs: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+
+def exact_jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH banding proposes candidates, exact Jaccard
+    on shingle sets confirms. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Shuffle profile: one groupBy on (band, band_hash) whose values are just
+    (band_key, doc_id); the self-join to fetch shingles back is by doc_id.
+    Candidate count — not corpus size — drives the pair-verification cost.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = _with_shingles_and_sig(docs, text_col, id_col, num_hashes, shingle_n)
+
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    candidates = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = sigs.select("doc_id", "sh")
+    verified = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# X-2b: exact n-gram Jaccard similarity join (the oracle-checkable variant)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 1,
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs sharing >= 1 token, via an
+    inverted-index join (explode tokens -> join on token -> count) — the
+    classic set-similarity join. Exact, so SQL-expressible for the oracle.
+    Use on bounded subsets / after LSH at scale."""
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(normalized_text(F.col(text_col))))).alias("tok"),
+        )
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    shared = (
+        tok.alias("a")
+        .join(tok.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# X-2c: SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash: per token hash, sum signs per bit position, sign ->
+    bit. Expressed with JVM array ops (no UDF)."""
+    toks = F.array_distinct(tokens(normalized_text(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def sign_merge(i: int):
+        # For bit i: +1 per token with the bit set, -1 otherwise
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) != 0, 1
+        ).otherwise(-1)
+
+    bits = [
+        F.shiftleft((F.aggregate(hashes, F.lit(0), sign_merge(i)) > 0).cast("long"), i)
+        for i in range(64)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming. Banding on
+    16-bit chunks (pigeonhole: any pair within distance 3 shares a chunk for
+    4 bands; wider distances still mostly collide) prunes the self-join."""
+    sigs = docs.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig"))
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.chunk")
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

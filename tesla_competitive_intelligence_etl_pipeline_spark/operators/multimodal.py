@@ -1,0 +1,85 @@
+"""X-4: multimodal columns — opaque binary payloads + typed metadata
+(SURVEY.md §2.9).
+
+The container has no image/audio libraries, so the *decode* step is stubbed
+(deterministic fake features / NotImplementedError for real codecs), but the
+Spark-side plumbing is real and tested: BinaryType columns, Arrow-batched
+mapInPandas with a declared output schema, batch-shape-preserving iteration,
+and partition-count-preserving execution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes bigint, features array<double>"
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model documents as multimodal rows: payload = utf-8 bytes of the text
+    (stands in for image/audio bytes), modality tag, byte-length metadata."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta"),
+    )
+
+
+def decode_payload(payload: bytes, modality: str) -> bytes:
+    """Real codec hook. Image/audio/video decoding requires libraries not
+    present in this container — the Spark plumbing around this function is
+    what the engine provides."""
+    if modality == "text":
+        return payload
+    raise NotImplementedError(
+        f"decoder for modality={modality!r} requires external codec libraries"
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for an embedding/feature extractor: byte-sum
+    per stride bucket, normalized. Replace with a real model at deploy."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * FEATURE_DIM
+    buckets = [0] * FEATURE_DIM
+    for i, byte in enumerate(payload):
+        buckets[i % FEATURE_DIM] += byte
+    total = float(sum(buckets)) or 1.0
+    return [round(b / total, 6) for b in buckets]
+
+
+def extract_features(multimodal: DataFrame, batch_limit: int | None = None) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched mapInPandas
+    (X-10 surface). One Python worker pass per partition; batch shape is
+    whatever Arrow delivers — the udf must not assume one batch per
+    partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": [
+                        _fake_features(decode_payload(p, m))
+                        for p, m in zip(pdf["payload"], pdf["modality"])
+                    ],
+                }
+            )
+            yield out
+
+    df = multimodal if batch_limit is None else multimodal.limit(batch_limit)
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)

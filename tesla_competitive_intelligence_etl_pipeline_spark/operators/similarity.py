@@ -1,0 +1,183 @@
+"""X-3: similarity search over embedding columns (SURVEY.md §2.9).
+
+Three tiers, all deterministic:
+- brute-force cosine top-k: the correctness baseline. Dot products are
+  accumulated in exact decimals so results are bit-identical regardless of
+  partitioning (and match the DuckDB oracle).
+- LSH (random hyperplane) bucketed search: the scale path — candidates only
+  from matching buckets, then exact re-rank.
+- IVF-style: coarse quantizer = per-cell mean embedding (here the `label`
+  column stands in for the cluster assignment); probe the nearest cells,
+  exact re-rank inside.
+
+At 100 TB the brute force is one narrow map + top-k (no shuffle except the
+final k-row reduction); LSH/IVF turn that into a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_exact(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays as a sequential double fold.
+    F.aggregate is a deterministic left fold over the array (no partition
+    order involved), so double accumulation is reproducible; consumers round
+    the final similarity to 6 decimals, far above fold-order noise."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot_exact(a, b) / (F.sqrt(_dot_exact(a, a)) * F.sqrt(_dot_exact(b, b)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def topk_neighbors_of(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors of a row already in the table (self excluded).
+    The 1-row query side is broadcast — no shuffle of the corpus."""
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    return (
+        scored.filter(F.col(id_col) != query_id)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no RNG dependency so
+    plans are reproducible across sessions)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit_i = (vec . plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(v) for v in p]), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft((dot >= 0).cast("long"), i))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: restrict exact scoring to the query's LSH bucket (falls back to
+    fewer than k results if the bucket is small — standard ANN trade-off)."""
+    planes = _hyperplanes(dim, n_planes)
+    bucketed = embeddings.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+    )
+    candidates = bucketed.join(
+        F.broadcast(q), F.col("__bucket") == F.col("__qbucket")
+    )
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    return (
+        scored.filter(F.col(id_col) != query_id)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization (label column = cell assignment)
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF search: centroids = exact per-cell mean vectors; probe the n_probe
+    cells nearest the query; exact cosine re-rank within probed cells.
+    At scale: write embeddings partitioned by cell -> probing = partition
+    pruning at the parquet level."""
+    dim_size = F.size(F.col(vec_col))
+    exploded = embeddings.select(
+        cell_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    centroids = (
+        exploded.groupBy(cell_col, "pos")
+        .agg((F.sum(F.col("val").cast(("decimal(38,12)"))).cast("double") / F.count("*")).alias("c"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(cell_col, F.transform(F.col("pc"), lambda s: s.getField("c")).alias("centroid"))
+    )
+    q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qvec"))
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(cell_col, F.round(cosine(F.col("centroid"), F.col("__qvec")), 6).alias("c_sim"))
+        .orderBy(F.desc("c_sim"), F.asc(cell_col))
+        .limit(n_probe)
+        .select(cell_col)
+    )
+    candidates = embeddings.join(F.broadcast(probed), cell_col)
+    scored = candidates.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    return (
+        scored.filter(F.col(id_col) != query_id)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

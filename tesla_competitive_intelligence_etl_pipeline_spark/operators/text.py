@@ -1,0 +1,110 @@
+"""X-5: text analysis operators for LLM-data pipelines (SURVEY.md §2.9).
+
+All pure Column expressions — JVM-side, codegen-friendly, no Python on the
+hot path. Designed for 100 TB: every op is a narrow map over the text column
+(no shuffle), so it pipelines with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/stopword heuristic
+# language-ID. At scale this would be a broadcast lexicon table; the operator
+# shape (count weighted stopword hits per language, argmax) is the same.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token counting: alpha runs, digit runs, and lone symbols —
+    the standard pre-tokenizer regex shape."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Count occurrences of any marker word (word-boundary anchored)."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 1))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, words) for lang, words in LANG_MARKERS.items()}
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax over per-language stopword hit counts; ties broken by language
+    code order (deterministic); no hits at all -> 'unknown'."""
+    scores = lang_scores(text)
+    pairs = [F.struct(c.alias("score"), F.lit(lang).alias("lang")) for lang, c in sorted(scores.items())]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("unknown"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features (length, token stats, uniqueness, punct/digit
+    ratios) — the usual pre-training heuristics."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"([^\w\s])"), 1))
+    n_digit = F.size(F.regexp_extract_all(text, F.lit(r"([0-9])"), 1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "uniq_token_ratio": n_uniq.cast("double") / n_tok.cast("double"),
+        "avg_token_len": (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"),
+        "punct_ratio": n_punct.cast("double") / n_chars.cast("double"),
+        "digit_ratio": n_digit.cast("double") / n_chars.cast("double"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: penalize too-short docs, low token
+    diversity, heavy punctuation/digits."""
+    f = quality_features(text)
+    length_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
+    diversity = f["uniq_token_ratio"]
+    clean = F.lit(1.0) - F.least(f["punct_ratio"] + f["digit_ratio"], F.lit(1.0))
+    return F.round((length_ok + diversity + clean) / F.lit(3.0), 6)
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip non-word chars."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^\w\s]", ""), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (stable across
+    engines — used as the exact-dedup key)."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash input set)."""
+    toks = tokens(normalized_text(text))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )

@@ -1,0 +1,582 @@
+"""Registry batch 3: [EXT] LLM-data-pipeline operators (SURVEY.md §2.9) —
+dedup (X-1/2), similarity search (X-3), multimodal (X-4), text analysis (X-5),
+approx aggregates (X-6), grouping analytics (X-7), window analytics (X-8),
+UDF surface (X-10), plus batch event-time operators (tumbling + session
+windows; the streaming twins live in streaming/).
+
+Approximate operators (LSH/SimHash/HLL) are registered without oracles —
+the driver records rows-only checks; their exact verification lives in
+tests/test_ext.py against brute-force ground truth.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import aggregates as agg
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import multimodal as mm
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import similarity as sim
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import _dsum, register
+from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+# DuckDB twin of text.normalized_text
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^\\w\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+# DuckDB twin of similarity._dot_exact (sequential double fold; consumers
+# round to 6 decimals so last-ulp fold differences cannot surface)
+def _ducksql_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) AS DOUBLE)"
+    )
+
+
+def _ducksql_cosine(a: str, b: str) -> str:
+    return (
+        f"ROUND({_ducksql_dot(a, b)} / "
+        f"(sqrt({_ducksql_dot(a, a)}) * sqrt({_ducksql_dot(b, b)})), 6)"
+    )
+
+
+# ===========================================================================
+# X-1: exact dedup (simulated re-crawl: corpus unioned with itself)
+# ===========================================================================
+
+
+@register(
+    "x1_dedup_exact",
+    f"""
+    WITH crawl AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM crawl
+    GROUP BY {_NORM.format(c='text')}
+    """,
+)
+def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-1: exact dedup by content hash over a simulated re-crawl (every doc
+    appears twice under different ids); survivor = lowest id."""
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return dd.exact_dedup(recrawl)
+
+
+@register("x2_minhash_lsh", None)  # approximate -> rows-only; recall tested in tests/test_ext.py
+def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2: MinHash(32 hashes) + LSH(8 bands) candidate generation with exact
+    Jaccard verification at 0.5 on word-3-gram shingles."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register(
+    "x2_ngram_jaccard",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, list_distinct(string_split_regex({_NORM.format(c='text')}, '\\s+')) AS w
+      FROM documents WHERE doc_id < 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+                   CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE), 6) AS jaccard
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    """,
+)
+def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2b: exact token-set Jaccard similarity join (inverted-index plan) on
+    a bounded subset — the oracle-checkable dedup variant."""
+    docs = src.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dd.ngram_jaccard_pairs(docs, threshold=0.8, n=1)
+
+
+@register("x2_simhash", None)  # signature bits depend on xxhash64 -> rows-only
+def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2c: SimHash(64-bit) near-dup pairs, hamming <= 8, band-pruned."""
+    docs = src.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.simhash_pairs(docs, max_hamming=8)
+
+
+# ===========================================================================
+# X-3: similarity search
+# ===========================================================================
+
+
+@register(
+    "x3_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, {_ducksql_cosine('e.embedding', 'q.qv')} AS cos_sim
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cos_sim FROM scored WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3: brute-force exact cosine top-k neighbors of vec_id=0 (correctness
+    baseline for the ANN variants)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    return sim.topk_neighbors_of(emb, query_id=0, k=10)
+
+
+@register("x3_lsh_ann", None)  # approximate (bucket pruning) -> rows-only
+def x3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3b: random-hyperplane LSH bucketed ANN (scale path)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, query_id=0, k=10, n_planes=6)
+
+
+@register("x3_ivf", None)  # probing is approximate -> rows-only
+def x3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3c: IVF-style coarse-quantized search (label column = cell; probe 2
+    nearest centroids, exact re-rank inside)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, query_id=0, k=10, n_probe=2)
+
+
+# ===========================================================================
+# X-4: multimodal columns
+# ===========================================================================
+
+
+@register(
+    "x4_multimodal_meta",
+    """
+    SELECT doc_id, 'text' AS modality, octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4: binary payload column + typed metadata (byte length) — the
+    schema/partitioning plumbing for opaque image/audio/video blobs."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return mm.attach_binary_payload(docs).select("doc_id", "modality", "n_bytes")
+
+
+@register("x4_feature_extract", None)  # mapInPandas stub decode -> rows-only
+def x4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4b: Arrow-batched mapInPandas feature extraction over binary
+    payloads (decode stubbed — no codec libs in container; plumbing real)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return mm.extract_features(mm.attach_binary_payload(docs))
+
+
+# ===========================================================================
+# X-5: text analysis
+# ===========================================================================
+
+_LANG_BRANCH = """
+      SELECT doc_id, lang AS lang_tag,
+             len(regexp_extract_all(lower(text), '\\b({words})\\b')) AS s,
+             '{lang}' AS l
+      FROM documents
+"""
+
+
+def _lang_id_sql() -> str:
+    branches = " UNION ALL ".join(
+        _LANG_BRANCH.format(words="|".join(w), lang=lang)
+        for lang, w in sorted(tx.LANG_MARKERS.items())
+    )
+    return f"""
+    WITH scores AS ({branches}),
+    ranked AS (
+      SELECT doc_id, lang_tag, s, l,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, lang_tag,
+           CASE WHEN s > 0 THEN l ELSE 'unknown' END AS predicted_lang
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("x5_lang_id", _lang_id_sql())
+def x5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5a: heuristic stopword-profile language ID (argmax over per-language
+    marker hit counts; deterministic tie-break)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_tag"),
+        tx.predicted_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "x5_quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             len(list_distinct(string_split_regex(text, '\\s+'))) AS n_uniq,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_token_ratio,
+           ROUND((least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+                  + CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                                 + CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE), 1.0)))
+                 / 3.0, 6) AS quality
+    FROM f
+    """,
+)
+def x5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5b: quality scoring from length/diversity/cleanliness features."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    feats = tx.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["uniq_token_ratio"].alias("uniq_token_ratio"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "x5_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split_regex(text, '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def x5_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5c: whitespace + BPE-ish pre-tokenizer token counting."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "x5_fingerprint",
+    f"SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents",
+)
+def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5d: document fingerprint = md5 over canonicalized text."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+# ===========================================================================
+# X-6: approx + exact distinct/quantiles
+# ===========================================================================
+
+
+@register("x6_approx_distinct", None)  # HLL/KLL sketches are engine-specific
+def x6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6: approx_count_distinct (HLL++) + percentile_approx (KLL-style) —
+    the 100 TB path where exact distinct is a full shuffle. Accuracy bounds
+    asserted in tests/test_ext.py against exact values."""
+    li = src.load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_quantity", [0.5, 0.9], 10000).alias("approx_qty_q"),
+    )
+
+
+@register(
+    "x6_exact_distinct_quantiles",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90
+    FROM lineitem
+    """,
+)
+def x6_exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6b: exact twins of the sketches (count distinct + interpolated
+    percentiles)."""
+    li = src.load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("qty_p90"),
+    )
+
+
+# ===========================================================================
+# X-7: rollup / cube / grouping sets
+# ===========================================================================
+
+
+@register(
+    "x7_rollup",
+    f"""
+    SELECT r.r_name, n.n_name, COUNT(*) AS cnt, {_dsum('c.c_acctbal', 2)} AS bal,
+           CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def x7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7a: hierarchical rollup region -> nation -> grand total."""
+    c = src.load_table(spark, sf_dir, "customer")
+    n = src.load_table(spark, sf_dir, "nation")
+    r = src.load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("cnt"),
+        agg.exact_sum(F.col("c_acctbal"), scale=2).alias("bal"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "x7_cube",
+    f"""
+    SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS cnt,
+           {_dsum('o.o_totalprice', 2)} AS total,
+           CAST(GROUPING(c.c_mktsegment, o.o_orderstatus) AS BIGINT) AS gid
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY CUBE(c.c_mktsegment, o.o_orderstatus)
+    """,
+)
+def x7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7b: full cube over two dimensions."""
+    o = src.load_table(spark, sf_dir, "orders")
+    c = src.load_table(spark, sf_dir, "customer")
+    joined = o.join(c, c.c_custkey == o.o_custkey)
+    return joined.cube("c_mktsegment", "o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        agg.exact_sum(F.col("o_totalprice"), scale=2).alias("total"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "x7_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {_dsum('l_quantity', 2)} AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def x7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7c: explicit grouping sets via Spark SQL."""
+    li = src.load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ===========================================================================
+# X-8: window analytics
+# ===========================================================================
+
+
+@register(
+    "x8_window_lag",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_total,
+           o_totalprice - lag(o_totalprice) OVER w AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+)
+def x8_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8a: QoQ-style deltas — lag over event order per key (the natural
+    extension of LIM-1, SURVEY §2.9)."""
+    o = src.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        prev.alias("prev_total"),
+        (F.col("o_totalprice") - prev).alias("delta"),
+    )
+
+
+@register(
+    "x8_window_rank",
+    """
+    SELECT o_orderstatus, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def x8_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8b: rank / dense_rank / ntile with a total order."""
+    o = src.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderstatus", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "x8_window_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def x8_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8c: explicit frame spec — running total (exact decimal accumulation
+    inside the frame so engines agree)."""
+    o = src.load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+# ===========================================================================
+# Event-time batch operators (streaming twins in streaming/events.py)
+# ===========================================================================
+
+
+@register(
+    "evt_json_extract",
+    """
+    SELECT event_type,
+           count_if(CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS high_k,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction + typed predicate."""
+    ev = src.load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count_if(k > 50).alias("high_k"), F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "evt_tumbling_window",
+    f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, COUNT(*) AS cnt, {_dsum('value')} AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form of X-9; the
+    streaming twin uses F.window + watermark)."""
+    ev = src.load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"), agg.exact_sum(F.col("value")).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "value_sum")
+    )
+
+
+@register(
+    "evt_session_windows",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, {_dsum('value')} AS value_sum
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def evt_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands — the
+    deterministic batch twin of streaming session_window (X-9)."""
+    ev = src.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        agg.exact_sum(F.col("value")).alias("value_sum"),
+    ).drop("session_id")
+
+
+# ===========================================================================
+# X-10: Pandas UDF surface (Arrow-vectorized; only where no native fn exists)
+# ===========================================================================
+
+
+@register(
+    "x10_pandas_udf_tokens",
+    """
+    SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens FROM documents
+    """,
+)
+def x10_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10: scalar pandas_udf (Arrow batches) — result must agree with the
+    JVM-native twin (x5_token_counts), proving the UDF boundary is lossless."""
+
+    @F.pandas_udf(T.IntegerType())
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.split(r"\s+").str.len().astype("int32")
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
