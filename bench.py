@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are materialized with the noop sink — full plan execution, no
+driver-side collect bottleneck.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "flagship_customer_revenue",   # join + agg + topk
+    "join_actual_vs_estimate",     # big fact-fact join with exact-decimal agg
+    "topk_per_group",              # window top-k
+    "dedup_last_write_wins",       # keyed dedup window
+    "x7_cube",                     # multi-dim cube
+    "x8_window_frame",             # running-frame window
+    "x1_dedup_exact",              # content-hash dedup over 2x corpus
+    "x2_minhash_lsh",              # minhash + LSH + verify
+    "x3_cosine_topk",              # brute-force similarity
+    "x5_quality_score",            # text feature extraction
+    "evt_session_windows",         # sessionization
+    "x9_stream_tumbling",          # structured streaming replay
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # warm up the JVM/codegen path once (not timed)
+    queries["agg_global_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,24 +45,44 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ---------------------------------------------------------------------------
 
 
+# Deterministic odd multipliers/offsets for the universal-hash family
+# h_j(x) = a_j * x + b_j over Z/2^64 (long overflow wraps, which is exactly
+# the mod-2^64 arithmetic we want; ANSI off).
+_MINHASH_A = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5]
+
+
 def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """num_hashes independent min-hashes: h_j(s) = xxhash64(s, seed=j).
-    Pure JVM expression — O(|shingles| * num_hashes) map-side, no Python."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_arr, lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(num_hashes)
-        ]
-    )
+    """num_hashes independent min-hashes. Each shingle string is hashed ONCE
+    (xxhash64); the j-th hash is an affine transform of that 64-bit value —
+    O(|shingles|) string hashing instead of O(|shingles| * num_hashes).
+    Pure JVM expression, map-side, no Python."""
+    base = F.transform(shingle_arr, lambda s: F.xxhash64(s))
+
+    def h(j: int):
+        a = _MINHASH_A[j % len(_MINHASH_A)] | 1  # odd -> bijective mod 2^64
+        b = (j * 0x9E3779B97F4A7C15 + 0x85EBCA77C2B2AE63) % (1 << 64)
+        a_signed = a - (1 << 64) if a >= (1 << 63) else a
+        b_signed = b - (1 << 64) if b >= (1 << 63) else b
+        return lambda x: x * F.lit(a_signed) + F.lit(b_signed) + F.lit(j)
+
+    return F.array(*[F.array_min(F.transform(base, h(j))) for j in range(num_hashes)])
 
 
 def _with_shingles_and_sig(
     docs: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
 ) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # Signature computation is CPU-bound per row; small single-file inputs
+    # arrive as one partition, so spread across cores first. (At 100 TB the
+    # input is already many splits and this coalesces nothing away.)
+    n_part = max(docs.rdd.getNumPartitions(), docs.sparkSession.sparkContext.defaultParallelism)
+    return (
+        docs.repartition(n_part)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
 
 
 def exact_jaccard(a: Column, b: Column) -> Column:
@@ -88,7 +108,11 @@ def minhash_lsh_pairs(
     Candidate count — not corpus size — drives the pair-verification cost.
     """
     rows_per_band = num_hashes // bands
-    sigs = _with_shingles_and_sig(docs, text_col, id_col, num_hashes, shingle_n)
+    # Persist the signature table: it feeds the band explode AND the
+    # verification join, and Spark would otherwise recompute the (expensive)
+    # shingling twice. In a production pipeline this is the materialized
+    # signatures table written next to the corpus.
+    sigs = _with_shingles_and_sig(docs, text_col, id_col, num_hashes, shingle_n).persist()
 
     banded = sigs.select(
         "doc_id",
@@ -181,26 +205,36 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_BIT_MASKS = [_signed64(1 << i) for i in range(64)]
+
+
 def simhash64(text_col: Column) -> Column:
     """64-bit SimHash: per token hash, sum signs per bit position, sign ->
-    bit. Expressed with JVM array ops (no UDF)."""
+    bit. ONE pass over the token hashes with an array-of-64 sign-count
+    accumulator (a 64-fold expression per bit would traverse the array 64x)."""
     toks = F.array_distinct(tokens(normalized_text(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
 
-    def sign_merge(i: int):
-        # For bit i: +1 per token with the bit set, -1 otherwise
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) != 0, 1
-        ).otherwise(-1)
-
-    bits = [
-        F.shiftleft((F.aggregate(hashes, F.lit(0), sign_merge(i)) > 0).cast("long"), i)
-        for i in range(64)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, b: a + b,
+        ),
+    )
+    # bits with positive sign-count -> set; masks are disjoint so OR == +
+    return F.aggregate(
+        F.zip_with(masks, counts, lambda m, c: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc.bitwiseOR(m),
+    )
 
 
 def simhash_pairs(
@@ -213,7 +247,12 @@ def simhash_pairs(
     """Near-dup pairs by SimHash hamming distance <= max_hamming. Banding on
     16-bit chunks (pigeonhole: any pair within distance 3 shares a chunk for
     4 bands; wider distances still mostly collide) prunes the self-join."""
-    sigs = docs.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig"))
+    n_part = max(docs.rdd.getNumPartitions(), docs.sparkSession.sparkContext.defaultParallelism)
+    sigs = (
+        docs.repartition(n_part)
+        .select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig"))
+        .persist()  # feeds both sides of the band self-join
+    )
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     banded = sigs.select(

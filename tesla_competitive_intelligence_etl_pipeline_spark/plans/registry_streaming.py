@@ -1,0 +1,78 @@
+"""Registry batch 4: X-9 Structured Streaming queries (SURVEY.md §2.9).
+
+Each runs the real streaming engine (readStream → stateful agg →
+writeStream) drained with Trigger.AvailableNow, so the final table is
+deterministic and — for tumbling/session windows — hash-checkable against
+the batch SQL oracle. This is the strongest correctness statement the
+driver protocol allows for streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import _dsum, register
+from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+
+@register(
+    "x9_stream_tumbling",
+    f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, COUNT(*) AS cnt, {_dsum('value')} AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x9_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9a: watermarked tumbling-window streaming aggregation; AvailableNow
+    replay must agree with the batch oracle exactly."""
+    ev = strm.stream_events(spark, sf_dir)
+    return strm.run_to_table(spark, strm.tumbling_counts(ev))
+
+
+@register(
+    "x9_stream_session",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, {_dsum('value')} AS value_sum
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def x9_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9b: session windows (30-min gap) in the streaming state store; must
+    agree with the batch gaps-and-islands oracle."""
+    ev = strm.stream_events(spark, sf_dir)
+    return strm.run_to_table(spark, strm.session_aggregation(ev))
+
+
+@register(
+    "x9_stream_foreachbatch_merge",
+    """
+    SELECT user_id, last_event_type, last_value FROM (
+      SELECT user_id, event_type AS last_event_type, value AS last_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def x9_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9c: foreachBatch MERGE upsert (streaming twin of SNK-4) — final gold
+    state = latest event per user."""
+    ev = strm.stream_events(spark, sf_dir)
+    out = strm.foreach_batch_merge_latest(spark, ev)
+    return out.select("user_id", "last_event_type", "last_value")

@@ -1,0 +1,124 @@
+"""X-9: Structured Streaming ingestion of the events stream (SURVEY.md §2.9).
+
+readStream → event-time transformations → writeStream, with:
+- watermarked tumbling-window aggregation (late data dropped past watermark),
+- session windows (F.session_window, 30-min gap),
+- foreachBatch MERGE upsert — the streaming twin of SNK-4 (reference
+  load.py:128-154): each micro-batch merges into a keyed gold table.
+
+Tests/queries drive these with Trigger.AvailableNow over the static parquet —
+one deterministic replay of the whole file — so results are comparable to the
+batch oracle. In production the same code tails a directory/Kafka source.
+
+Scale: state store holds one entry per open window/key; watermark bounds
+state; foreachBatch merge shuffles only the micro-batch keys.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.sources import merge as merge_mod
+
+EVENTS_RAW_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet (ns timestamps as long —
+    same read path as sources.io.load_events)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_DDL)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file-source needs a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling event-time aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "value_sum")
+    )
+
+
+def session_aggregation(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Session windows per user (gap-based), the stateful-streaming surface."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+        )
+        .select("user_id", "session_start", "n_events", "value_sum")
+    )
+
+
+def run_to_table(spark: SparkSession, sdf: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into an in-memory sink and
+    return the final static result."""
+    name = "strm_" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def foreach_batch_merge_latest(
+    spark: SparkSession, events: DataFrame, target_dir: str | None = None
+) -> DataFrame:
+    """Streaming upsert (SNK-4 twin): per micro-batch, keep the latest event
+    per user and MERGE into a parquet gold table keyed by user_id."""
+    target = target_dir or tempfile.mkdtemp(prefix="gold_") + "/user_state"
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        latest = topk.dedup_last_write_wins(
+            batch.select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+                "ts",
+                "event_id",
+            ),
+            keys=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+        sess = batch.sparkSession
+        try:
+            current = sess.read.parquet(target)
+        except Exception:
+            current = sess.createDataFrame([], latest.schema)
+        merged = merge_mod.merge_upsert(current, latest, keys=["user_id"], order_cols=["ts", "event_id"])
+        merged.write.mode("overwrite").parquet(target + "_next")
+        sess.read.parquet(target + "_next").write.mode("overwrite").parquet(target)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)

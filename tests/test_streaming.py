@@ -1,0 +1,95 @@
+"""X-9 streaming semantics: watermark late-data drop across micro-batches
+(the behavior the single-batch oracle replay can't exercise)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _write_events(path: str, rows: list[tuple[int, str, int]]):
+    """rows: (event_id, ts iso string, user_id) — ns timestamps like testdata."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), path)
+
+
+def test_watermark_drops_late_rows_across_batches(spark):
+    src_dir = tempfile.mkdtemp(prefix="strm_late_")
+    # batch 1: events in hours 10 and 12 -> event-time stats reach 12:00
+    _write_events(
+        os.path.join(src_dir, "part-001.parquet"),
+        [(1, "2024-01-01 10:05:00", 1), (2, "2024-01-01 10:20:00", 1), (3, "2024-01-01 12:00:00", 1)],
+    )
+    time.sleep(1.1)  # distinct mtimes so the file source orders batches
+    # batch 2: fresh event; watermark filtering lags one batch behind the
+    # stats batch, so this intermediate batch activates the 11:50 watermark
+    _write_events(os.path.join(src_dir, "part-002.parquet"), [(4, "2024-01-01 12:30:00", 1)])
+    time.sleep(1.1)
+    # batch 3: a LATE event for hour 10 (behind the watermark) + a fresh one
+    _write_events(
+        os.path.join(src_dir, "part-003.parquet"),
+        [(5, "2024-01-01 10:30:00", 1), (6, "2024-01-01 13:00:00", 1)],
+    )
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").cast("string").alias("ws"), "cnt")
+    )
+    name = "late_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r.ws: r.cnt for r in spark.table(name).collect()}
+    # hour-10 window closed with 2 events; the late event_id=5 was DROPPED
+    assert out.get("2024-01-01 10:00:00") == 2
+    # hour-13 window is still open (watermark 12:50) -> not emitted in append mode
+    assert "2024-01-01 13:00:00" not in out
+
+
+def test_streaming_matches_batch_on_full_replay(spark, sf_dir):
+    """AvailableNow replay of the events table == batch aggregation."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    stream_result = strm.run_to_table(spark, strm.tumbling_counts(strm.stream_events(spark, sf_dir)))
+    batch = (
+        src.load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    s = {(str(r.window_start), r.event_type): r.cnt for r in stream_result.collect()}
+    b = {(str(r.window_start), r.event_type): r.cnt for r in batch.collect()}
+    assert s == b
