@@ -1,0 +1,38 @@
+"""Skew-aware join (SURVEY.md §4, §7.4).
+
+Real competitive-intelligence workloads concentrate on few hot keys (TSLA
+dominates); at 100 TB a shuffle join on such a key puts one partition on one
+executor. Two mitigations, in preference order:
+
+1. AQE skew-join splitting — on by default in the engine session
+   (spark.sql.adaptive.skewJoin.enabled); handles skew discovered at runtime.
+2. Explicit salting (this module) — for the *planned* case where one side is
+   too large to broadcast and the key histogram is known to be pathological:
+   fact keys get a random salt in [0, n); the dim side is exploded n ways.
+   The join key becomes (key, salt): n-way fan-out of hot keys, dim side
+   grows n×|dim| rows (fine for dimension tables), results identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join facts⋈dim on ``key`` with an n-way salt. Deterministic
+    result set (salt only routes rows; it never changes matches)."""
+    salted_facts = facts.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_facts.join(salted_dim, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

@@ -512,6 +512,35 @@ def pipeline_eps_share_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# SRC-1/2/3: REST ingestion via the Python Data Source API (offline replay)
+# ===========================================================================
+
+
+def _rest_oracle() -> str:
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import rest
+
+    return f"""
+    SELECT ticker, source, status, _date AS date, symbol, revenue, eps,
+           "netIncomePerShare", "grossProfit"
+    FROM {rest.fixture_values_sql()}
+    """
+
+
+def _src_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC-1/2/3 + SRC-5: custom DataSource partitioned per ticker with
+    fmp->yfinance failover tagging (reference extract.py:97-254). Offline
+    replay of fixture payloads; the partition/schema/failover plumbing is the
+    production surface."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import rest
+
+    rest.register(spark)
+    return spark.read.format("fmp_replay").load().withColumnRenamed("_date", "date")
+
+
+register("src_rest_datasource", _rest_oracle())(_src_rest_datasource)
+
+
+# ===========================================================================
 # SNK round-trips (write paths verified by reading back; oracle = source agg)
 # ===========================================================================
 
