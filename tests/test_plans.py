@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: the scale properties the engine promises
+(pushdown, pruning, broadcast dims, shuffle-free bucketed joins) must be
+visible in the explain output — not assumed."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.plans import load_registry
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_registry()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir, registry):
+    df = registry["src_scan_project"][0](spark, sf_dir)
+    plan = _plan(df)
+    assert "GreaterThan(l_quantity,30.0)" in plan  # predicate reached parquet
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    # only the 4 projected columns + the filter column are read
+    assert set(c.split(":")[0] for c in read_schema.split(",")) == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate",
+    }
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir, registry):
+    plan = _plan(registry["flagship_customer_revenue"][0](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2  # customer + nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_single_shuffle(spark, sf_dir, registry):
+    """The fact side shuffles exactly once (the groupBy); dim lookups add
+    broadcast exchanges only."""
+    plan = _plan(registry["flagship_customer_revenue"][0](spark, sf_dir))
+    non_broadcast_exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(non_broadcast_exchanges) == 1
+
+
+def test_whole_stage_codegen_covers_scalar_chain(spark, sf_dir, registry):
+    # AQE shows codegen spans only in the FINAL plan — execute THIS dataframe
+    # (count() would plan a different query; collect() finalizes df's own)
+    df = registry["fn_quarter_label"][0](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "codegen id" in plan  # scalar chain fused into codegen stages
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_no_python_udf_in_core_paths(spark, sf_dir, registry):
+    for name in ["pipeline_silver_fmp", "x5_quality_score", "x1_dedup_exact", "q1_pricing_summary"]:
+        plan = _plan(registry[name][0](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import bucketing
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    import shutil
+
+    orders = src.load_table(spark, sf_dir, "orders")
+    lineitem = src.load_table(spark, sf_dir, "lineitem")
+    # clean both the (session-scoped) catalog and any on-disk leftovers —
+    # the in-memory catalog forgets tables between sessions but the
+    # warehouse directory survives
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    bucketing.write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    bucketing.write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    # disable broadcast so the planner must choose between shuffle-SMJ and
+    # bucket co-location (at 100 TB neither fact side is broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_join(
+            spark, "b_orders", "b_lineitem", on=F.col("o_orderkey") == F.col("l_orderkey")
+        ).select("o_orderkey", "l_linenumber", "l_quantity")
+        plan = _plan(joined)
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    plain = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+    assert n == plain
