@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 # try %Y-%m-%d, then %Y-%m-%d %H:%M:%S, then %m/%d/%Y; bare int year -> Dec 31
 # of that year; unparseable -> null. to_date returns null on mismatch when
 # ANSI is off, matching the reference's exception->None behavior.
+# Known deviation: Python strptime parses 3-digit years ('01/01/999'); Spark's
+# yyyy pattern requires 4 digits -> null. Irrelevant for financial dates.
 # ---------------------------------------------------------------------------
 
 
@@ -78,6 +80,16 @@ def safe_decimal(c: Column, precision: int = 15, scale: int = 2) -> Column:
 
 def rescale_millions(c: Column) -> Column:
     return F.when((c > 0) & (c < 1_000_000), c * 1_000_000).otherwise(c)
+
+
+def rescale_millions_pipeline(c: Column) -> Column:
+    """The reference's END-TO-END rescale for revenue/gross_profit: the
+    heuristic runs TWICE (converter transform.py:181-182, then the pydantic
+    before-validator config.py:89-97). For v >= 1 the second application is a
+    no-op (first result >= 1e6); for 0 < v < 1 the reference genuinely
+    rescales twice (0.5 -> 500k -> 5e11) — property-tested against a Python
+    reference implementation in tests/test_properties.py."""
+    return rescale_millions(rescale_millions(c))
 
 
 # ---------------------------------------------------------------------------

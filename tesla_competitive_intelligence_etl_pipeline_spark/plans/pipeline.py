@@ -25,10 +25,11 @@ def silver_from_fmp(bronze: DataFrame) -> DataFrame:
     FN-3/4 safe decimal, FN-5 millions rescale."""
     d = scalars.parse_date_multi(F.col("date"))
     eps_raw = F.coalesce(F.col("eps"), F.col("netIncomePerShare"))  # PROJ-2
-    revenue = scalars.rescale_millions(
+    # rescale applied TWICE end-to-end (converter + validator), never to eps
+    revenue = scalars.rescale_millions_pipeline(
         scalars.safe_decimal(F.col("revenue"), 15, 2).cast("double")
     ).cast("decimal(15,2)")
-    gross = scalars.rescale_millions(
+    gross = scalars.rescale_millions_pipeline(
         scalars.safe_decimal(F.col("grossProfit"), 15, 2).cast("double")
     ).cast("decimal(15,2)")
     return (

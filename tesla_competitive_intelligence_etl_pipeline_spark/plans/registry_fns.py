@@ -313,14 +313,7 @@ def _silver_sql() -> str:
         "('inf','-inf','infinity','-infinity','nan') THEN NULL "
         "ELSE regexp_replace({c}, '[,$%\\s]', '', 'g') END"
     )
-    rescale = (
-        "CAST(CASE WHEN CAST(TRY_CAST({e} AS DECIMAL(15,2)) AS DOUBLE) > 0 "
-        "AND CAST(TRY_CAST({e} AS DECIMAL(15,2)) AS DOUBLE) < 1000000 "
-        "THEN CAST(TRY_CAST({e} AS DECIMAL(15,2)) AS DOUBLE) * 1000000 "
-        "ELSE CAST(TRY_CAST({e} AS DECIMAL(15,2)) AS DOUBLE) END AS DECIMAL(15,2))"
-    )
-    rev = rescale.format(e=clean.format(c="revenue"))
-    gross = rescale.format(e=clean.format(c='"grossProfit"'))
+    rescale_once = "CASE WHEN {x} > 0 AND {x} < 1000000 THEN {x} * 1000000 ELSE {x} END"
     eps = "TRY_CAST(" + clean.format(c='COALESCE(eps, "netIncomePerShare")') + " AS DECIMAL(10,4))"
     return f"""
     WITH bronze AS (SELECT * FROM {fixtures.fmp_income_values_sql()}),
@@ -336,14 +329,28 @@ def _silver_sql() -> str:
              revenue, eps, "netIncomePerShare", "grossProfit"
       FROM bronze
     ),
+    typed AS (
+      SELECT *,
+             TRY_CAST({clean.format(c='revenue')} AS DECIMAL(15,2)) AS rev0_d,
+             TRY_CAST({clean.format(c='"grossProfit"')} AS DECIMAL(15,2)) AS gross0_d
+      FROM parsed
+    ),
+    -- the millions-rescale heuristic runs TWICE end-to-end (reference
+    -- transform.py:181-182 then config.py:89-97), revenue/gross only
+    r1 AS (
+      SELECT *,
+             {rescale_once.format(x='CAST(rev0_d AS DOUBLE)')} AS rev1,
+             {rescale_once.format(x='CAST(gross0_d AS DOUBLE)')} AS gross1
+      FROM typed
+    ),
     silver AS (
       SELECT ticker, quarter_date,
              CASE WHEN quarter_date IS NOT NULL
                   THEN printf('%d-Q%d', year(quarter_date), quarter(quarter_date)) END AS quarter_label,
-             {rev} AS revenue,
+             CAST({rescale_once.format(x='rev1')} AS DECIMAL(15,2)) AS revenue,
              {eps} AS eps,
-             {gross} AS gross_profit
-      FROM parsed
+             CAST({rescale_once.format(x='gross1')} AS DECIMAL(15,2)) AS gross_profit
+      FROM r1
     )
     SELECT * FROM silver WHERE quarter_label IS NOT NULL
     """

@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis) for the semantically risky scalar
+functions (SURVEY.md §7.4 risk register): FN-5 idempotence, FN-1 parse
+round-trip, FN-3/4 cleanup-cast against a Python reference implementation.
+
+Strategy: generate a batch of inputs, evaluate the Column expression once
+over the whole batch (one Spark job per property, not per example), compare
+to the pure-Python reference."""
+
+from __future__ import annotations
+
+import datetime
+import re
+from decimal import Decimal, InvalidOperation
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.functions import scalars
+
+SETTINGS = settings(max_examples=30, deadline=None)
+
+
+# -- Python reference implementations (mirroring reference transform.py) -----
+
+
+def ref_rescale_once(v: float) -> float:
+    return v * 1_000_000 if 0 < v < 1_000_000 else v
+
+
+def ref_rescale_pipeline(v: float) -> float:
+    # the reference applies the heuristic twice end-to-end
+    # (transform.py:181-182 then config.py:89-97)
+    return ref_rescale_once(ref_rescale_once(v))
+
+
+def ref_clean_cast(s: str | None) -> Decimal | None:
+    if s is None:
+        return None
+    cleaned = re.sub(r"[,$%\s]", "", s)
+    if cleaned in ("", "N/A", "n/a", "-"):
+        return None
+    if cleaned.lower() in ("inf", "-inf", "infinity", "-infinity", "nan"):
+        return None
+    try:
+        d = Decimal(cleaned).quantize(Decimal("0.01"))
+    except (InvalidOperation, ValueError):
+        return None
+    if abs(d) >= Decimal(10) ** 13:  # DECIMAL(15,2) overflow -> null
+        return None
+    return d
+
+
+def _eval_batch(spark, col, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return [r["out"] for r in df.select(col.alias("out")).collect()]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.floats(min_value=-1e12, max_value=1e12, allow_nan=False, width=64),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_rescale_pipeline_matches_reference_double_application(spark, values):
+    """The composed (double) rescale must match the reference's converter+
+    validator chain for ALL doubles — including the v<1 corner where a single
+    application is NOT idempotent (found by hypothesis; see
+    scalars.rescale_millions_pipeline)."""
+    rows = [(v,) for v in values]
+    out = _eval_batch(spark, scalars.rescale_millions_pipeline(F.col("v")), rows, "v double")
+    assert out == [ref_rescale_pipeline(v) for v in values]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.floats(min_value=1.0, max_value=1e12, allow_nan=False, width=64),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_rescale_single_idempotent_for_v_ge_1(spark, values):
+    """For v >= 1 one application already exceeds 1e6, so the heuristic is
+    idempotent on the realistic domain (SURVEY §7.4)."""
+    rows = [(v,) for v in values]
+    once = _eval_batch(spark, scalars.rescale_millions(F.col("v")), rows, "v double")
+    twice = _eval_batch(
+        spark, scalars.rescale_millions(scalars.rescale_millions(F.col("v"))), rows, "v double"
+    )
+    assert once == twice
+
+
+@SETTINGS
+@given(
+    st.lists(
+        # years < 1000: Python strptime accepts 3-digit %Y, Spark's yyyy
+        # pattern doesn't — documented deviation (financial dates are modern)
+        st.dates(min_value=datetime.date(1000, 1, 1), max_value=datetime.date(9999, 12, 31)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_date_parse_roundtrips_every_accepted_format(spark, dates):
+    rows = [(d.isoformat(), d.strftime("%m/%d/%Y"), d.isoformat() + " 13:45:00") for d in dates]
+    for col in ("iso", "us", "ts"):
+        out = _eval_batch(
+            spark, scalars.parse_date_multi(F.col(col)), rows, "iso string, us string, ts string"
+        )
+        assert out == list(dates), col
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.sampled_from(["N/A", "n/a", "-", "", "inf", "-inf", "nan", "junk", "12a3"]),
+            st.decimals(
+                min_value=Decimal("-1e13"), max_value=Decimal("1e13"), places=2
+            ).map(lambda d: f"{d:,}"),
+            st.decimals(min_value=-1000, max_value=1000, places=2).map(lambda d: f"${d}"),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_clean_cast_matches_python_reference(spark, values):
+    rows = [(v,) for v in values]
+    out = _eval_batch(spark, scalars.safe_decimal(F.col("v"), 15, 2), rows, "v string")
+    expected = [ref_clean_cast(v) for v in values]
+    assert out == expected
+
+
+@SETTINGS
+@given(st.lists(st.dates(), min_size=1, max_size=50))
+def test_quarter_label_always_valid_pattern(spark, dates):
+    rows = [(d,) for d in dates]
+    out = _eval_batch(spark, scalars.quarter_label(F.col("v")), rows, "v date")
+    for d, label in zip(dates, out):
+        assert re.fullmatch(r"\d{1,4}-Q[1-4]", label)
+        assert label == f"{d.year}-Q{(d.month - 1) // 3 + 1}"
