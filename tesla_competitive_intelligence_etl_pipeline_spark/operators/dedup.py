@@ -51,12 +51,10 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 _MINHASH_A = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5]
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """num_hashes independent min-hashes. Each shingle string is hashed ONCE
-    (xxhash64); the j-th hash is an affine transform of that 64-bit value —
-    O(|shingles|) string hashing instead of O(|shingles| * num_hashes).
-    Pure JVM expression, map-side, no Python."""
-    base = F.transform(shingle_arr, lambda s: F.xxhash64(s))
+def minhash_int_signature(hashed_shingle_arr: Column, num_hashes: int = 32) -> Column:
+    """num_hashes independent min-hashes over pre-hashed shingles: the j-th
+    hash is an affine transform h_j(x) = a_j*x + b_j over Z/2^64 (long
+    overflow wraps = mod-2^64, ANSI off). Pure JVM expression, map-side."""
 
     def h(j: int):
         a = _MINHASH_A[j % len(_MINHASH_A)] | 1  # odd -> bijective mod 2^64
@@ -65,7 +63,31 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
         b_signed = b - (1 << 64) if b >= (1 << 63) else b
         return lambda x: x * F.lit(a_signed) + F.lit(b_signed) + F.lit(j)
 
-    return F.array(*[F.array_min(F.transform(base, h(j))) for j in range(num_hashes)])
+    return F.array(
+        *[F.array_min(F.transform(hashed_shingle_arr, h(j))) for j in range(num_hashes)]
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
+    """Signature over string shingles (hash each once, then the affine
+    family). Kept for callers holding string shingle sets; the LSH pipeline
+    uses hashed_shingles + minhash_int_signature to skip string building."""
+    return minhash_int_signature(F.transform(shingle_arr, lambda s: F.xxhash64(s)), num_hashes)
+
+
+def hashed_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles as 64-bit hashes: hash each token once,
+    combine n consecutive token hashes with xxhash64 — no n-gram string is
+    ever materialized (the dominant cost of string shingling)."""
+    th = F.transform(tokens(normalized_text(text_col)), lambda t: F.xxhash64(t))
+    grams = F.when(
+        F.size(th) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - n),
+            lambda i: F.xxhash64(*[F.get(th, i + k) for k in range(n)]),
+        ),
+    ).otherwise(F.array(F.xxhash64(*[F.lit(0)])))
+    return F.array_distinct(grams)
 
 
 def _with_shingles_and_sig(
@@ -79,9 +101,9 @@ def _with_shingles_and_sig(
         docs.repartition(n_part)
         .select(
             F.col(id_col).alias("doc_id"),
-            shingles(F.col(text_col), shingle_n).alias("sh"),
+            hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes))
     )
 
 
@@ -152,6 +174,22 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return verified
+
+
+def near_dedup_canonical(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate REMOVAL: drop every document that has a near-dup
+    partner with a smaller id (the standard single-pass policy used by
+    pre-training dedup pipelines; full transitive clustering would need an
+    iterative connected-components pass). Survivors = docs that are nobody's
+    higher-id near-dup."""
+    pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------

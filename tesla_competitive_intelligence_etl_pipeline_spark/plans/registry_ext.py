@@ -104,6 +104,14 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, threshold=0.8, n=1)
 
 
+@register("x2_near_dedup_canonical", None)  # LSH-based -> rows-only
+def x2_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2e: near-duplicate REMOVAL — documents surviving the drop-if-a-
+    smaller-id-near-dup-exists policy (the practical pre-training dedup)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dd.near_dedup_canonical(docs, threshold=0.5).select("doc_id", "lang", "source")
+
+
 @register("x2_simhash", None)  # signature bits depend on xxhash64 -> rows-only
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2c: SimHash(64-bit) near-dup pairs, hamming <= 8, band-pruned."""

@@ -60,6 +60,37 @@ def x9_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x9_stream_stateful_totals",
+    # value_sum is accumulated in float64 inside the pandas state fn, so the
+    # oracle mirrors a double sum rounded to 6 (error ~1e-11 << 5e-7)
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def x9_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9d: custom stateful operator (applyInPandasWithState) — per-user
+    running totals; after a full AvailableNow replay the final state snapshot
+    per user must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import stateful
+
+    ev = strm.stream_events(spark, sf_dir)
+    out = strm.run_to_table(spark, stateful.running_user_totals(ev), mode="update")
+    # update-mode memory sink keeps every emitted snapshot; latest per user
+    # is the final state (single batch here, but stay general)
+    latest = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "value_sum")).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round(F.col("s.value_sum"), 6).alias("value_sum"),
+    )
+
+
+@register(
     "x9_stream_foreachbatch_merge",
     """
     SELECT user_id, last_event_type, last_value FROM (

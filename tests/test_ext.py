@@ -70,6 +70,14 @@ def test_simhash_pairs_on_planted_dups(near_dup_docs):
     assert len(planted & found) >= 4
 
 
+def test_near_dedup_canonical_drops_higher_id_partner(near_dup_docs):
+    survivors = {r.doc_id for r in dd.near_dedup_canonical(near_dup_docs, threshold=0.5).collect()}
+    for i in range(5):
+        assert 2 * i in survivors      # lower id of each planted pair kept
+        assert 2 * i + 1 not in survivors  # higher id dropped
+    assert {i + 10 for i in range(10, 20)} <= survivors  # unrelated docs kept
+
+
 def test_exact_dedup_recrawl(spark, sf_dir):
     docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10**6))
