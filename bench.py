@@ -20,6 +20,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
     "flagship_customer_revenue",   # join + agg + topk
+    "q1_pricing_summary",          # wide multi-aggregate scan
+    "q3_shipping_priority",        # selective join + top-k
+    "q5_region_volume",            # snowflake multi-join
+    "q18_large_orders",            # groupBy + HAVING + join back
     "join_actual_vs_estimate",     # big fact-fact join with exact-decimal agg
     "topk_per_group",              # window top-k
     "dedup_last_write_wins",       # keyed dedup window

@@ -8,6 +8,7 @@ def load_registry() -> dict:
         registry_analytics,
         registry_ext,
         registry_fns,
+        registry_more,
         registry_streaming,
     )
 
