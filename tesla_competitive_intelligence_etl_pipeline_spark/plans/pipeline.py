@@ -68,6 +68,53 @@ def silver_from_yfinance(bronze: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
+def silver_estimates(bronze: DataFrame) -> DataFrame:
+    """T-stage for analyst estimates (reference load.py:163-200 +
+    config.py:100-108): same date/label derivation, estimate measures typed,
+    analyst_count >= 0 enforced by nulling violations (V-3)."""
+    d = scalars.parse_date_multi(F.col("date"))
+    return (
+        bronze.select(
+            F.col("symbol").alias("ticker"),
+            d.alias("quarter_date"),
+            scalars.quarter_label(d).alias("quarter_label"),
+            F.col("estimatedRevenue").cast("decimal(15,2)").alias("estimated_revenue"),
+            F.col("estimatedEps").cast("decimal(10,4)").alias("estimated_eps"),
+            F.when(F.col("numberAnalysts") >= 0, F.col("numberAnalysts")).alias("analyst_count"),
+        )
+        .filter(F.col("quarter_label").isNotNull())
+    )
+
+
+def actuals_vs_estimates(financials: DataFrame, estimates: DataFrame) -> DataFrame:
+    """JOIN-7 on the financial tables: the actual-vs-estimate report the
+    star schema exists for (shared natural key schema.sql:30/:46), with
+    beat/miss classification via the FN-9 tolerance."""
+    joined = financials.join(
+        estimates, on=["ticker", "quarter_date", "quarter_label"], how="left"
+    )
+    rev = F.col("revenue").cast("double")
+    est = F.col("estimated_revenue").cast("double")
+    eps = F.col("eps").cast("double")
+    eps_est = F.col("estimated_eps").cast("double")
+    return joined.select(
+        "ticker",
+        "quarter_date",
+        "quarter_label",
+        rev.alias("revenue"),
+        est.alias("estimated_revenue"),
+        (rev - est).alias("revenue_surprise"),
+        eps.alias("eps"),
+        eps_est.alias("estimated_eps"),
+        F.round(eps - eps_est, 4).alias("eps_surprise"),
+        F.when(est.isNull() | eps_est.isNull(), F.lit(None))
+        .when((rev >= est) & (eps >= eps_est), "beat")
+        .when((rev < est) & (eps < eps_est), "miss")
+        .otherwise("mixed")
+        .alias("verdict"),
+    )
+
+
 def gold_financials(silver: DataFrame) -> DataFrame:
     """Gold: DEDUP-1 natural-key last-write-wins + LIM-1 top-8 quarters per
     ticker, ordered for export (SORT-1)."""

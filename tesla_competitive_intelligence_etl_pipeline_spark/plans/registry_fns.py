@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from tesla_competitive_intelligence_etl_pipeline_spark.functions import scalars, validation
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import aggregates as agg
 from tesla_competitive_intelligence_etl_pipeline_spark.plans import pipeline
-from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import _dsum, register
+from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import REGISTRY, _dsum, register
 from tesla_competitive_intelligence_etl_pipeline_spark.sources import fixtures
 from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
 from tesla_competitive_intelligence_etl_pipeline_spark.sources import merge as merge_mod
@@ -516,6 +516,92 @@ def pipeline_eps_share_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_income",
         scalars.eps_from_net_income(F.col("net_income"), F.col("shares_millions")).alias("eps"),
     )
+
+
+def _silver_estimates_sql() -> str:
+    return f"""
+    SELECT symbol AS ticker,
+           CAST(try_strptime(_date, '%Y-%m-%d') AS DATE) AS quarter_date,
+           printf('%d-Q%d', year(CAST(try_strptime(_date, '%Y-%m-%d') AS DATE)),
+                  quarter(CAST(try_strptime(_date, '%Y-%m-%d') AS DATE))) AS quarter_label,
+           CAST("estimatedRevenue" AS DECIMAL(15,2)) AS estimated_revenue,
+           CAST("estimatedEps" AS DECIMAL(10,4)) AS estimated_eps,
+           CASE WHEN "numberAnalysts" >= 0 THEN "numberAnalysts" END AS analyst_count
+    FROM {fixtures.estimates_values_sql()}
+    """
+
+
+@register(
+    "pipeline_silver_estimates",
+    f"""
+    SELECT ticker, quarter_date, quarter_label,
+           CAST(estimated_revenue AS DOUBLE) AS estimated_revenue,
+           CAST(estimated_eps AS DOUBLE) AS estimated_eps,
+           analyst_count
+    FROM ({_silver_estimates_sql()})
+    """,
+)
+def pipeline_silver_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyst-estimates fact path (reference load.py:163-200): second fact
+    table of the star schema, typed + constrained."""
+    silver = pipeline.silver_estimates(fixtures.fmp_estimates_raw(spark))
+    return silver.select(
+        "ticker", "quarter_date", "quarter_label",
+        F.col("estimated_revenue").cast("double").alias("estimated_revenue"),
+        F.col("estimated_eps").cast("double").alias("estimated_eps"),
+        "analyst_count",
+    )
+
+
+@register(
+    "pipeline_actual_vs_estimate",
+    f"""
+    WITH silver AS ({{silver}}),
+    gold AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY ticker, quarter_date
+          ORDER BY revenue DESC NULLS LAST, eps DESC NULLS LAST) AS rn
+        FROM silver) WHERE rn = 1
+    ),
+    est AS ({{est}})
+    SELECT g.ticker, g.quarter_date, g.quarter_label,
+           CAST(g.revenue AS DOUBLE) AS revenue,
+           CAST(e.estimated_revenue AS DOUBLE) AS estimated_revenue,
+           CAST(g.revenue AS DOUBLE) - CAST(e.estimated_revenue AS DOUBLE) AS revenue_surprise,
+           CAST(g.eps AS DOUBLE) AS eps,
+           CAST(e.estimated_eps AS DOUBLE) AS estimated_eps,
+           ROUND(CAST(g.eps AS DOUBLE) - CAST(e.estimated_eps AS DOUBLE), 4) AS eps_surprise,
+           CASE WHEN e.estimated_revenue IS NULL OR e.estimated_eps IS NULL THEN NULL
+                WHEN CAST(g.revenue AS DOUBLE) >= CAST(e.estimated_revenue AS DOUBLE)
+                     AND CAST(g.eps AS DOUBLE) >= CAST(e.estimated_eps AS DOUBLE) THEN 'beat'
+                WHEN CAST(g.revenue AS DOUBLE) < CAST(e.estimated_revenue AS DOUBLE)
+                     AND CAST(g.eps AS DOUBLE) < CAST(e.estimated_eps AS DOUBLE) THEN 'miss'
+                ELSE 'mixed' END AS verdict
+    FROM gold g
+    LEFT JOIN est e ON e.ticker = g.ticker AND e.quarter_date = g.quarter_date
+                    AND e.quarter_label = g.quarter_label
+    """,
+)
+def pipeline_actual_vs_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-7 on the financial star schema: actual-vs-estimate report with
+    beat/miss/mixed classification — the query the schema was built for."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
+
+    silver = pipeline.silver_from_fmp(fixtures.fmp_income_raw(spark))
+    gold = topk.dedup_last_write_wins(
+        silver, keys=["ticker", "quarter_date"], order_cols=["revenue", "eps"]
+    ).drop("__rn")
+    est = pipeline.silver_estimates(fixtures.fmp_estimates_raw(spark))
+    return pipeline.actuals_vs_estimates(gold, est)
+
+
+# fill in the oracle's CTE bodies now that both silver builders exist
+_avse_fn, _avse_sql = REGISTRY["pipeline_actual_vs_estimate"]
+REGISTRY["pipeline_actual_vs_estimate"] = (
+    _avse_fn,
+    _avse_sql.format(silver=_silver_sql(), est=_silver_estimates_sql()),
+)
 
 
 # ===========================================================================

@@ -64,6 +64,18 @@ def yfinance_income_raw(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(YFINANCE_ROWS, schemas.YFINANCE_INCOME_RAW)
 
 
+def estimates_values_sql() -> str:
+    """The estimates bronze rows as a DuckDB VALUES clause (oracle twin)."""
+    rows = ",\n    ".join(
+        f"('{d}', '{s}', {r}, {e}, {n})" for d, s, r, e, n in ESTIMATES_ROWS
+    )
+    return (
+        "(VALUES\n    "
+        + rows
+        + ') AS est(_date, symbol, "estimatedRevenue", "estimatedEps", "numberAnalysts")'
+    )
+
+
 def fmp_income_values_sql() -> str:
     """The same bronze rows as a DuckDB VALUES clause (oracle twin)."""
 

@@ -57,6 +57,52 @@ def test_full_pipeline_with_yfinance_branch(spark):
     assert verdict is False
 
 
+def test_empty_bronze_yields_empty_gold(spark):
+    """Reference behavior: empty extraction input flows through T and L
+    without error (tests/test_integration.py empty-input cases)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark import schemas
+
+    empty = spark.createDataFrame([], schemas.FMP_INCOME_RAW)
+    gold = pipeline.gold_financials(pipeline.silver_from_fmp(empty))
+    assert gold.count() == 0
+    from tesla_competitive_intelligence_etl_pipeline_spark.functions import validation
+
+    # missing golden row -> soft False, not an exception (transform.py:241-243)
+    assert validation.validate_golden(gold) is False
+
+
+def test_all_failed_extraction_yields_empty_run(spark):
+    import tempfile
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans.api import Pipeline
+
+    pipe = Pipeline(spark, gold_path=tempfile.mkdtemp(prefix="gold_empty_") + "/g")
+    metrics = pipe.run(tickers=["NKLA"], validate=True)  # NKLA: both sources fail
+    assert metrics["status"] == "success"
+    assert metrics["transformation_count"] == 0
+    assert metrics["tesla_validation"] is False
+
+
+def test_estimates_silver_and_surprise_report(spark):
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
+
+    silver = pipeline.silver_from_fmp(fixtures.fmp_income_raw(spark))
+    gold = topk.dedup_last_write_wins(
+        silver, keys=["ticker", "quarter_date"], order_cols=["revenue", "eps"]
+    )
+    est = pipeline.silver_estimates(fixtures.fmp_estimates_raw(spark))
+    report = {
+        (r.ticker, r.quarter_label): r
+        for r in pipeline.actuals_vs_estimates(gold, est).collect()
+    }
+    tsla = report[("TSLA", "2025-Q2")]
+    # actual 22.6e9 (last-write-wins) vs estimate 22.0e9; eps 0.41 vs 0.39
+    assert tsla.verdict == "beat"
+    assert tsla.eps_surprise == 0.02
+    # rows without an estimate get a null verdict
+    assert report[("TSLA", "2024-Q4")].verdict is None
+
+
 def test_golden_validation_passes_on_clean_data(spark):
     clean = fixtures.fmp_income_raw(spark).filter(
         ~((F.col("date") == "2025-06-30") & (F.col("symbol") == "TSLA") & (F.col("revenue") == "22600000000"))
