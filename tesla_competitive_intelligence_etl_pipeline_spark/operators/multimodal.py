@@ -32,7 +32,7 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.lit("text").alias("modality"),
         payload.alias("payload"),
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
         F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta"),
     )
 

@@ -442,7 +442,7 @@ def agg_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_conditional_count",
-    "SELECT count_if(o_orderpriority = '1-URGENT') AS cnt FROM orders",
+    "SELECT CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS cnt FROM orders",
 )
 def agg_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AGG-3 (reference extract.py:251)."""
@@ -579,7 +579,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").desc(), F.col("o_orderkey").desc()
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )

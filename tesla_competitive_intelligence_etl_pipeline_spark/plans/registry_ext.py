@@ -255,8 +255,8 @@ def x5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tx.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
-        feats["n_chars"].alias("n_chars"),
-        feats["n_tokens"].alias("n_tokens"),
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
         feats["uniq_token_ratio"].alias("uniq_token_ratio"),
         tx.quality_score(F.col("text")).alias("quality"),
     )
@@ -276,8 +276,8 @@ def x5_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = src.load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        tx.token_count(F.col("text")).alias("ws_tokens"),
-        tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        tx.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -448,9 +448,9 @@ def x8_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return o.select(
         "o_orderstatus", "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -488,7 +488,7 @@ def x8_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_json_extract",
     """
     SELECT event_type,
-           count_if(CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS high_k,
+           CAST(count_if(CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS BIGINT) AS high_k,
            COUNT(*) AS cnt
     FROM events GROUP BY event_type
     """,
@@ -582,9 +582,9 @@ def x10_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-10: scalar pandas_udf (Arrow batches) — result must agree with the
     JVM-native twin (x5_token_counts), proving the UDF boundary is lossless."""
 
-    @F.pandas_udf(T.IntegerType())
+    @F.pandas_udf(T.LongType())
     def n_tokens(texts: pd.Series) -> pd.Series:
-        return texts.str.split(r"\s+").str.len().astype("int32")
+        return texts.str.split(r"\s+").str.len().astype("int64")
 
     docs = src.load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))

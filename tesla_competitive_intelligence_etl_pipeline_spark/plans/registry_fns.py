@@ -188,8 +188,8 @@ def fn_decimal_float_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey, {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS actual_total
       FROM lineitem GROUP BY l_orderkey
     )
-    SELECT count_if(ABS(o.o_totalprice - a.actual_total) <= ABS(a.actual_total) * 0.001) AS within_rel_tol,
-           count_if(ABS(o.o_totalprice - a.actual_total) <= 0.01) AS within_abs_tol,
+    SELECT CAST(count_if(ABS(o.o_totalprice - a.actual_total) <= ABS(a.actual_total) * 0.001) AS BIGINT) AS within_rel_tol,
+           CAST(count_if(ABS(o.o_totalprice - a.actual_total) <= 0.01) AS BIGINT) AS within_abs_tol,
            COUNT(*) AS total
     FROM orders o JOIN actual a ON a.l_orderkey = o.o_orderkey
     """,
@@ -290,7 +290,7 @@ def v_length_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v_range_check",
-    "SELECT count_if(c_acctbal >= 0) AS non_negative, COUNT(*) AS total FROM customer",
+    "SELECT CAST(count_if(c_acctbal >= 0) AS BIGINT) AS non_negative, COUNT(*) AS total FROM customer",
 )
 def v_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V-3 range constraint (reference config.py:108 analyst_count >= 0)."""

@@ -165,8 +165,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     """
     SELECT l.l_linestatus,
-           count_if(o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_count,
-           count_if(o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_count
+           CAST(count_if(o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_count,
+           CAST(count_if(o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
     GROUP BY l.l_linestatus

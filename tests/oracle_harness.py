@@ -61,6 +61,14 @@ def compare(spark_df, con, sql: str, name: str = "") -> list[str]:
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"{name}: columns differ spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return problems
+    # dtype parity (the driver checks schemas, not just values): compare the
+    # pandas dtypes both engines produce for each column
+    SPARK2PD = {"bigint": "int64", "int": "int32", "double": "float64", "boolean": "bool"}
+    o_dtypes = {c: str(t) for c, t in con.execute(sql).df().dtypes.items()}
+    for c, t in spark_df.dtypes:
+        exp, got = SPARK2PD.get(t), o_dtypes.get(c)
+        if exp and got and exp != got:
+            problems.append(f"{name}: dtype of {c} differs spark={t}({exp}) oracle={got}")
     if len(s_rows) != len(o_rows):
         problems.append(f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}")
     cols, s_norm = _norm_rows(s_cols, s_rows)
