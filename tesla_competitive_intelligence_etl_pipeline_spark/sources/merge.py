@@ -2,8 +2,9 @@
 
 Reference semantics (load.py:128-154 + UNIQUE constraint schema.sql:30):
 per natural key, last write wins; unmatched incoming rows are inserted,
-matched rows are updated (measure columns replaced, created_at preserved,
-updated_at refreshed — schema.sql:63-82 trigger).
+matched rows are replaced by the staged row. (Column-level semantics like
+"keep created_at, refresh updated_at" — schema.sql:63-82 trigger — use the
+coalesce-per-column variant, operators.joins.merge_routing/JOIN-6.)
 
 Spark-first design: no per-row SELECT→UPDATE loop. One shuffle:
   staged ∪ current → window row_number over (key ORDER BY priority) → keep 1.
