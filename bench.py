@@ -1,8 +1,14 @@
 #!/usr/bin/env python
-"""Benchmark harness (driver contract): runs the headline queries at
+"""Benchmark harness (driver contract): runs the registry queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": <headline total sec>, "unit": "sec",
+   "queries": {<EVERY query -> sec>}, "sf": ...}
+
+`value` stays the 16-query HEADLINE total (comparable round-over-round and
+against BASELINE.md); `queries` carries per-query wall clock for the ENTIRE
+registry — every oracle-backed query plus the rows-only approximate variants
+— so per-operator regressions are visible between rounds.
 
 Queries are materialized with the noop sink — full plan execution, no
 driver-side collect bottleneck.
@@ -55,20 +61,27 @@ def main() -> None:
     # warm up the JVM/codegen path once (not timed)
     queries["agg_global_count"](spark, sf_dir).collect()
 
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = run(name)
+    for name in queries:
+        if name not in timings:
+            timings[name] = run(name)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(timings[n] for n in HEADLINE), 3),
                 "unit": "sec",
+                "all_queries_total_sec": round(sum(timings.values()), 3),
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

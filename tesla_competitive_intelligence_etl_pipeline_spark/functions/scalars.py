@@ -79,32 +79,51 @@ def safe_decimal(c: Column, precision: int = 15, scale: int = 2) -> Column:
 
 
 def rescale_millions(c: Column) -> Column:
+    """First application (converter transform.py:181-182): guard is
+    0 < v < 1e6 — negative values pass through untouched."""
     return F.when((c > 0) & (c < 1_000_000), c * 1_000_000).otherwise(c)
+
+
+def rescale_millions_validator(c: Column) -> Column:
+    """Second application (pydantic before-validator config.py:89-97): guard
+    is just v < 1e6 — NO positivity bound, so negative revenue/gross_profit
+    (e.g. LCID's negative gross profit) IS rescaled: -0.5 -> -500000,
+    -5e9 -> -5e15. Faithful transcription of `if Decimal(str(v)) <
+    Decimal('1000000'): return v * 1000000`."""
+    return F.when(c < 1_000_000, c * 1_000_000).otherwise(c)
 
 
 def rescale_millions_pipeline(c: Column) -> Column:
     """The reference's END-TO-END rescale for revenue/gross_profit: the
-    heuristic runs TWICE (converter transform.py:181-182, then the pydantic
-    before-validator config.py:89-97). For v >= 1 the second application is a
-    no-op (first result >= 1e6); for 0 < v < 1 the reference genuinely
-    rescales twice (0.5 -> 500k -> 5e11) — property-tested against a Python
-    reference implementation in tests/test_properties.py."""
-    return rescale_millions(rescale_millions(c))
+    heuristic runs TWICE with DIFFERENT guards — converter transform.py:181-182
+    (0 < v < 1e6) then the pydantic before-validator config.py:89-97 (v < 1e6,
+    no positivity bound). Consequences, property-tested against a literal
+    Python transcription in tests/test_properties.py:
+    - v >= 1e6: no-op twice;
+    - 1 <= v < 1e6: rescaled once (converter), validator then no-op;
+    - 0 < v < 1: genuinely rescaled twice (0.5 -> 500k -> 5e11);
+    - v <= 0: converter no-op, validator rescales (-0.5 -> -500000)."""
+    return rescale_millions_validator(rescale_millions(c))
 
 
 # ---------------------------------------------------------------------------
 # FN-6: EPS estimation via share-count lookup (reference _estimate_eps
-# transform.py:188-201): net_income >= 1e6 first scaled /1e6 (to millions),
-# then eps = net_income_millions / shares_millions, rounded to 4.
+# transform.py:188-201), transcribed exactly:
+# - `if not net_income: return None` -> null/0 net income yields null;
+# - `eps = (ni/1e6)/shares if ni >= 1e6 else ni/shares` — NO abs(): a large
+#   NEGATIVE net income (the norm for NIO/RIVN/LCID) is NOT scaled to
+#   millions, so -510000000 with default shares=1000 gives -510000.0, not
+#   -0.51. Deliberately faithful to the reference quirk.
+# - rounded to 4.
 # The lookup itself is a broadcast join (operators/joins.py enrich_lookup).
 # ---------------------------------------------------------------------------
 
 
 def eps_from_net_income(net_income: Column, shares_millions: Column) -> Column:
-    ni_millions = F.when(F.abs(net_income) >= 1_000_000, net_income / 1_000_000).otherwise(
-        net_income
-    )
-    return F.round(ni_millions / shares_millions, 4)
+    ni_millions = F.when(net_income >= 1_000_000, net_income / 1_000_000).otherwise(net_income)
+    return F.when(
+        net_income.isNull() | (net_income == 0), F.lit(None).cast("double")
+    ).otherwise(F.round(ni_millions / shares_millions, 4))
 
 
 # ---------------------------------------------------------------------------

@@ -94,9 +94,11 @@ def _with_shingles_and_sig(
     docs: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
 ) -> DataFrame:
     # Signature computation is CPU-bound per row; small single-file inputs
-    # arrive as one partition, so spread across cores first. (At 100 TB the
-    # input is already many splits and this coalesces nothing away.)
-    n_part = max(docs.rdd.getNumPartitions(), docs.sparkSession.sparkContext.defaultParallelism)
+    # arrive as one partition, so spread across cores first (plain
+    # defaultParallelism — touching df.rdd would force an RDD conversion of
+    # the plan). At 100 TB the input is already many splits and AQE keeps
+    # partition sizing sane.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.repartition(n_part)
         .select(
@@ -176,6 +178,93 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    label(v) <- min(label(v), min over neighbors' labels), repeated until a
+    fixpoint (converges in O(graph diameter) rounds — near-dup graphs are
+    shallow: dup chains, not paths). Returns (id, component) where component
+    is the smallest reachable id.
+
+    ``edges`` is (src, dst) undirected (symmetrized here); ``vertices`` is
+    (id) and must cover every endpoint plus singletons.
+
+    Scale notes: each round is one shuffle (groupBy dst) + one join; lineage
+    is truncated per round with an eager localCheckpoint so the plan doesn't
+    grow exponentially across iterations. The convergence probe is a
+    LIMIT-1 existence check, not a full count. At extreme diameters switch
+    to small-star/large-star (alternating min-propagation that contracts
+    paths in O(log n) rounds) — same per-round shuffle shape."""
+    sym = (
+        edges.select(F.col("src"), F.col("dst"))
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select(F.col("id"), F.col("id").alias("comp"))
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.dst, "left")
+            .select(
+                labels.id,
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    MinHash-LSH pair graph. Returns (doc_id, cluster_id); cluster_id is the
+    smallest doc id in the cluster (singletons map to themselves). This is
+    the policy real pretraining dedup needs — A~B and B~C put A and C in one
+    cluster even when A~C is below threshold."""
+    pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    verts = docs.select(F.col(id_col).alias("id"))
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")), verts, max_iters
+    )
+    return comp.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
+
+
+def near_dedup_transitive(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate REMOVAL keeping ONE doc per transitive cluster (the
+    cluster's smallest id), vs near_dedup_canonical's pairwise
+    drop-if-smaller-partner policy."""
+    clusters = near_dup_clusters(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    survivors = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return docs.join(survivors, on=id_col, how="left_semi")
+
+
 def near_dedup_canonical(
     docs: DataFrame,
     text_col: str = "text",
@@ -203,17 +292,57 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     n: int = 1,
+    max_token_df: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard over all pairs sharing >= 1 token, via an
-    inverted-index join (explode tokens -> join on token -> count) — the
-    classic set-similarity join. Exact, so SQL-expressible for the oracle.
-    Use on bounded subsets / after LSH at scale."""
-    tok = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(tokens(normalized_text(F.col(text_col))))).alias("tok"),
-        )
+    """Exact token-set Jaccard similarity join via an inverted index — the
+    classic set-similarity join. SQL-expressible, so oracle-checkable.
+
+    ``max_token_df`` is the frequent-token pruning cap: tokens whose document
+    frequency exceeds it are dropped from the inverted index BEFORE the
+    self-join, bounding candidate blow-up (a token in k docs yields k(k-1)/2
+    candidate rows; one hot stopword makes the join quadratic in corpus
+    size). Pruning affects only candidate GENERATION — surviving pairs are
+    verified with exact Jaccard over the FULL token sets, so every reported
+    pair's score is exact. The (rare) pair whose shared tokens are all
+    frequent is missed; that trade is the standard prefix-filtering one.
+
+    With ``max_token_df=None`` no pruning happens and the intersection is
+    counted directly on the inverted-index join (no token-array shuffle) —
+    fine for bounded subsets, quadratic on hot tokens at scale."""
+    toks_arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens(normalized_text(F.col(text_col)))).alias("toks"),
     )
+    tok = toks_arr.select("doc_id", F.explode("toks").alias("tok"))
+
+    if max_token_df is not None:
+        # document frequency per token, computed map-side-combinable; the
+        # surviving index is what self-joins (cost ∝ sum df² over kept tokens)
+        keep = tok.groupBy("tok").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= max_token_df
+        )
+        pruned = tok.join(keep.select("tok"), "tok", "left_semi")
+        candidates = (
+            pruned.alias("a")
+            .join(
+                pruned.alias("b"),
+                (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        return (
+            candidates.join(
+                toks_arr.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")), "doc_a"
+            )
+            .join(
+                toks_arr.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")), "doc_b"
+            )
+            .withColumn("jaccard", F.round(exact_jaccard(F.col("ta"), F.col("tb")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     shared = (
         tok.alias("a")
@@ -285,7 +414,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash hamming distance <= max_hamming. Banding on
     16-bit chunks (pigeonhole: any pair within distance 3 shares a chunk for
     4 bands; wider distances still mostly collide) prunes the self-join."""
-    n_part = max(docs.rdd.getNumPartitions(), docs.sparkSession.sparkContext.defaultParallelism)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     sigs = (
         docs.repartition(n_part)
         .select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig"))

@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,
@@ -27,7 +30,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join facts⋈dim on ``key`` with an n-way salt. Deterministic
-    result set (salt only routes rows; it never changes matches)."""
+    result set (salt only routes rows; it never changes matches).
+
+    ``how`` is restricted to fact-preserving types ({inner, left, left_semi}):
+    the dim side is exploded n_salts ways, so right/full outer joins would
+    emit each UNMATCHED dim row once per salt (duplicates). Salt the other
+    side (swap the arguments) for a right-preserving join."""
+    if how not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left','left_semi'}}, got {how!r}: "
+            "the exploded dim side duplicates unmatched dim rows under "
+            "right/full outer semantics"
+        )
     salted_facts = facts.withColumn(
         "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))).cast("int")
     )

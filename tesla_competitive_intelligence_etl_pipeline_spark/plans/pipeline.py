@@ -46,23 +46,35 @@ def silver_from_fmp(bronze: DataFrame) -> DataFrame:
 
 
 def silver_from_yfinance(bronze: DataFrame, spark: SparkSession) -> DataFrame:
-    """T-stage for the yfinance branch (transform.py:105-128): eps derived
-    from net income via the share-count broadcast lookup (FN-6/JOIN-5)."""
+    """T-stage for the yfinance branch (transform.py:105-128): every measure
+    goes through _safe_decimal_convert (clean + cast + converter rescale),
+    revenue/gross additionally through the pydantic validator rescale
+    (config.py:89-97) — the same double application as the FMP branch. Net
+    income takes the converter rescale only (transform.py:116), then eps is
+    derived via the share-count broadcast lookup (FN-6/JOIN-5); zero/null net
+    income -> null eps (`if net_income` transform.py:117)."""
     shares = seed_mod.share_counts(spark)
     d = scalars.parse_date_multi(F.col("date"))
     enriched = bronze.join(F.broadcast(shares), bronze.symbol == shares.ticker, "left").withColumn(
         "shares_millions", F.coalesce(F.col("shares_millions"), F.lit(seed_mod.SHARE_COUNT_DEFAULT))
+    )
+    net_income = scalars.rescale_millions(
+        scalars.safe_decimal(F.col("netIncome"), 15, 2).cast("double")
     )
     return (
         enriched.select(
             F.col("symbol").alias("ticker"),
             d.alias("quarter_date"),
             scalars.quarter_label(d).alias("quarter_label"),
-            scalars.rescale_millions(F.col("revenue")).cast("decimal(15,2)").alias("revenue"),
-            scalars.eps_from_net_income(F.col("netIncome"), F.col("shares_millions"))
+            scalars.rescale_millions_pipeline(
+                scalars.safe_decimal(F.col("revenue"), 15, 2).cast("double")
+            ).cast("decimal(15,2)").alias("revenue"),
+            scalars.eps_from_net_income(net_income, F.col("shares_millions"))
             .cast("decimal(10,4)")
             .alias("eps"),
-            scalars.rescale_millions(F.col("grossProfit")).cast("decimal(15,2)").alias("gross_profit"),
+            scalars.rescale_millions_pipeline(
+                scalars.safe_decimal(F.col("grossProfit"), 15, 2).cast("double")
+            ).cast("decimal(15,2)").alias("gross_profit"),
         )
         .filter(F.col("quarter_label").isNotNull())
     )

@@ -81,6 +81,9 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(docs, threshold=0.5)
 
 
+_NGRAM_DF_CAP = 50
+
+
 @register(
     "x2_ngram_jaccard",
     f"""
@@ -88,20 +91,34 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_distinct(string_split_regex({_NORM.format(c='text')}, '\\s+')) AS w
       FROM documents WHERE doc_id < 100
     ),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM docs),
+    -- frequent-token pruning mirror: tokens with document frequency above
+    -- the cap never generate candidates (prefix-filtering)
+    keep AS (SELECT tok FROM tok GROUP BY tok HAVING COUNT(*) <= {_NGRAM_DF_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a
+      JOIN keep k ON k.tok = a.tok
+      JOIN tok b ON b.tok = a.tok AND a.doc_id < b.doc_id
+    ),
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
-                   CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE), 6) AS jaccard
-      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b,
+             ROUND(CAST(len(list_intersect(da.w, db.w)) AS DOUBLE) /
+                   CAST(len(da.w) + len(db.w) - len(list_intersect(da.w, db.w)) AS DOUBLE), 6) AS jaccard
+      FROM cand c
+      JOIN docs da ON da.doc_id = c.doc_a
+      JOIN docs db ON db.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
     """,
 )
 def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-2b: exact token-set Jaccard similarity join (inverted-index plan) on
-    a bounded subset — the oracle-checkable dedup variant."""
+    """X-2b: exact token-set Jaccard similarity join (inverted-index plan
+    with frequent-token pruning, cap mirrored in the oracle's HAVING) on a
+    bounded subset — the oracle-checkable dedup variant. Candidate count is
+    bounded by cap x df per token instead of df² on hot stopwords."""
     docs = src.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return dd.ngram_jaccard_pairs(docs, threshold=0.8, n=1)
+    return dd.ngram_jaccard_pairs(docs, threshold=0.8, n=1, max_token_df=_NGRAM_DF_CAP)
 
 
 @register("x2_near_dedup_canonical", None)  # LSH-based -> rows-only
@@ -180,9 +197,22 @@ def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x4_feature_extract", None)  # mapInPandas stub decode -> rows-only
 def x4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4b: Arrow-batched mapInPandas feature extraction over binary
-    payloads (decode stubbed — no codec libs in container; plumbing real)."""
+    payloads (decode stubbed — no codec libs in container; plumbing real).
+    The library API returns `features array<double>`; the driver-facing
+    projection flattens it to scalar columns (first element + checksum) —
+    the correctness harness canonicalizes rows through pandas factorize,
+    which cannot hash list cells."""
     docs = src.load_table(spark, sf_dir, "documents")
-    return mm.extract_features(mm.attach_binary_payload(docs))
+    feats = mm.extract_features(mm.attach_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.round(F.get(F.col("features"), 0), 6).alias("feat_first"),
+        F.round(
+            F.aggregate(F.col("features"), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feat_checksum"),
+    )
 
 
 # ===========================================================================
@@ -300,11 +330,14 @@ def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-6: approx_count_distinct (HLL++) + percentile_approx (KLL-style) —
     the 100 TB path where exact distinct is a full shuffle. Accuracy bounds
-    asserted in tests/test_ext.py against exact values."""
+    asserted in tests/test_ext.py against exact values. Percentiles are
+    emitted as separate scalar columns (not a list) so the driver's rows-only
+    canonicalization gets hashable cells."""
     li = src.load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_quantity", [0.5, 0.9], 10000).alias("approx_qty_q"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_qty_p50"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("approx_qty_p90"),
     )
 
 
@@ -532,7 +565,10 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+      -- microsecond-exact diff; >= gap starts a new session, matching Spark
+      -- session_window's half-open [start, start+gap) semantics
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
                      THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ),
@@ -547,14 +583,19 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def evt_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) via gaps-and-islands — the
-    deterministic batch twin of streaming session_window (X-9)."""
+    deterministic batch twin of streaming session_window (X-9). The gap
+    compare is microsecond-exact (unix_micros, not whole-second cast) and a
+    diff of EXACTLY the gap starts a new session — the same half-open
+    [start, start+gap) convention as F.session_window, so batch, streaming,
+    and oracle agree on boundary-straddling gaps."""
     ev = src.load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
     flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")) >= gap_us),
             1,
         ).otherwise(0),
     )

@@ -313,7 +313,11 @@ def _silver_sql() -> str:
         "('inf','-inf','infinity','-infinity','nan') THEN NULL "
         "ELSE regexp_replace({c}, '[,$%\\s]', '', 'g') END"
     )
+    # converter pass (transform.py:181-182): 0 < v < 1e6 guard
     rescale_once = "CASE WHEN {x} > 0 AND {x} < 1000000 THEN {x} * 1000000 ELSE {x} END"
+    # validator pass (config.py:89-97): v < 1e6, NO positivity bound —
+    # negative revenue/gross_profit IS rescaled by the reference
+    rescale_validator = "CASE WHEN {x} < 1000000 THEN {x} * 1000000 ELSE {x} END"
     eps = "TRY_CAST(" + clean.format(c='COALESCE(eps, "netIncomePerShare")') + " AS DECIMAL(10,4))"
     return f"""
     WITH bronze AS (SELECT * FROM {fixtures.fmp_income_values_sql()}),
@@ -347,9 +351,9 @@ def _silver_sql() -> str:
       SELECT ticker, quarter_date,
              CASE WHEN quarter_date IS NOT NULL
                   THEN printf('%d-Q%d', year(quarter_date), quarter(quarter_date)) END AS quarter_label,
-             CAST({rescale_once.format(x='rev1')} AS DECIMAL(15,2)) AS revenue,
+             CAST({rescale_validator.format(x='rev1')} AS DECIMAL(15,2)) AS revenue,
              {eps} AS eps,
-             CAST({rescale_once.format(x='gross1')} AS DECIMAL(15,2)) AS gross_profit
+             CAST({rescale_validator.format(x='gross1')} AS DECIMAL(15,2)) AS gross_profit
       FROM r1
     )
     SELECT * FROM silver WHERE quarter_label IS NOT NULL
@@ -488,23 +492,30 @@ def v_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_eps_share_lookup",
     """
     WITH yf AS (SELECT * FROM (VALUES
-      ('NIO', -510000000.0), ('NIO', -620000000.0), ('TSLA', 1264000000.0), ('XPEV', 50000.0)
+      ('NIO', -510000000.0), ('NIO', -620000000.0), ('TSLA', 1264000000.0), ('XPEV', 50000.0),
+      ('LCID', 0.0), ('RIVN', -1200000000.0)
     ) AS t(symbol, net_income)),
     shares AS (SELECT * FROM (VALUES
       ('TSLA', 3160), ('RIVN', 920), ('LCID', 1600)) AS s(ticker, shares_millions))
     SELECT yf.symbol, yf.net_income,
-           ROUND(
-             (CASE WHEN ABS(yf.net_income) >= 1000000 THEN yf.net_income / 1000000
-                   ELSE yf.net_income END)
-             / COALESCE(sh.shares_millions, 1000), 4) AS eps
+           CASE WHEN yf.net_income IS NULL OR yf.net_income = 0 THEN NULL
+                ELSE ROUND(
+                  (CASE WHEN yf.net_income >= 1000000 THEN yf.net_income / 1000000
+                        ELSE yf.net_income END)
+                  / COALESCE(sh.shares_millions, 1000), 4) END AS eps
     FROM yf LEFT JOIN shares sh ON sh.ticker = yf.symbol
     """,
 )
 def pipeline_eps_share_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FN-6 + JOIN-5: EPS from net income via broadcast share-count lookup
-    with default (reference _estimate_eps transform.py:188-201)."""
+    with default (reference _estimate_eps transform.py:188-201, transcribed
+    exactly: no abs() on the >= 1e6 scale guard, so large negative net income
+    divides unscaled; zero net income -> null). Fixture rows exercise all
+    branches: big negative (NIO/RIVN), big positive (TSLA), small positive
+    (XPEV), zero (LCID)."""
     yf = spark.createDataFrame(
-        [("NIO", -510000000.0), ("NIO", -620000000.0), ("TSLA", 1264000000.0), ("XPEV", 50000.0)],
+        [("NIO", -510000000.0), ("NIO", -620000000.0), ("TSLA", 1264000000.0),
+         ("XPEV", 50000.0), ("LCID", 0.0), ("RIVN", -1200000000.0)],
         "symbol string, net_income double",
     )
     shares = seed_mod.share_counts(spark)

@@ -44,6 +44,44 @@ def merge_upsert(
     )
 
 
+def merge_with_audit(
+    current: DataFrame,
+    staged: DataFrame,
+    keys: list[str],
+    now,
+) -> DataFrame:
+    """MERGE with the reference's audit-column trigger policy
+    (schema.sql:63-82: ``update_modified_column`` BEFORE UPDATE trigger +
+    column DEFAULTs on insert):
+
+    - matched keys: staged measure values win, ``created_at`` is PRESERVED
+      from current, ``updated_at`` is stamped ``now`` (the trigger);
+    - staged-only keys (INSERT): ``created_at`` = ``updated_at`` = ``now``
+      (column defaults);
+    - current-only keys: row unchanged, both timestamps untouched.
+
+    ``current`` must carry ``created_at``/``updated_at``; ``staged`` carries
+    the key + measure columns only. ``now`` is a Column — pass
+    ``F.current_timestamp()`` in production or a literal for deterministic
+    tests/oracles. One full-outer shuffle on the natural key, same as
+    merge_upsert."""
+    audit = ("created_at", "updated_at")
+    value_cols = [c for c in current.columns if c not in keys and c not in audit]
+    cur = current.withColumn("__cur", F.lit(1)).alias("c")
+    stg = staged.withColumn("__stg", F.lit(1)).alias("s")
+    cond = [F.col(f"c.{k}") == F.col(f"s.{k}") for k in keys]
+    joined = cur.join(stg, cond, "full_outer")
+    in_cur = F.col("c.__cur").isNotNull()
+    in_stg = F.col("s.__stg").isNotNull()
+    out_cols = [F.coalesce(F.col(f"c.{k}"), F.col(f"s.{k}")).alias(k) for k in keys]
+    for v in value_cols:
+        staged_v = F.col(f"s.{v}") if v in staged.columns else F.lit(None)
+        out_cols.append(F.when(in_stg, staged_v).otherwise(F.col(f"c.{v}")).alias(v))
+    out_cols.append(F.when(in_cur, F.col("c.created_at")).otherwise(now).alias("created_at"))
+    out_cols.append(F.when(in_stg, now).otherwise(F.col("c.updated_at")).alias("updated_at"))
+    return joined.select(*out_cols)
+
+
 def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
     """SET-1 / JOIN-2: ON CONFLICT DO NOTHING (reference schema.sql:57-61,
     load.py:65-74) — anti-join the incoming rows, append survivors."""

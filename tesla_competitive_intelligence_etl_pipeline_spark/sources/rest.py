@@ -19,10 +19,10 @@ Re-expressed Spark-first:
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
+
+from tesla_competitive_intelligence_etl_pipeline_spark.sources import policies
 
 SCHEMA_DDL = (
     "ticker string, source string, status string, date string, symbol string, "
@@ -67,19 +67,42 @@ class TickerPartition(InputPartition):
         self.ticker = ticker
 
 
+def fixture_fetch(ticker: str) -> tuple[list[dict] | None, list[dict] | None]:
+    """The offline fetch_fn: replays fixture payloads. At deploy this is the
+    one function swapped for a real HTTP GET; the policy wrapping
+    (rate-limit, retry/backoff, throttle) is identical either way."""
+    return FIXTURE_PAYLOADS.get(ticker, (None, None))
+
+
 class FmpReplayReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         tickers = options.get("tickers", "")
         self.tickers = [t for t in tickers.split(",") if t] or sorted(FIXTURE_PAYLOADS)
+        # resilience policies (reference extract.py:40-67, 248), built
+        # per-reader so each executor governs its own request stream
+        self.rate_limit = int(options.get("rate_limit", 250))
+        self.retry_total = int(options.get("retry_total", 3))
+        self.throttle_s = float(options.get("throttle_s", 0.0))  # >0 at deploy
 
     def partitions(self):
         # one partition per ticker: per-ticker fetch parallelism on a cluster
         return [TickerPartition(t) for t in self.tickers]
 
+    def _governed_fetch(self):
+        throttle = (
+            policies.Throttle(self.throttle_s) if self.throttle_s > 0 else None
+        )
+        return policies.governed_fetch(
+            fixture_fetch,
+            limiter=policies.DailyRateLimiter(self.rate_limit),
+            retry=policies.RetryPolicy(total=self.retry_total),
+            throttle=throttle,
+        )
+
     def read(self, partition: TickerPartition):
         t = partition.ticker
-        fmp, yf = FIXTURE_PAYLOADS.get(t, (None, None))
+        fmp, yf = self._governed_fetch()(t)
         if fmp is not None:
             rows, source, status = fmp, "fmp", "success"
         elif yf is not None:

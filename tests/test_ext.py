@@ -137,3 +137,77 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
 def test_multimodal_decode_stub_raises_for_unsupported_modality():
     with pytest.raises(NotImplementedError):
         mm.decode_payload(b"\x89PNG", "image")
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B and B~C (A!~C directly) must land in ONE cluster: the transitive
+    policy pairwise dedup misses (VERDICT r1 item 7). Prefix-nested docs give
+    exact trigram-shingle Jaccards: with |A|=50, |B|=60, |C|=70 tokens,
+    J(A,B)=48/58=.83, J(B,C)=58/68=.85, J(A,C)=48/68=.71 — a clean chain at
+    threshold 0.75. xxhash64 minhash is deterministic, so no flakiness."""
+    words = [f"w{i}" for i in range(70)]
+    doc_a = " ".join(words[:50])
+    doc_b = " ".join(words[:60])
+    doc_c = " ".join(words[:70])
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c), (9, " ".join(f"z{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.75)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got, got
+    assert (1, 3) not in got  # below threshold: transitivity must supply it
+
+    clusters = dd.near_dup_clusters(docs, threshold=0.75)
+    by_id = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    assert by_id[1] == by_id[2] == by_id[3] == 1  # one cluster, min-id label
+    assert by_id[9] == 9  # singleton untouched
+
+    survivors = {r.doc_id for r in dd.near_dedup_transitive(docs, threshold=0.75).collect()}
+    assert survivors == {1, 9}
+
+
+def test_connected_components_plain_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 8]], "id long")
+    comp = {r.id: r.comp for r in dd.connected_components(edges, verts).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_ngram_pruning_bounds_candidates_on_skewed_tokens(spark):
+    """One hot token shared by every doc must not quadratically explode the
+    candidate set; pruned and unpruned runs agree on real near-dups whose
+    similarity comes from non-frequent tokens."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "hot " + " ".join(f"u{i}_{j}" for j in range(10))))
+    # one genuine near-dup pair sharing 10 rare tokens + hot
+    rows.append((100, "hot " + " ".join(f"r{j}" for j in range(10))))
+    rows.append((101, "hot " + " ".join(f"r{j}" for j in range(9)) + " other"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pruned = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_token_df=5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pruned.collect()}
+    assert (100, 101) in got
+    # exact jaccard over FULL token sets (hot included): inter = {hot, r0..r8}
+    # = 10, union = 11 + 11 - 10 = 12
+    assert abs(got[(100, 101)] - round(10 / 12, 6)) < 1e-6
+
+    # candidate bound: with the hot token pruned, only docs sharing a rare
+    # token pair up -> exactly the planted pair; unpruned would consider
+    # 32*31/2 = 496 hot-token pairs
+    assert set(got) == {(100, 101)}
+
+
+def test_salted_join_rejects_dim_duplicating_how(spark):
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import skew
+
+    facts = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, d string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(facts, dim, "k", n_salts=4, how="full")
+    # left join stays fact-preserving and exact
+    out = skew.salted_join(facts, dim, "k", n_salts=4, how="left")
+    assert out.count() == 1

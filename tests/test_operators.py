@@ -60,3 +60,37 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         "c_custkey", "n_name"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_merge_with_audit_trigger_policy(spark):
+    """schema.sql:63-82 trigger semantics: matched rows preserve created_at
+    and refresh updated_at; inserts stamp both; untouched rows keep both."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.merge import merge_with_audit
+
+    t0 = "2024-01-01 00:00:00"
+    now = "2025-06-30 12:00:00"
+    current = spark.createDataFrame(
+        [("TSLA", 100.0), ("RIVN", 50.0)], "ticker string, revenue double"
+    ).select(
+        "ticker", "revenue",
+        F.lit(t0).cast("timestamp").alias("created_at"),
+        F.lit(t0).cast("timestamp").alias("updated_at"),
+    )
+    staged = spark.createDataFrame(
+        [("TSLA", 120.0), ("LCID", 30.0)], "ticker string, revenue double"
+    )
+    out = {
+        r.ticker: r
+        for r in merge_with_audit(
+            current, staged, keys=["ticker"], now=F.lit(now).cast("timestamp")
+        ).collect()
+    }
+    assert out["TSLA"].revenue == 120.0  # staged wins on match
+    assert str(out["TSLA"].created_at) == t0  # preserved by the trigger
+    assert str(out["TSLA"].updated_at) == now  # refreshed by the trigger
+    assert str(out["LCID"].created_at) == now  # insert: both default to now
+    assert str(out["LCID"].updated_at) == now
+    assert out["RIVN"].revenue == 50.0  # untouched row fully intact
+    assert str(out["RIVN"].created_at) == t0 and str(out["RIVN"].updated_at) == t0

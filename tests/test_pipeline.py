@@ -47,9 +47,12 @@ def test_full_pipeline_with_yfinance_branch(spark):
     )
     tickers = {r.ticker for r in gold.select("ticker").distinct().collect()}
     assert tickers == {"TSLA", "RIVN", "LCID", "NIO"}
-    # NIO eps derived from net income / default 1000M shares (FN-6)
+    # NIO eps derived from net income / default 1000M shares (FN-6).
+    # Reference semantics (_estimate_eps transform.py:196-198): the /1e6
+    # millions-scaling only fires for net_income >= 1e6 (no abs), so a large
+    # NEGATIVE net income divides unscaled: -510000000/1000 = -510000.0
     nio = gold.filter((F.col("ticker") == "NIO") & (F.col("quarter_label") == "2025-Q2")).first()
-    assert nio.eps == Decimal("-0.5100")
+    assert nio.eps == Decimal("-510000.0000")
     assert metrics["transformation_count"] == gold.count()
     assert metrics["company_count"] == 4  # TSLA/RIVN/LCID seed + NIO inserted
     # golden row revenue is 22.6e9 (last-write-wins) -> outside 0.1% tolerance

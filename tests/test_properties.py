@@ -25,13 +25,20 @@ SETTINGS = settings(max_examples=30, deadline=None)
 
 
 def ref_rescale_once(v: float) -> float:
+    # converter (transform.py:181-182): `if 0 < decimal_value < 1_000_000`
     return v * 1_000_000 if 0 < v < 1_000_000 else v
 
 
+def ref_rescale_validator(v: float) -> float:
+    # pydantic before-validator (config.py:89-97): `if Decimal(str(v)) <
+    # Decimal('1000000')` — NO positivity bound: negatives ARE rescaled
+    return v * 1_000_000 if v < 1_000_000 else v
+
+
 def ref_rescale_pipeline(v: float) -> float:
-    # the reference applies the heuristic twice end-to-end
-    # (transform.py:181-182 then config.py:89-97)
-    return ref_rescale_once(ref_rescale_once(v))
+    # the reference applies the heuristic twice end-to-end with DIFFERENT
+    # guards (transform.py:181-182 then config.py:89-97)
+    return ref_rescale_validator(ref_rescale_once(v))
 
 
 def ref_clean_cast(s: str | None) -> Decimal | None:

@@ -88,8 +88,15 @@ def test_rescale_millions_heuristic(spark):
 
 
 def test_eps_from_net_income(spark):
-    # reference transform.py:188-201: TSLA 3160M shares
-    rows = [(1_264_000_000.0, 3160), (-460_000_000.0, 920), (500_000.0, 1000)]
+    # reference transform.py:188-201 transcribed exactly: the /1e6 scaling
+    # fires only for net_income >= 1e6 (NO abs), `if not net_income` -> None
+    rows = [
+        (1_264_000_000.0, 3160),  # big positive: scaled to millions first
+        (-460_000_000.0, 920),    # big negative: NOT scaled (no abs in ref)
+        (500_000.0, 1000),        # small positive: not scaled
+        (0.0, 1000),              # falsy -> None (ref line 190-191)
+        (None, 1000),             # missing -> None
+    ]
     df = spark.createDataFrame(rows, "ni double, shares int")
     out = [
         r["out"]
@@ -97,9 +104,11 @@ def test_eps_from_net_income(spark):
             scalars.eps_from_net_income(F.col("ni"), F.col("shares")).alias("out")
         ).collect()
     ]
-    assert out[0] == 0.4  # 1264 / 3160
-    assert out[1] == -0.5
+    assert out[0] == 0.4  # (1264e6/1e6) / 3160
+    assert out[1] == -500_000.0  # -460e6 / 920, unscaled
     assert out[2] == 500.0  # < 1e6: not scaled to millions first
+    assert out[3] is None
+    assert out[4] is None
 
 
 def test_tolerance(spark):

@@ -93,3 +93,60 @@ def test_streaming_matches_batch_on_full_replay(spark, sf_dir):
     s = {(str(r.window_start), r.event_type): r.cnt for r in stream_result.collect()}
     b = {(str(r.window_start), r.event_type): r.cnt for r in batch.collect()}
     assert s == b
+
+
+def test_merge_micro_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """VERDICT r1 item 3: the foreachBatch MERGE must do I/O proportional to
+    the batch's keys, not the table — untouched bucket partitions keep their
+    exact files; only buckets present in the batch are rewritten."""
+    import glob
+    import os
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+
+    def ev(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s long, user_id long, event_type string, value double"
+        )
+        return df.select(
+            "event_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+
+    strm.merge_micro_batch(
+        ev([(i, 1000 + i, i % 8, "seed", float(i)) for i in range(32)]), target, n_buckets=8
+    )
+
+    def files():
+        out = {}
+        for p in glob.glob(target + "/__bucket=*/*.parquet"):
+            bucket = p.split("__bucket=")[1].split("/")[0]
+            out.setdefault(bucket, set()).add((os.path.basename(p), os.path.getmtime(p)))
+        return out
+
+    before = files()
+    assert len(before) > 1  # several buckets populated
+
+    # second batch touches ONE user -> exactly one bucket
+    strm.merge_micro_batch(ev([(999, 5000, 3, "update", 42.0)]), target, n_buckets=8)
+    after = files()
+
+    user3_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(3).cast("long")), F.lit(8)).cast("string").alias("b")
+    ).first()["b"]
+    changed = {b for b in before if before[b] != after.get(b)}
+    assert changed == {user3_bucket}, (changed, user3_bucket)
+    for b in before:
+        if b != user3_bucket:
+            assert after[b] == before[b]  # identical files, byte-for-byte untouched
+
+    # merged content: user 3 updated, every other user's latest preserved
+    gold = spark.read.parquet(target)
+    row3 = gold.filter(F.col("user_id") == 3).collect()
+    assert len(row3) == 1 and row3[0].last_event_type == "update" and row3[0].last_value == 42.0
+    assert gold.count() == 8
