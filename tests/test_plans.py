@@ -100,3 +100,35 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     plain = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
     assert n == plain
+
+
+def test_composite_window_queries_keep_scale_properties(spark, sf_dir, registry):
+    """The round-2 composite window entries must not regress the plan
+    guarantees of the fine-grained queries they fold."""
+    # join_enrich_lookup: every dim (nation, region, lookup) broadcast;
+    # the customer side never shuffles
+    plan = _plan(registry["join_enrich_lookup"][0](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    assert "SortMergeJoin" not in plan
+
+    # fil_predicates: both branch predicates reach the parquet scan
+    plan = _plan(registry["fil_predicates"][0](spark, sf_dir))
+    assert plan.count("PushedFilters: [In(o_orderstatus") >= 1
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+    # fn_parse_label_format: the whole scalar chain stays JVM-side
+    plan = _plan(registry["fn_parse_label_format"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+    # x5_text_profile: exactly ONE Arrow-batched python eval (the X-10
+    # pandas_udf column); everything else fused in codegen
+    plan = _plan(registry["x5_text_profile"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
+def test_ngram_pruned_plan_joins_on_pruned_index(spark, sf_dir, registry):
+    """x2_ngram_jaccard's candidate join must consume the df-capped token
+    index (a semi join against the HAVING-filtered frequency table)."""
+    plan = _plan(registry["x2_ngram_jaccard"][0](spark, sf_dir))
+    assert re.search(r"LeftSemi", plan)  # frequent-token pruning applied
