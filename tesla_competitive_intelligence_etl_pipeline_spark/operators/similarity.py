@@ -139,6 +139,20 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _cell_centroids(embeddings: DataFrame, vec_col: str, cell_col: str) -> DataFrame:
+    """Exact per-cell mean vectors (the IVF coarse quantizer)."""
+    exploded = embeddings.select(
+        cell_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    return (
+        exploded.groupBy(cell_col, "pos")
+        .agg((F.sum(F.col("val").cast(("decimal(38,12)"))).cast("double") / F.count("*")).alias("c"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(cell_col, F.transform(F.col("pc"), lambda s: s.getField("c")).alias("centroid"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -150,19 +164,9 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: centroids = exact per-cell mean vectors; probe the n_probe
     cells nearest the query; exact cosine re-rank within probed cells.
-    At scale: write embeddings partitioned by cell -> probing = partition
-    pruning at the parquet level."""
-    dim_size = F.size(F.col(vec_col))
-    exploded = embeddings.select(
-        cell_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
-    )
-    centroids = (
-        exploded.groupBy(cell_col, "pos")
-        .agg((F.sum(F.col("val").cast(("decimal(38,12)"))).cast("double") / F.count("*")).alias("c"))
-        .groupBy(cell_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(cell_col, F.transform(F.col("pc"), lambda s: s.getField("c")).alias("centroid"))
-    )
+    At scale: write embeddings partitioned by cell (build_ivf_index) ->
+    probing = partition pruning at the parquet level (ivf_topk_indexed)."""
+    centroids = _cell_centroids(embeddings, vec_col, cell_col)
     q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qvec"))
     probed = (
         centroids.crossJoin(F.broadcast(q))
@@ -172,6 +176,61 @@ def ivf_topk(
         .select(cell_col)
     )
     candidates = embeddings.join(F.broadcast(probed), cell_col)
+    scored = candidates.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    return (
+        scored.filter(F.col(id_col) != query_id)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> None:
+    """Materialize the IVF index: vectors written PARTITIONED BY cell (so a
+    probe reads only the probed cells' files — real partition pruning, not a
+    post-scan filter) plus the tiny centroid table next to them. This is the
+    one-time index build a 100 TB ANN deployment amortizes."""
+    embeddings.write.mode("overwrite").partitionBy(cell_col).parquet(path + "/vectors")
+    _cell_centroids(embeddings, vec_col, cell_col).write.mode("overwrite").parquet(
+        path + "/centroids"
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF search over a materialized index (build_ivf_index): score the
+    centroid table (tiny — one row per cell), pick the n_probe nearest cells
+    DRIVER-SIDE (an n_probe-row collect, the standard IVF probe), then scan
+    ONLY those cell partitions with an exact cosine re-rank. The cell filter
+    lands in the scan's PartitionFilters (asserted in tests/test_plans.py) —
+    at 100 TB the probe reads n_probe/n_cells of the corpus."""
+    vectors = spark.read.parquet(path + "/vectors")
+    centroids = spark.read.parquet(path + "/centroids")
+    q = vectors.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qvec"))
+    probed_rows = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(cell_col, F.round(cosine(F.col("centroid"), F.col("__qvec")), 6).alias("c_sim"))
+        .orderBy(F.desc("c_sim"), F.asc(cell_col))
+        .limit(n_probe)
+        .collect()
+    )
+    cells = [r[cell_col] for r in probed_rows]
+    candidates = vectors.filter(F.col(cell_col).isin(cells))
     scored = candidates.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),

@@ -132,3 +132,25 @@ def test_ngram_pruned_plan_joins_on_pruned_index(spark, sf_dir, registry):
     index (a semi join against the HAVING-filtered frequency table)."""
     plan = _plan(registry["x2_ngram_jaccard"][0](spark, sf_dir))
     assert re.search(r"LeftSemi", plan)  # frequent-token pruning applied
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized IVF index must turn probing into parquet partition
+    pruning: the probed-cell filter appears in PartitionFilters and the
+    results match the unindexed ivf_topk exactly."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import similarity as sim
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx)
+    out = sim.ivf_topk_indexed(spark, idx, query_id=0, k=10, n_probe=2)
+    plan = _plan(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "label" in m.group(1) and ("IN" in m.group(1).upper() or "In(" in m.group(1))
+    got = [(r.vec_id, r.cos_sim) for r in out.collect()]
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in sim.ivf_topk(emb, query_id=0, k=10, n_probe=2).collect()
+    ]
+    assert got == want
