@@ -1175,11 +1175,27 @@ def x9_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-9a/b/e through the REAL streaming engine: watermarked tumbling,
     sliding, and session windows each drained with Trigger.AvailableNow and
     hash-checked against the batch SQL oracles — the strongest correctness
-    statement the driver protocol allows for streaming."""
-
-    tumb = REGISTRY["x9_stream_tumbling"][0](spark, sf_dir)
-    slide = REGISTRY["x9_stream_sliding"][0](spark, sf_dir)
-    sess = REGISTRY["x9_stream_session"][0](spark, sf_dir)
+    statement the driver protocol allows for streaming. The three streams
+    START CONCURRENTLY (strm.start_to_table) so the composite pays
+    max(stream time), not the sum."""
+    sliding = (
+        strm.stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "value_sum")
+    )
+    started = [
+        strm.start_to_table(spark, strm.tumbling_counts(strm.stream_events(spark, sf_dir))),
+        strm.start_to_table(spark, sliding),
+        strm.start_to_table(spark, strm.session_aggregation(strm.stream_events(spark, sf_dir))),
+    ]
+    for q, _ in started:
+        q.awaitTermination()
+    tumb, slide, sess = (spark.table(name) for _, name in started)
 
     def h(kind: str, df: DataFrame, k1, wstart, cnt: str, val) -> DataFrame:
         return df.select(
@@ -1211,9 +1227,29 @@ def x9_stream_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-9c/d: the two keyed streaming state paths joined per user — custom
     applyInPandasWithState running totals AND the foreachBatch
     bucket-partitioned MERGE gold table — one row per user carrying both
-    results; each must equal its batch aggregate after full replay."""
-    totals = REGISTRY["x9_stream_stateful_totals"][0](spark, sf_dir)
-    latest = REGISTRY["x9_stream_foreachbatch_merge"][0](spark, sf_dir)
+    results; each must equal its batch aggregate after full replay. Both
+    streams run concurrently (max, not sum, of replay times)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import stateful
+
+    q1, tbl = strm.start_to_table(
+        spark, stateful.running_user_totals(strm.stream_events(spark, sf_dir)), mode="update"
+    )
+    q2, target = strm.start_merge_latest(strm.stream_events(spark, sf_dir))
+    q1.awaitTermination()
+    q2.awaitTermination()
+    # update-mode memory sink keeps every emitted snapshot; latest per user
+    # is the final state (single batch here, but stay general)
+    out = spark.table(tbl)
+    totals = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "value_sum")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.round(F.col("s.value_sum"), 6).alias("value_sum"),
+        )
+    )
+    latest = spark.read.parquet(target)
     return totals.join(latest, "user_id").select(
         "user_id", "n_events", "value_sum", "last_event_type", "last_value"
     )

@@ -69,9 +69,12 @@ def session_aggregation(events: DataFrame, gap: str = "30 minutes", watermark: s
     )
 
 
-def run_to_table(spark: SparkSession, sdf: DataFrame, mode: str = "complete") -> DataFrame:
-    """Drain the stream with Trigger.AvailableNow into an in-memory sink and
-    return the final static result."""
+def start_to_table(spark: SparkSession, sdf: DataFrame, mode: str = "complete"):
+    """Start an AvailableNow drain into an in-memory sink WITHOUT blocking.
+    Returns (query, table_name); await the query, then read the table.
+    Multiple streams started this way run concurrently in one session (each
+    has its own checkpoint + query name) — composites that replay several
+    streams pay max(stream time), not the sum."""
     name = "strm_" + uuid.uuid4().hex[:12]
     q = (
         sdf.writeStream.format("memory")
@@ -81,6 +84,13 @@ def run_to_table(spark: SparkSession, sdf: DataFrame, mode: str = "complete") ->
         .trigger(availableNow=True)
         .start()
     )
+    return q, name
+
+
+def run_to_table(spark: SparkSession, sdf: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into an in-memory sink and
+    return the final static result."""
+    q, name = start_to_table(spark, sdf, mode)
     q.awaitTermination()
     return spark.table(name)
 
@@ -135,6 +145,25 @@ def merge_micro_batch(batch: DataFrame, target: str, n_buckets: int = 16) -> Non
     )
 
 
+def start_merge_latest(
+    events: DataFrame,
+    target_dir: str | None = None,
+    n_buckets: int = 16,
+):
+    """Non-blocking variant of foreach_batch_merge_latest: returns
+    (query, target_path); await the query, then read the target."""
+    target = target_dir or tempfile.mkdtemp(prefix="gold_") + "/user_state"
+    q = (
+        events.writeStream.foreachBatch(
+            lambda batch, batch_id: merge_micro_batch(batch, target, n_buckets)
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, target
+
+
 def foreach_batch_merge_latest(
     spark: SparkSession,
     events: DataFrame,
@@ -145,15 +174,6 @@ def foreach_batch_merge_latest(
     per user and MERGE into a bucket-partitioned parquet gold table keyed by
     user_id. Per-batch cost ∝ touched buckets (see merge_micro_batch), not
     table size."""
-    target = target_dir or tempfile.mkdtemp(prefix="gold_") + "/user_state"
-
-    q = (
-        events.writeStream.foreachBatch(
-            lambda batch, batch_id: merge_micro_batch(batch, target, n_buckets)
-        )
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    q, target = start_merge_latest(events, target_dir, n_buckets)
     q.awaitTermination()
     return spark.read.parquet(target)
