@@ -1,0 +1,74 @@
+"""Deterministic corpus sampling for training-data pipelines (SURVEY.md §2.9
+extension surface): downsampling, stratified mixture quotas, and train/val/
+test splits — all driven by a STABLE content-independent hash, never rand().
+
+Why hash-based: at 100 TB a sample must be (a) reproducible across runs and
+engines (rand(seed) is engine-specific; md5 is universal), (b) computable
+map-side with no shuffle for the filter form, and (c) stable under
+re-partitioning and incremental re-runs (a doc's bucket never changes, so
+yesterday's sample is a subset of today's at a higher rate — monotone
+sampling, the property dedup/ablation workflows rely on).
+
+The bucket is the first 8 hex digits of md5(key) mod n_buckets — identical
+SQL exists in DuckDB (the oracle twin), so sampled row SETS hash-match
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stable_bucket(key: Column, n_buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 md5 hex digits of the
+    key, mod n_buckets. Pure JVM expression; identical in DuckDB as
+    `CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) % n`."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def sample_fraction(
+    df: DataFrame, key_col: str, fraction: float, n_buckets: int = 10_000
+) -> DataFrame:
+    """Keep ~fraction of rows by stable bucket — map-side filter, no shuffle,
+    monotone in `fraction` (raising the rate only ADDS rows)."""
+    cutoff = int(round(fraction * n_buckets))
+    return df.filter(stable_bucket(F.col(key_col), n_buckets) < cutoff)
+
+
+def stratified_quota(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    quota: int,
+) -> DataFrame:
+    """Mixture sampling: at most `quota` rows per group, picked in stable-
+    hash order (so the pick is deterministic AND unbiased w.r.t. any column
+    correlated with the key ordering). One window shuffle on the group key —
+    the same cost as any per-group top-k."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        stable_bucket(F.col(key_col), 1 << 31).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment by stable bucket mod 100: reproducible,
+    leakage-free (a key always lands in the same split, across runs AND
+    across engines), no shuffle."""
+    b = stable_bucket(F.col(key_col), 100)
+    return df.withColumn(
+        "split",
+        F.when(b < val_pct, "val")
+        .when(b < val_pct + test_pct, "test")
+        .otherwise("train"),
+    )

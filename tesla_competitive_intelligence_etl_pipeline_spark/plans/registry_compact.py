@@ -1279,3 +1279,73 @@ def x2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = src.load_table(spark, sf_dir, "documents")
     clusters = dd.near_dup_clusters(docs, threshold=0.5)
     return clusters.select("doc_id", "cluster_id")
+
+
+# ===========================================================================
+# Deterministic corpus sampling (training-data pipeline extension surface)
+# ===========================================================================
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling  # noqa: E402
+
+
+def _bucket_sql(key: str, n: int) -> str:
+    return f"TRY_CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % {n}"
+
+
+@register(
+    "xtra_sample_stable",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_bucket_sql('doc_id', 10000)} < 1000
+    """,
+)
+def xtra_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 10% corpus downsample: md5-bucket filter — map-side, no
+    shuffle, reproducible across engines (the oracle computes the same md5
+    buckets), and MONOTONE in the rate (raising 10%->20% only adds rows;
+    property pinned in tests/test_ext.py)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return sampling.sample_fraction(docs, "doc_id", 0.10).select("doc_id", "lang")
+
+
+@register(
+    "xtra_corpus_mixture",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_bucket_sql('doc_id', 2147483648)}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def xtra_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture quota sampling: at most 50 docs per language, picked in
+    stable-hash order — the deterministic per-source quota pick a
+    pre-training data mix uses."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return sampling.stratified_quota(docs, ["lang"], "doc_id", 50).select("doc_id", "lang")
+
+
+@register(
+    "xtra_split_counts",
+    f"""
+    SELECT split, lang, COUNT(*) AS cnt FROM (
+      SELECT lang,
+             CASE WHEN {_bucket_sql('doc_id', 100)} < 5 THEN 'val'
+                  WHEN {_bucket_sql('doc_id', 100)} < 10 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    ) GROUP BY split, lang
+    """,
+)
+def xtra_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment by stable bucket (5%/5%/90%):
+    leakage-free (a doc_id always lands in the same split, across runs and
+    engines), summarized per split x language."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return (
+        sampling.split_assign(docs, "doc_id", val_pct=5, test_pct=5)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("cnt"))
+    )

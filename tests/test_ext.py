@@ -211,3 +211,40 @@ def test_salted_join_rejects_dim_duplicating_how(spark):
     # left join stays fact-preserving and exact
     out = skew.salted_join(facts, dim, "k", n_salts=4, how="left")
     assert out.count() == 1
+
+
+def test_stable_sampling_monotone_and_deterministic(spark, sf_dir):
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    s10 = {r.doc_id for r in sampling.sample_fraction(docs, "doc_id", 0.10).collect()}
+    s20 = {r.doc_id for r in sampling.sample_fraction(docs, "doc_id", 0.20).collect()}
+    assert s10 <= s20  # monotone: raising the rate only adds rows
+    n = docs.count()
+    assert 0.04 * n <= len(s10) <= 0.16 * n  # ~10%
+    # deterministic across invocations
+    again = {r.doc_id for r in sampling.sample_fraction(docs, "doc_id", 0.10).collect()}
+    assert s10 == again
+
+
+def test_stratified_quota_bounds_every_group(spark, sf_dir):
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_quota(docs, ["lang"], "doc_id", 7)
+    per = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert per and all(c <= 7 for c in per.values())
+
+
+def test_split_assign_partition_is_stable_and_complete(spark, sf_dir):
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    out = sampling.split_assign(docs, "doc_id")
+    assert out.count() == docs.count()
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    # same doc -> same split on recompute (leakage-free)
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in sampling.split_assign(docs, "doc_id").select("doc_id", "split").collect()}
+    assert a == b
