@@ -565,10 +565,11 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      -- microsecond-exact diff; >= gap starts a new session, matching Spark
-      -- session_window's half-open [start, start+gap) semantics
+      -- microsecond-exact diff; STRICTLY > gap starts a new session: Spark's
+      -- session_window merges touching windows (an event at exactly
+      -- start+gap joins the session — verified in test_streaming.py)
       SELECT *, CASE WHEN prev_ts IS NULL
-                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                      THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ),
@@ -584,10 +585,11 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) via gaps-and-islands — the
     deterministic batch twin of streaming session_window (X-9). The gap
-    compare is microsecond-exact (unix_micros, not whole-second cast) and a
-    diff of EXACTLY the gap starts a new session — the same half-open
-    [start, start+gap) convention as F.session_window, so batch, streaming,
-    and oracle agree on boundary-straddling gaps."""
+    compare is microsecond-exact (unix_micros, not whole-second cast) and
+    STRICTLY greater than the gap — F.session_window merges touching
+    windows (an event at exactly start+gap joins the session; pinned in
+    test_streaming.py::test_session_gap_boundary_matches_session_window),
+    so batch, streaming, and oracle agree on boundary-straddling gaps."""
     ev = src.load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 1800 * 1_000_000
@@ -595,7 +597,7 @@ def evt_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")) >= gap_us),
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")) > gap_us),
             1,
         ).otherwise(0),
     )

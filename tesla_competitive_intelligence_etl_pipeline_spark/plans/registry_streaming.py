@@ -39,10 +39,10 @@ def x9_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      -- microsecond-exact diff; >= gap = new session (session_window's
-      -- half-open [start, start+gap) convention)
+      -- microsecond-exact diff; STRICTLY > gap = new session (session_window
+      -- merges touching windows — verified in test_streaming.py)
       SELECT *, CASE WHEN prev_ts IS NULL
-                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                      THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ),

@@ -150,3 +150,60 @@ def test_merge_micro_batch_rewrites_only_touched_buckets(spark, tmp_path):
     row3 = gold.filter(F.col("user_id") == 3).collect()
     assert len(row3) == 1 and row3[0].last_event_type == "update" and row3[0].last_value == 42.0
     assert gold.count() == 8
+
+
+def test_session_gap_boundary_matches_session_window(spark):
+    """ADVICE r1 boundary pin, decided EMPIRICALLY: F.session_window MERGES
+    touching windows — an event at exactly start+gap joins the session — so
+    the batch gaps-and-islands twin must use a STRICT microsecond-exact
+    '> gap' (not '>=', and not whole-second truncation); one microsecond
+    past the gap starts a new session."""
+    rows = [
+        # user 1: second event exactly 1800s after the first -> SAME session
+        # (session_window merges touching windows)
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 10:30:00", 1),
+        (3, "2024-01-01 10:40:00", 1),
+        # user 2: 1800s plus 1us -> NEW session
+        (4, "2024-01-01 10:00:00.000000", 2),
+        (5, "2024-01-01 10:30:00.000001", 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0) for i, ts, u in rows],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+
+    # streaming semantics via session_window on the same static frame
+    sw = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+    )
+    sw_out = {(r.user_id, str(r.session_start)): r.n for r in sw.collect()}
+    assert sw_out[(1, "2024-01-01 10:00:00")] == 3  # touching windows merged
+    assert sw_out[(2, "2024-01-01 10:00:00")] == 1  # 1us past gap: split
+    assert sw_out[(2, "2024-01-01 10:30:00.000001")] == 1
+
+    # batch gaps-and-islands twin (the registry builder's expression) agrees
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    flagged = df.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        flagged.withColumn("sid", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n"))
+    )
+    batch_out = {(r.user_id, str(r.session_start)): r.n for r in sessions.collect()}
+    assert batch_out == sw_out
