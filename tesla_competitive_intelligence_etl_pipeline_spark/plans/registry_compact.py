@@ -1349,3 +1349,39 @@ def xtra_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# ===========================================================================
+# X-9f: streaming exact dedup (idempotent at-least-once ingestion)
+# ===========================================================================
+
+
+@register(
+    "x9_stream_dedup",
+    f"""
+    SELECT event_type, COUNT(*) AS cnt, {_dsum('value')} AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def x9_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9f: streaming exact dedup — the events stream unioned with ITSELF
+    (simulating at-least-once redelivery) then
+    dropDuplicatesWithinWatermark(event_id): the duplicate copy is dropped
+    while dedup state stays bounded by the watermark (the unbounded-state
+    trap of plain dropDuplicates on an infinite stream). Final counts must
+    equal the batch aggregate over the ORIGINAL events — proving ingestion
+    is idempotent under redelivery."""
+    redelivered = strm.stream_events(spark, sf_dir).unionByName(
+        strm.stream_events(spark, sf_dir)
+    )
+    deduped = redelivered.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg_df = (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+        )
+    )
+    return strm.run_to_table(spark, agg_df, mode="complete")
