@@ -1385,3 +1385,99 @@ def x9_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return strm.run_to_table(spark, agg_df, mode="complete")
+
+
+# ===========================================================================
+# As-of (point-in-time) join — state-at-event-time lookup
+# ===========================================================================
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import asof  # noqa: E402
+
+
+@register(
+    "xtra_asof_join",
+    """
+    WITH r AS (
+      SELECT * FROM (
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           r.o_orderkey AS last_order_key, r.o_totalprice AS last_order_total
+    FROM events e
+    ASOF LEFT JOIN r ON r.o_custkey = e.user_id AND CAST(e.ts AS TIMESTAMP) >= r.ots
+    """,
+)
+def xtra_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every event, the customer's most
+    recent order AT THAT MOMENT — one shuffle + window forward-fill, zero
+    row blowup; checked against DuckDB's native ASOF LEFT JOIN. The
+    operator Spark lacks, re-expressed as the scalable union+fill plan."""
+    ev = src.load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = src.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof.asof_join(
+        ev,
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ots",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_totalprice").alias("last_order_total"),
+    )
+
+
+# ===========================================================================
+# Bucketized range join — pure temporal overlap, no equi-key
+# ===========================================================================
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import rangejoin  # noqa: E402
+
+
+@register(
+    "xtra_range_join",
+    f"""
+    WITH iv AS (
+      SELECT event_id AS window_id, CAST(ts AS TIMESTAMP) AS w_start,
+             CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS w_end
+      FROM events WHERE event_id % 200 = 0
+    )
+    SELECT iv.window_id, COUNT(*) AS cnt, {_dsum('e.value')} AS value_sum
+    FROM iv JOIN events e
+      ON CAST(e.ts AS TIMESTAMP) BETWEEN iv.w_start AND iv.w_end
+    GROUP BY iv.window_id
+    """,
+)
+def xtra_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi-key): every 200th event opens a 2-hour
+    window; count ALL events falling inside each window. Bucketized rewrite
+    (operators/rangejoin.py) — an equi-join on 1-hour buckets replaces the
+    BroadcastNestedLoop O(P x I) plan; exact bounds filtered after. Checked
+    against DuckDB's plain inequality join."""
+    ev = src.load_events(spark, sf_dir)
+    points = ev.select("ts", "value")
+    intervals = ev.filter(F.col("event_id") % 200 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    joined = rangejoin.interval_point_join(
+        points, intervals, point_ts="ts", start_col="w_start", end_col="w_end",
+        bucket_width_s=3600,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("cnt"),
+        agg.exact_sum(F.col("value")).alias("value_sum"),
+    )

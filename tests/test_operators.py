@@ -94,3 +94,96 @@ def test_merge_with_audit_trigger_policy(spark):
     assert str(out["LCID"].updated_at) == now
     assert out["RIVN"].revenue == 50.0  # untouched row fully intact
     assert str(out["RIVN"].created_at) == t0 and str(out["RIVN"].updated_at) == t0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """The union+forward-fill as-of plan must agree with pandas merge_asof
+    (direction='backward', inclusive) — with and without tolerance."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import asof
+
+    trades = [(1, 100, "A"), (1, 250, "A"), (1, 300, "A"), (1, 50, "B"), (1, 999, "B")]
+    quotes = [(100, 1.0, "A"), (200, 2.0, "A"), (300, 3.0, "A"), (60, 9.0, "B")]
+    left = spark.createDataFrame(
+        [(i, ts, k) for i, (_, ts, k) in enumerate(trades)], "trade_id long, ts long, k string"
+    )
+    right = spark.createDataFrame(quotes, "qts long, px double, k string")
+
+    out = asof.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="qts",
+        payload_cols=["px"], right_tiebreak="px",
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+
+    lp = pd.DataFrame([(i, ts, k) for i, (_, ts, k) in enumerate(trades)],
+                      columns=["trade_id", "ts", "k"]).sort_values("ts")
+    rp = pd.DataFrame(quotes, columns=["qts", "px", "k"]).sort_values("qts")
+    want = pd.merge_asof(lp, rp, left_on="ts", right_on="qts", by="k")
+    for _, row in want.iterrows():
+        w = None if pd.isna(row.px) else row.px
+        assert got[row.trade_id] == w, (row.trade_id, got[row.trade_id], w)
+
+    # tolerance: match older than 60 ticks is nulled
+    out_tol = asof.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="qts",
+        payload_cols=["px"], right_tiebreak="px", tolerance=F.lit(60),
+    )
+    got_tol = {r.trade_id: r.px for r in out_tol.collect()}
+    want_tol = pd.merge_asof(lp, rp, left_on="ts", right_on="qts", by="k", tolerance=60)
+    for _, row in want_tol.iterrows():
+        w = None if pd.isna(row.px) else row.px
+        assert got_tol[row.trade_id] == w, (row.trade_id, got_tol[row.trade_id], w)
+
+
+def test_asof_join_same_ts_tie_is_deterministic(spark):
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import asof
+
+    left = spark.createDataFrame([(1, 10, "A")], "trade_id long, ts long, k string")
+    right = spark.createDataFrame(
+        [(10, 1.0, "A"), (10, 2.0, "A")], "qts long, px double, k string"
+    )
+    out = asof.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="qts",
+        payload_cols=["px"], right_tiebreak="px",
+    ).collect()
+    assert out[0].px == 2.0  # greatest tiebreak wins, inclusive at equal ts
+
+
+def test_interval_point_join_exact_bounds_no_duplicates(spark):
+    """Bucketized range join: inclusive bounds, intervals spanning many
+    buckets, each (point, interval) match appears exactly once, and the plan
+    is an equi-join (no BroadcastNestedLoopJoin)."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import rangejoin
+
+    def ts(s):
+        return F.lit(s).cast("timestamp")
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00"),
+         (3, "2024-01-01 12:00:00.000001"), (4, "2024-01-01 09:59:59")],
+        "pid long, ts_s string",
+    ).select("pid", F.col("ts_s").cast("timestamp").alias("pts"))
+    intervals = spark.createDataFrame(
+        [(10, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),   # 3 buckets
+         (11, "2024-01-01 11:30:00", "2024-01-01 11:40:00")],  # within 1 bucket
+        "iid long, s string, e string",
+    ).select("iid", F.col("s").cast("timestamp").alias("ws"), F.col("e").cast("timestamp").alias("we"))
+
+    out = rangejoin.interval_point_join(
+        points, intervals, point_ts="pts", start_col="ws", end_col="we", bucket_width_s=3600
+    )
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    # pid 1 at start (inclusive), pid 2 at end (inclusive), pid 3 one us past
+    # the end (excluded), pid 4 one second before the start (excluded)
+    assert got == [(1, 10), (2, 10)]
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
