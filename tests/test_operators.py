@@ -187,3 +187,59 @@ def test_interval_point_join_exact_bounds_no_duplicates(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_round2_operators_handle_empty_inputs(spark):
+    """Empty-side behavior of the round-2 operators (the reference's
+    empty-extraction tolerance, SURVEY §5, extended to the new surface)."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+        asof,
+        dedup as dd,
+        rangejoin,
+        sampling,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.merge import merge_with_audit
+
+    # as-of join with an EMPTY right side: every left row survives, payload null
+    left = spark.createDataFrame([(1, 10, "A")], "trade_id long, ts long, k string")
+    empty_right = spark.createDataFrame([], "qts long, px double, k string")
+    out = asof.asof_join(
+        left, empty_right, on=["k"], left_ts="ts", right_ts="qts",
+        payload_cols=["px"], right_tiebreak="px",
+    ).collect()
+    assert len(out) == 1 and out[0].px is None
+
+    # connected components with NO edges: every vertex is its own component
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    comp = {r.id: r.comp for r in dd.connected_components(empty_edges, verts).collect()}
+    assert comp == {1: 1, 2: 2}
+
+    # range join with empty intervals: empty result, no error
+    pts = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "pid long, s string").select(
+        "pid", F.col("s").cast("timestamp").alias("pts")
+    )
+    empty_iv = spark.createDataFrame([], "iid long, ws timestamp, we timestamp")
+    assert (
+        rangejoin.interval_point_join(pts, empty_iv, "pts", "ws", "we").count() == 0
+    )
+
+    # sampling on an empty frame
+    empty_docs = spark.createDataFrame([], "doc_id long, lang string")
+    assert sampling.sample_fraction(empty_docs, "doc_id", 0.5).count() == 0
+    assert sampling.stratified_quota(empty_docs, ["lang"], "doc_id", 5).count() == 0
+    assert sampling.split_assign(empty_docs, "doc_id").count() == 0
+
+    # trigger merge with empty staged: current rows fully unchanged
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    current = spark.createDataFrame([("TSLA", 1.0)], "ticker string, v double").select(
+        "ticker", "v", t0.alias("created_at"), t0.alias("updated_at")
+    )
+    empty_staged = spark.createDataFrame([], "ticker string, v double")
+    merged = merge_with_audit(
+        current, empty_staged, keys=["ticker"], now=F.lit("2025-01-01").cast("timestamp")
+    ).collect()
+    assert len(merged) == 1 and merged[0].v == 1.0
+    assert str(merged[0].updated_at) == "2024-01-01 00:00:00"

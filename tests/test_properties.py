@@ -149,3 +149,33 @@ def test_quarter_label_always_valid_pattern(spark, dates):
     for d, label in zip(dates, out):
         assert re.fullmatch(r"\d{1,4}-Q[1-4]", label)
         assert label == f"{d.year}-Q{(d.month - 1) // 3 + 1}"
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.one_of(st.integers(min_value=0, max_value=2**62), st.text(max_size=30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_stable_bucket_is_engine_portable(spark, keys):
+    """sampling.stable_bucket must compute the IDENTICAL bucket in DuckDB
+    (the oracle twin) for arbitrary keys — the property that makes hash
+    sampling reproducible across engines."""
+    import duckdb
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling
+
+    rows = [(str(k),) for k in keys]
+    spark_out = _eval_batch(
+        spark, sampling.stable_bucket(F.col("v"), 10_000), rows, "v string"
+    )
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(
+            "SELECT TRY_CAST('0x' || substr(md5(?), 1, 8) AS BIGINT) % 10000", [str(k)]
+        ).fetchone()[0]
+        for k in keys
+    ]
+    assert spark_out == duck_out
