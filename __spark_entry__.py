@@ -31,6 +31,9 @@ def _configure(spark: SparkSession) -> SparkSession:
         "spark.sql.ansi.enabled": "false",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # small-SF correctness runs don't need the 200-partition default;
+        # AQE re-coalesces anyway, this just trims fixed per-stage overhead
+        "spark.sql.shuffle.partitions": "32",
     }.items():
         try:
             spark.conf.set(k, v)

@@ -1604,3 +1604,56 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ===========================================================================
+# Skew-safe join through the driver gate + range-clustered write
+# ===========================================================================
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import skew  # noqa: E402
+
+
+@register(
+    "xtra_salted_join",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS cnt
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def xtra_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation end-to-end: the salted join (fact keys salted n ways,
+    dim exploded n ways) must produce EXACTLY the plain join's result — the
+    oracle is the unsalted SQL. At scale this is the planned fallback when
+    one hot key (the TSLA problem) would pin a shuffle partition."""
+    orders = src.load_table(spark, sf_dir, "orders").select("o_custkey")
+    customer = src.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = skew.salted_join(orders, customer, "o_custkey", n_salts=8, how="inner")
+    return joined.groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "xtra_clustered_write",
+    f"""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           COUNT(*) AS cnt, {_dsum('value')} AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def xtra_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered time-series layout: events rewritten with
+    repartitionByRange(ts) + sortWithinPartitions so each parquet file holds
+    a tight time band (row-group stats -> file skipping on ts predicates);
+    the read-back daily rollup must equal the source aggregate."""
+    import tempfile
+
+    ev = src.load_events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="clustered_") + "/events"
+    src.write_parquet_clustered(ev, path, ["ts"], n_files=8)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("cnt"), agg.exact_sum(F.col("value")).alias("value_sum"))
+    )

@@ -69,3 +69,15 @@ def read_csv_typed(spark: SparkSession, path: str, schema) -> DataFrame:
     """SRC-6: CSV/DataFrame round-trip back into typed records
     (reference load.py:202-227: str->Decimal, str->date via cast projection)."""
     return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def write_parquet_clustered(
+    df: DataFrame, path: str, range_cols: list[str], n_files: int | None = None
+) -> None:
+    """Range-clustered parquet write: repartitionByRange + sortWithinPartitions
+    on the clustering keys, so every output file holds a tight min/max band of
+    the key. Parquet row-group statistics then let ANY engine skip files on a
+    key predicate — the poor-man's Z-order, and the right layout for
+    time-series fact tables (cluster by event time) at 100 TB."""
+    parts = df.repartitionByRange(*( [n_files] if n_files else [] ), *range_cols)
+    parts.sortWithinPartitions(*range_cols).write.mode("overwrite").parquet(path)

@@ -154,3 +154,28 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
         for r in sim.ivf_topk(emb, query_id=0, k=10, n_probe=2).collect()
     ]
     assert got == want
+
+
+def test_clustered_write_produces_tight_file_bands(spark, sf_dir, tmp_path):
+    """write_parquet_clustered must put disjoint time bands in separate files
+    (range partitioning + in-file sort), the layout that makes row-group
+    stats skip files on ts predicates."""
+    import pyarrow.parquet as pq
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    ev = src.load_events(spark, sf_dir)
+    path = str(tmp_path / "clustered")
+    src.write_parquet_clustered(ev, path, ["ts"], n_files=4)
+
+    import glob
+
+    bands = []
+    for f in glob.glob(path + "/*.parquet"):
+        ts = pq.read_table(f, columns=["ts"])["ts"].to_pylist()
+        if ts:
+            bands.append((min(ts), max(ts)))
+    assert len(bands) > 1
+    bands.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(bands, bands[1:]):
+        assert a_max <= b_min  # files cover disjoint, ordered time bands
