@@ -1657,3 +1657,72 @@ def xtra_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.count("*").alias("cnt"), agg.exact_sum(F.col("value")).alias("value_sum"))
     )
+
+
+# ===========================================================================
+# X-9g/h: stream-static enrichment and stream-stream interval join
+# ===========================================================================
+
+
+@register(
+    "x9_stream_static_join",
+    f"""
+    SELECT c.c_mktsegment, COUNT(*) AS cnt, {_dsum('e.value')} AS value_sum
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def x9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9g: stream-static join — the streaming events enriched against the
+    static customer dim (broadcast; re-read per micro-batch in production so
+    dim updates are picked up), then aggregated. The standard streaming
+    enrichment topology."""
+    ev = strm.stream_events(spark, sf_dir)
+    customer = src.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(customer), "user_id")
+    agg_df = joined.withWatermark("ts", "10 minutes").groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+    )
+    return strm.run_to_table(spark, agg_df, mode="complete")
+
+
+@register(
+    "x9_stream_stream_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+)
+def x9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9h: stream-stream interval join (view -> purchase attribution within
+    30 minutes, per user): both sides watermarked so the join state is
+    bounded — Spark buffers only rows inside the watermark + interval bound.
+    AvailableNow drain must equal the batch interval join (the oracle)."""
+    views = (
+        strm.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+    )
+    purchases = (
+        strm.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = strm.run_to_table(spark, joined.select("view_id", "purchase_id", "user_id"), mode="append")
+    return out
