@@ -207,3 +207,60 @@ def test_session_gap_boundary_matches_session_window(spark):
     )
     batch_out = {(r.user_id, str(r.session_start)): r.n for r in sessions.collect()}
     assert batch_out == sw_out
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Restart semantics: a second AvailableNow run sharing the SAME
+    checkpoint must process only files added since the first run — the
+    foreachBatch merge sees each event exactly once, so the gold table shows
+    no double-counting after resume."""
+    import os
+    import time as _time
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "gold")
+
+    _write_events(
+        os.path.join(src_dir, "part-001.parquet"),
+        [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:05:00", 2)],
+    )
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+            )
+            .format("parquet")
+            .load(src_dir)
+        )
+        q = (
+            raw.writeStream.foreachBatch(
+                lambda b, bid: strm.merge_micro_batch(b, target, n_buckets=4)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    assert set(first) == {1, 2}
+
+    _time.sleep(1.1)
+    # "crash + restart": new file arrives, rerun with the SAME checkpoint.
+    # A later event for user 1 must REPLACE (not duplicate) its gold row.
+    _write_events(
+        os.path.join(src_dir, "part-002.parquet"),
+        [(3, "2024-01-01 11:00:00", 1)],
+    )
+    run_once()
+    gold = spark.read.parquet(target)
+    rows = {r.user_id: r for r in gold.collect()}
+    assert gold.count() == 2  # one row per user — no reprocessing duplicates
+    assert rows[1].event_id == 3  # user 1 advanced to the new latest event
+    assert rows[2].event_id == 2  # user 2 untouched
