@@ -1,0 +1,78 @@
+"""Distributed prefix sum + sequence packing (training-data pipelines).
+
+A global running total (`SUM() OVER (ORDER BY ...)` with no PARTITION BY)
+is the classic Spark scale trap: the window forces `Exchange SinglePartition`
+— the whole dataset through ONE task. This module implements the standard
+two-pass rewrite:
+
+  1. `repartitionByRange(order)` — data range-partitioned AND sorted-ish by
+     the global order; per-partition running sums via a window keyed on
+     `spark_partition_id()` (parallel);
+  2. per-partition TOTALS (one tiny row per partition) get their own prefix
+     sum — n_partitions rows, trivially cheap — and are joined back as
+     offsets.
+
+Result: the exact global cumulative sum with NO single-partition stage
+(asserted in tests/test_plans.py against the naive plan).
+
+On top of it: GPT-style sequence packing — documents concatenated in a
+deterministic (stable-hash) order and chunked into fixed-token bins
+(`bin = floor(cum_before / bin_tokens)`), the "concat-then-chunk" layout
+pre-training batches use. Both are SQL-expressible, so oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Exact inclusive running total of ``value_col`` over the TOTAL order
+    given by ``order_cols`` (must be unique-per-row for determinism), with
+    no single-partition exchange."""
+    d = df.repartitionByRange(*order_cols).withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__local", F.sum(F.col(value_col)).over(w_local))
+    # one row per partition; its own prefix sum is negligible work
+    totals = local.groupBy("__pid").agg(F.sum(F.col(value_col)).alias("__ptot"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.sum("__ptot").over(w_off) - F.col("__ptot")
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str,
+    order_cols: list[str],
+    bin_tokens: int = 4096,
+) -> DataFrame:
+    """Assign each document to a training bin under concat-then-chunk
+    packing: documents laid out in ``order_cols`` order, bin boundary every
+    ``bin_tokens`` tokens; a document's bin is where its FIRST token lands
+    (documents may straddle — the downstream chunker splits them, exactly
+    like GPT-style pretraining packing). Adds ``cum_tokens`` (inclusive)
+    and ``bin_id``."""
+    with_cum = global_cumsum(docs, order_cols, token_col, out_col="cum_tokens")
+    return with_cum.withColumn(
+        "bin_id",
+        F.floor((F.col("cum_tokens") - F.col(token_col)) / bin_tokens).cast("long"),
+    )

@@ -1726,3 +1726,50 @@ def x9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = strm.run_to_table(spark, joined.select("view_id", "purchase_id", "user_id"), mode="append")
     return out
+
+
+# ===========================================================================
+# Distributed prefix sum -> GPT-style sequence packing
+# ===========================================================================
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import packing  # noqa: E402
+
+
+@register(
+    "xtra_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS toks,
+             {_bucket_sql('doc_id', 2147483648)} AS b
+      FROM documents
+    ),
+    o AS (
+      SELECT *, SUM(toks) OVER (ORDER BY b, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT CAST(FLOOR((cum - toks) / 4096.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM o GROUP BY 1
+    """,
+)
+def xtra_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents in stable-hash order,
+    4096-token bins; per-bin doc/token stats. The global running token count
+    comes from the two-pass distributed prefix sum (operators/packing.py) —
+    the naive SUM() OVER (ORDER BY) would funnel the whole corpus through
+    ONE task. The oracle uses the naive form (DuckDB is single-node anyway)
+    and must agree exactly."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("long").alias("toks"),
+        sampling.stable_bucket(F.col("doc_id"), 1 << 31).alias("b"),
+    )
+    packed = packing.pack_sequences(t, token_col="toks", order_cols=["b", "doc_id"], bin_tokens=4096)
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+    )

@@ -243,3 +243,37 @@ def test_round2_operators_handle_empty_inputs(spark):
     ).collect()
     assert len(merged) == 1 and merged[0].v == 1.0
     assert str(merged[0].updated_at) == "2024-01-01 00:00:00"
+
+
+def test_global_cumsum_exact_and_not_single_partitioned(spark):
+    """The two-pass prefix sum must equal the naive global window AND keep
+    the big window partitioned (range partitioning visible in the plan; the
+    only single-partition stage is over the per-partition totals, one row
+    per partition)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window, functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import packing
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("v")
+    )
+    out = packing.global_cumsum(df, ["id"], "v")
+    got = {r.id: r.cum for r in out.collect()}
+
+    naive = df.withColumn(
+        "cum",
+        F.sum("v").over(
+            Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    want = {r.id: r.cum for r in naive.collect()}
+    assert got == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue().lower()
+    assert "rangepartitioning" in plan  # the corpus-wide pass is parallel
