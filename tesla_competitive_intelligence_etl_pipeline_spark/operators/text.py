@@ -108,3 +108,29 @@ def shingles(text: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scanning (pre-training scrub pass). Patterns restricted to syntax valid
+# in BOTH Java regex (Spark) and RE2 (DuckDB) so the oracle twin matches:
+# no backreferences, no lookaround.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "phones": r"\d{3}[-.]\d{3}[-.]\d{4}",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Occurrence count per PII class (JVM-side regexp_count)."""
+    return {name: F.regexp_count(text, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column, replacement: str = "[REDACTED]") -> Column:
+    """Replace every PII occurrence; chained regexp_replace, one codegen pass."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out

@@ -1773,3 +1773,55 @@ def xtra_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("toks").cast("long").alias("total_tokens"),
     )
+
+
+# ===========================================================================
+# PII scan + redaction (pre-training scrub pass)
+# ===========================================================================
+
+
+@register(
+    "xtra_pii_scan",
+    """
+    WITH doctored AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || doc_id ||
+                       '@example.com or https://ex.example/p?q=1 or 555-867-5309'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INTEGER) AS urls,
+           CAST(len(regexp_extract_all(text, '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS INTEGER) AS phones,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+             'https?://[^\\s]+', '[REDACTED]', 'g'),
+             '\\d{3}[-.]\\d{3}[-.]\\d{4}', '[REDACTED]', 'g')) AS redacted_len
+    FROM doctored
+    """,
+)
+def xtra_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: per-doc email/URL/phone counts + redacted length.
+    Every 10th document is doctored IN the query with synthetic PII so both
+    engines scan identical text and the counts are provably non-zero
+    (regex subset valid in Java regex AND RE2)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    doctored = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.example/p?q=1 or 555-867-5309"),
+        ),
+    ).otherwise(F.col("text"))
+    d = docs.select("doc_id", doctored.alias("text"))
+    counts = tx.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        counts["emails"].alias("emails"),
+        counts["urls"].alias("urls"),
+        counts["phones"].alias("phones"),
+        F.length(tx.redact_pii(F.col("text"))).cast("long").alias("redacted_len"),
+    )
