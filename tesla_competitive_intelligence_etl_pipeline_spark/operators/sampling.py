@@ -72,3 +72,29 @@ def split_assign(
         .when(b < val_pct + test_pct, "test")
         .otherwise("train"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-row keep probability = ``weight`` (a Column in [0,1], e.g. a
+    quality score): keep when stable_bucket < weight * n_buckets. Still
+    map-side, deterministic, engine-portable, and monotone — raising any
+    row's weight can only add it, never drop others."""
+    return df.filter(
+        stable_bucket(F.col(key_col), n_buckets) < (weight * n_buckets).cast("long")
+    )
+
+
+def upsample_repeats(df: DataFrame, repeats: Column) -> DataFrame:
+    """Mixture upsampling: repeat each row ``repeats`` times (epochs-per-
+    source weighting in pre-training mixes), adding ``repeat_ix`` (1-based)
+    so downstream shuffling/packing can distinguish copies. Rows with
+    repeats <= 0 are dropped (sequence() yields an empty array)."""
+    return df.withColumn(
+        "repeat_ix",
+        F.explode(F.sequence(F.lit(1), repeats.cast("int"))),
+    )

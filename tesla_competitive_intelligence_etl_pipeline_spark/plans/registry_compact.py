@@ -1825,3 +1825,56 @@ def xtra_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phones"].alias("phones"),
         F.length(tx.redact_pii(F.col("text"))).cast("long").alias("redacted_len"),
     )
+
+
+@register(
+    "xtra_weighted_sample",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             least(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) / 40.0, 1.0) AS w
+      FROM documents
+    )
+    SELECT doc_id, lang FROM q
+    WHERE {_bucket_sql('doc_id', 10000)} < CAST(w * 10000 AS BIGINT)
+    """,
+)
+def xtra_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: keep probability proportional to a
+    length-based quality proxy (capped at 1) — longer documents more likely
+    kept, decided by the same stable md5 bucket, so the pick is
+    deterministic and engine-portable."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    w = F.least(tx.token_count(F.col("text")).cast("double") / 40.0, F.lit(1.0))
+    return sampling.weighted_sample(docs, "doc_id", w).select("doc_id", "lang")
+
+
+@register(
+    "xtra_corpus_upsample",
+    """
+    WITH factors AS (SELECT * FROM (VALUES ('en', 1), ('de', 2), ('fr', 3)) AS f(lang, n)),
+    rep AS (
+      SELECT d.doc_id, d.lang, unnest(range(1, f.n + 1)) AS repeat_ix
+      FROM documents d JOIN factors f ON f.lang = d.lang
+    )
+    SELECT lang, COUNT(*) AS rows_after,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS distinct_docs,
+           CAST(MAX(repeat_ix) AS INTEGER) AS max_repeat
+    FROM rep GROUP BY lang
+    """,
+)
+def xtra_corpus_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture upsampling: per-language epoch factors (en x1, de x2, fr x3)
+    explode each doc into that many copies with a repeat index — the
+    repeat-aware corpus expansion pre-training mixes apply to scarce
+    sources. Languages without a factor drop out (inner join)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    factors = spark.createDataFrame([("en", 1), ("de", 2), ("fr", 3)], "lang string, n int")
+    rep = sampling.upsample_repeats(
+        docs.join(F.broadcast(factors), "lang"), F.col("n")
+    )
+    return rep.groupBy("lang").agg(
+        F.count("*").alias("rows_after"),
+        F.count_distinct("doc_id").alias("distinct_docs"),
+        F.max("repeat_ix").alias("max_repeat"),
+    )
