@@ -96,6 +96,30 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+def ngrams(text: Column, n: int) -> Column:
+    """ALL word n-grams in order (non-distinct — repetition analysis needs the
+    multiplicities; `shingles` is the distinct variant for MinHash). Docs with
+    fewer than n tokens collapse to their single joined-token gram."""
+    toks = tokens(normalized_text(text))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of n-gram occurrences that are
+    repeats of an earlier n-gram in the same document
+    (1 - distinct/total). Pure array expression — no shuffle, pipelines with
+    the scan."""
+    grams = ngrams(text, n)
+    total = F.size(grams).cast("double")
+    return F.round(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total, 6)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the MinHash input set)."""
     toks = tokens(normalized_text(text))

@@ -68,6 +68,7 @@ def load_registry() -> dict:
     from tesla_competitive_intelligence_etl_pipeline_spark.plans import (  # noqa: F401
         registry_analytics,
         registry_compact,
+        registry_corpus,
         registry_ext,
         registry_fns,
         registry_more,

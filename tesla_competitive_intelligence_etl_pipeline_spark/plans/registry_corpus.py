@@ -1,0 +1,303 @@
+"""Registry batch 8: corpus-hygiene operators for pre-training pipelines
+(Gopher-style repetition signals, benchmark decontamination) and the
+remaining classic TPC-H query shapes (Q13/Q15/Q17/Q19/Q22) — outer-join
+histograms, argmax-of-aggregate, decorrelated per-group averages,
+disjunctive pushdown, and anti-join + scalar subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import aggregates as agg
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import decontam as dc
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import _dsum, register
+from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+# DuckDB twin of text.normalized_text (same as registry_ext._NORM)
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^\\w\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+# ===========================================================================
+# X-5g: repetition signals (Gopher-style quality filters)
+# ===========================================================================
+
+
+@register(
+    "x5_repetition_signals",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
+    tl AS (SELECT doc_id, string_split_regex(nt, '\\s+') AS t FROM norm),
+    toks AS (SELECT doc_id, unnest(t) AS tok FROM tl),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens
+            FROM tc GROUP BY 1),
+    tri AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t)-1),
+                                       i -> array_to_string(t[i:i+2], ' '))
+                   ELSE [array_to_string(t, ' ')] END AS g
+            FROM tl)
+    SELECT top.doc_id, n_tokens,
+           ROUND(top_c / CAST(n_tokens AS DOUBLE), 6) AS top_token_fraction,
+           ROUND(1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6)
+             AS dup_trigram_fraction,
+           (top_c / CAST(n_tokens AS DOUBLE) <= 0.1
+            AND 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE) <= 0.05)
+             AS keep
+    FROM top JOIN tri ON tri.doc_id = top.doc_id
+    """,
+)
+def x5_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5g: Gopher-style repetition filters — most-common-token fraction and
+    duplicate-trigram fraction, with a keep/drop verdict.
+
+    Scale shape: the trigram signal is a pure array expression (no shuffle);
+    the top-token signal is explode -> two partial-aggregable groupBys, so
+    only (doc_id, token, count) triples shuffle — never the text."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(tx.normalized_text(F.col("text")))).alias("tok")
+    )
+    top = (
+        toks.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_c"),
+            F.sum("count").alias("n_tokens"),
+        )
+    )
+    tri = docs.select(
+        "doc_id", tx.dup_ngram_fraction(F.col("text"), 3).alias("dup_trigram_fraction")
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        top.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(top_frac, 6).alias("top_token_fraction"),
+            "dup_trigram_fraction",
+            ((top_frac <= 0.1) & (F.col("dup_trigram_fraction") <= 0.05)).alias("keep"),
+        )
+    )
+
+
+# ===========================================================================
+# X-2f: benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ===========================================================================
+
+
+@register(
+    "xtra_decontaminate",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
+    tl AS (SELECT doc_id, string_split_regex(nt, '\\s+') AS t FROM norm),
+    grams AS (SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(t) >= 5
+                       THEN list_transform(range(1, len(t)-3),
+                                           i -> array_to_string(t[i:i+4], ' '))
+                       ELSE [array_to_string(t, ' ')] END) AS ngs
+              FROM tl),
+    bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM grams WHERE doc_id % 19 = 0),
+    corpus AS (SELECT doc_id, unnest(ngs) AS ng FROM grams WHERE doc_id % 19 <> 0),
+    hits AS (SELECT c.doc_id, COUNT(*) AS bench_hits
+             FROM corpus c JOIN bench b ON b.ng = c.ng GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.bench_hits, 0) AS BIGINT) AS bench_hits,
+           COALESCE(h.bench_hits, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 19 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def xtra_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2f: eval-set decontamination — every 19th doc plays the held-out
+    benchmark; the rest of the corpus is tagged by 5-gram overlap. The
+    benchmark n-gram set is broadcast, so the corpus never shuffles
+    (operators/decontam.py)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 19 == 0)
+    corpus = docs.filter(F.col("doc_id") % 19 != 0)
+    return dc.decontaminate(corpus, benchmark, n=5, min_hits=1)
+
+
+# ===========================================================================
+# Remaining TPC-H shapes
+# ===========================================================================
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: filtered LEFT OUTER join preserving zero-order
+    customers, then a histogram of per-customer order counts (two
+    partial-aggregable groupBys)."""
+    c = src.load_table(spark, sf_dir, "customer")
+    o = src.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregate (top revenue supplier in a
+    quarter). The scalar max is a 1-row broadcast cross join — the revenue
+    aggregate is computed once and reused for both sides (no window over the
+    whole table). Exact-decimal revenue makes the equality deterministic."""
+    li = src.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        agg.exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = src.load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+    JOIN (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS qlim
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.qlim
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into a
+    pre-aggregated join (the avg side shrinks to one row per part before the
+    shuffle); brand filter broadcast."""
+    li = src.load_table(spark, sf_dir, "lineitem")
+    p = src.load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    qlim = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * agg.exact_avg(F.col("l_quantity"), 2)).alias("qlim")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(qlim, li.l_partkey == qlim.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides. Catalyst
+    derives the single-side residuals (brand/size on part, quantity 1-30 on
+    lineitem) and pushes them below the broadcast join."""
+    li = src.load_table(spark, sf_dir, "lineitem")
+    p = src.load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    cond = arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20) | arm("Brand#3", 15, 20, 30)
+    return j.filter(cond).agg(
+        agg.exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "q22_dormant_accounts",
+    f"""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS numcust, {_dsum('c.c_acctbal', 2)} AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_acctbal > pos.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global positive-balance average,
+    1-row broadcast) + anti join against orders (never-ordered customers),
+    grouped summary."""
+    c = src.load_table(spark, sf_dir, "customer")
+    o = src.load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        agg.exact_avg(F.col("c_acctbal"), 2).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            agg.exact_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

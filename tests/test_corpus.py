@@ -1,0 +1,83 @@
+"""Corpus-hygiene operators: repetition signals and benchmark
+decontamination (plans/registry_corpus.py, operators/decontam.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import decontam as dc
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+
+def test_dup_ngram_fraction_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # trigrams: aba bab aba bab -> 2/4 duplicated
+            (2, "one two three four five"),  # all trigrams distinct
+            (3, "x y"),  # shorter than n -> single joined gram, fraction 0
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", tx.dup_ngram_fraction(F.col("text"), 3).alias("f")
+        ).collect()
+    }
+    assert out[1] == 0.5
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_ngrams_multiplicity_vs_shingles_distinct(spark):
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id int, text string")
+    row = df.select(
+        F.size(tx.ngrams(F.col("text"), 3)).alias("all"),
+        F.size(tx.shingles(F.col("text"), 3)).alias("distinct"),
+    ).collect()[0]
+    assert row["all"] == 4 and row["distinct"] == 2
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares the 5-gram "quick brown fox jumps over"
+            (1, "she saw the quick brown fox jumps over a fence today"),
+            # no 5-token span in common
+            (2, "completely different text with no overlap at all here"),
+            # shorter than n: only its full-text gram, which is not in bench
+            (3, "quick brown fox"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["bench_hits"], r["contaminated"])
+        for r in dc.decontaminate(docs, bench, n=5).collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+
+
+def test_decontaminate_exact_hit_count(spark):
+    # doc 1 repeats the matching 5-gram twice -> still ONE distinct hit
+    bench = spark.createDataFrame([(0, "a b c d e")], "doc_id int, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e x a b c d e")], "doc_id int, text string"
+    )
+    row = dc.decontaminate(docs, bench, n=5).collect()[0]
+    assert row["bench_hits"] == 1 and row["contaminated"] is True
+
+
+def test_repetition_signals_keep_split(spark, sf_dir):
+    """The registered query must produce BOTH keep classes on the test corpus
+    (thresholds were picked against the real distribution)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import load_registry
+
+    fn, _ = load_registry()["x5_repetition_signals"]
+    flags = {r["keep"] for r in fn(spark, sf_dir).select("keep").distinct().collect()}
+    assert flags == {True, False}
