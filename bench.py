@@ -66,6 +66,9 @@ def main() -> None:
     queries["agg_global_count"](spark, sf_dir).collect()
     queries["src_rest_datasource"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     queries["x10_pandas_udf_tokens"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # - applyInPandasWithState Arrow worker path + streaming state store
+    #   (first stateful stream pays ~6 s of worker bootstrap, steady ~2.5 s)
+    queries["x9_stream_stateful_totals"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     def run(name: str) -> float:
         t0 = time.perf_counter()

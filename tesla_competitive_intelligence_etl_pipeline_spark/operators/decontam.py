@@ -51,8 +51,13 @@ def decontaminate(
     Returns `id_col, bench_hits (distinct matched n-grams), contaminated`.
     Keep the clean corpus with `.filter(~F.col('contaminated'))`.
     """
-    bench = benchmark_ngrams(benchmark, n, text_col)
-    doc_grams = docs.select(
+    # n-gram generation is CPU-bound per row; small single-file inputs arrive
+    # as one partition, so spread across cores first (same idiom as
+    # dedup._with_shingles_and_sig — at 100 TB the input is already many
+    # splits and the repartition is unnecessary but harmless vs the join).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    bench = benchmark_ngrams(benchmark.repartition(n_part), n, text_col)
+    doc_grams = docs.repartition(n_part).select(
         F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("ng")
     )
     hits = (

@@ -1232,7 +1232,13 @@ def x9_stream_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import stateful
 
     q1, tbl = strm.start_to_table(
-        spark, stateful.running_user_totals(strm.stream_events(spark, sf_dir)), mode="update"
+        spark,
+        stateful.running_user_totals(strm.stream_events(spark, sf_dir)),
+        mode="update",
+        # Python-stateful stage: state processing runs in Arrow workers, so
+        # parallelism (not state-store overhead) dominates — keep the
+        # session's full partitioning.
+        state_partitions=None,
     )
     q2, target = strm.start_merge_latest(strm.stream_events(spark, sf_dir))
     q1.awaitTermination()

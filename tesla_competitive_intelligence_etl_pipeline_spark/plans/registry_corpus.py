@@ -61,7 +61,11 @@ def x5_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the trigram signal is a pure array expression (no shuffle);
     the top-token signal is explode -> two partial-aggregable groupBys, so
     only (doc_id, token, count) triples shuffle — never the text."""
-    docs = src.load_table(spark, sf_dir, "documents")
+    # single-file local input arrives as ONE partition; tokenization and the
+    # trigram arrays are CPU-bound per row -> spread across cores first
+    docs = src.load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select(
         "doc_id", F.explode(tx.tokens(tx.normalized_text(F.col("text")))).alias("tok")
     )
@@ -87,6 +91,48 @@ def x5_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_trigram_fraction",
             ((top_frac <= 0.1) & (F.col("dup_trigram_fraction") <= 0.05)).alias("keep"),
         )
+    )
+
+
+# ===========================================================================
+# X-5h: corpus-wide boilerplate detection (high-document-frequency n-grams)
+# ===========================================================================
+
+
+@register(
+    "x5_boilerplate_ngrams",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
+    tl AS (SELECT doc_id, string_split_regex(nt, '\\s+') AS t FROM norm),
+    grams AS (SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(t) >= 3
+                       THEN list_transform(range(1, len(t)-1),
+                                           i -> array_to_string(t[i:i+2], ' '))
+                       ELSE [array_to_string(t, ' ')] END) AS ngs
+              FROM tl),
+    g AS (SELECT doc_id, unnest(ngs) AS ng FROM grams)
+    SELECT ng, COUNT(*) AS doc_freq
+    FROM g GROUP BY ng HAVING COUNT(*) >= 5
+    ORDER BY doc_freq DESC, ng LIMIT 20
+    """,
+)
+def x5_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5h: boilerplate mining — the n-grams shared by the most documents
+    (headers/footers/license blurbs in a real crawl). Distinct-per-doc grams
+    explode into (gram, 1) pairs; document frequency is one partial-aggregable
+    groupBy, and the top-k is TakeOrdered (no global sort). Only grams — never
+    documents — shuffle."""
+    docs = src.load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    g = docs.select(F.explode(dc.ngram_set(F.col("text"), 3)).alias("ng"))
+    return (
+        g.groupBy("ng")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 5)
+        .orderBy(F.desc("doc_freq"), F.asc("ng"))
+        .limit(20)
     )
 
 

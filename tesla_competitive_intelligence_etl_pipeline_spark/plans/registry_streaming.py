@@ -80,7 +80,10 @@ def x9_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import stateful
 
     ev = strm.stream_events(spark, sf_dir)
-    out = strm.run_to_table(spark, stateful.running_user_totals(ev), mode="update")
+    # Python-stateful: Arrow-worker parallelism dominates, keep session sizing
+    out = strm.run_to_table(
+        spark, stateful.running_user_totals(ev), mode="update", state_partitions=None
+    )
     # update-mode memory sink keeps every emitted snapshot; latest per user
     # is the final state (single batch here, but stay general)
     latest = out.groupBy("user_id").agg(

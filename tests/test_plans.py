@@ -179,3 +179,29 @@ def test_clustered_write_produces_tight_file_bands(spark, sf_dir, tmp_path):
     bands.sort()
     for (a_min, a_max), (b_min, b_max) in zip(bands, bands[1:]):
         assert a_max <= b_min  # files cover disjoint, ordered time bands
+
+
+def test_q19_disjunction_split_and_pushed(spark, sf_dir, registry):
+    """Q19's OR-of-conjunctions must be split into per-side residuals and
+    pushed into BOTH parquet scans (the classic Q19 plan), with the part dim
+    broadcast."""
+    plan = _plan(registry["q19_disjunctive_revenue"][0](spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed)
+    assert any("p_brand" in p and "Or(" in p for p in pushed)
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir, registry):
+    """The corpus side must never shuffle for the benchmark overlap: the
+    n-gram join is broadcast, and nothing drops to row-at-a-time Python."""
+    plan = _plan(registry["xtra_decontaminate"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_corpus_signal_queries_stay_jvm_side(spark, sf_dir, registry):
+    for name in ["x5_repetition_signals", "x5_boilerplate_ngrams"]:
+        plan = _plan(registry[name][0](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
