@@ -176,6 +176,42 @@ def xtra_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Event funnel analysis (chained first-occurrence semantics)
+# ===========================================================================
+
+
+@register(
+    "evt_funnel",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+    s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+           JOIN s3 ON s3.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1)
+    SELECT 1 AS step_idx, 'signup' AS step, COUNT(*) AS users FROM s1
+    UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+    UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+    UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+    """,
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> view -> click -> purchase) with chained
+    first-occurrence semantics (operators/funnel.py): step k counts users
+    whose earliest step-k event is at-or-after their step-(k-1) time. Only
+    (user_id, ts) pairs per step shuffle; cohorts shrink monotonically."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import funnel as fu
+
+    ev = src.load_events(spark, sf_dir)
+    return fu.funnel_counts(ev, ["signup", "view", "click", "purchase"])
+
+
+# ===========================================================================
 # Remaining TPC-H shapes
 # ===========================================================================
 

@@ -81,3 +81,28 @@ def test_repetition_signals_keep_split(spark, sf_dir):
     fn, _ = load_registry()["x5_repetition_signals"]
     flags = {r["keep"] for r in fn(spark, sf_dir).select("keep").distinct().collect()}
     assert flags == {True, False}
+
+
+def test_funnel_chained_semantics(spark):
+    """A stray step-2 event BEFORE step 1 must not satisfy the funnel; a
+    later one must. User 1 completes; user 2's only view precedes signup."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import funnel as fu
+
+    rows = [
+        (1, 10, "signup"), (1, 20, "view"),
+        (2, 10, "view"), (2, 15, "signup"),
+        (3, 5, "signup"), (3, 5, "view"),  # same-timestamp: >= admits it
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {r["step"]: r["users"] for r in fu.funnel_counts(ev, ["signup", "view"]).collect()}
+    assert out == {"signup": 3, "view": 2}
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import load_registry
+
+    fn, _ = load_registry()["evt_funnel"]
+    rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r["step_idx"])
+    users = [r["users"] for r in rows]
+    assert users == sorted(users, reverse=True)
+    assert users[0] > 0
