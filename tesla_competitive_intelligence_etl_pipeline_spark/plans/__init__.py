@@ -17,16 +17,16 @@ DRIVER_WINDOW: list[str] = [
     "snk_roundtrips",
     "snk_merge_upsert_impls",
     "snk_merge_trigger",
-    "fil_predicates",
-    "fil_null_gated",
+    "fil_suite",
     "join_enrich_lookup",
     "join_anti_semi",
     "join_dim_fact_left",
     "agg_grouped_suite",
     "agg_scalar_suite",
     "sort_multikey",
-    "topk_per_group",
-    "dedup_last_write_wins",
+    "lim_dedup_suite",
+    "x_corpus_hygiene",
+    "evt_funnel",
     "set_ops_suite",
     "q1_pricing_summary",
     "q3_shipping_priority",

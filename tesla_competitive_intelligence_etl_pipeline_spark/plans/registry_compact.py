@@ -1884,3 +1884,65 @@ def xtra_corpus_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("distinct_docs"),
         F.max("repeat_ix").alias("max_repeat"),
     )
+
+
+# ===========================================================================
+# Window-slot folds (round 2b): FIL-1/3/4/5/6 in one entry; LIM-1 + DEDUP-1
+# in one entry. The folded originals stay registered after the window.
+# ===========================================================================
+
+
+def _fil_suite_sql() -> str:
+    return f"""
+    SELECT branch, o_orderkey AS k, val AS val_s, CAST(NULL AS DOUBLE) AS val_d
+    FROM ({REGISTRY['fil_predicates'][1]})
+    UNION ALL
+    SELECT 'null_gated', event_id, NULL, value
+    FROM ({REGISTRY['fil_null_gated'][1]})
+    """
+
+
+@register("fil_suite", _fil_suite_sql())
+def fil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIL-1/3/4/5 (IN-list + conjunctive equality, pushed to the scan) +
+    FIL-6 (0-treated-as-missing truthiness gate) as tagged branches — same
+    operator implementations as `fil_predicates` and `fil_null_gated`."""
+    preds = REGISTRY["fil_predicates"][0](spark, sf_dir).select(
+        "branch",
+        F.col("o_orderkey").alias("k"),
+        F.col("val").alias("val_s"),
+        F.lit(None).cast("double").alias("val_d"),
+    )
+    gated = REGISTRY["fil_null_gated"][0](spark, sf_dir).select(
+        F.lit("null_gated").alias("branch"),
+        F.col("event_id").alias("k"),
+        F.lit(None).cast("string").alias("val_s"),
+        F.col("value").alias("val_d"),
+    )
+    return preds.unionByName(gated)
+
+
+def _lim_dedup_sql() -> str:
+    return f"""
+    SELECT 'topk' AS branch, o_custkey, o_orderkey, o_totalprice, rn
+    FROM ({REGISTRY['topk_per_group'][1]})
+    UNION ALL
+    SELECT 'dedup', o_custkey, o_orderkey, o_totalprice, 1
+    FROM ({REGISTRY['dedup_last_write_wins'][1]})
+    """
+
+
+@register("lim_dedup_suite", _lim_dedup_sql())
+def lim_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIM-1 (k-most-recent per group, unique tiebreaker) + DEDUP-1
+    (last-write-wins natural-key dedup) as tagged branches — both window
+    row_number paths through operators/topk.py."""
+    top = REGISTRY["topk_per_group"][0](spark, sf_dir).select(
+        F.lit("topk").alias("branch"), "o_custkey", "o_orderkey", "o_totalprice",
+        F.col("rn").cast("long").alias("rn"),
+    )
+    ded = REGISTRY["dedup_last_write_wins"][0](spark, sf_dir).select(
+        F.lit("dedup").alias("branch"), "o_custkey", "o_orderkey", "o_totalprice",
+        F.lit(1).cast("long").alias("rn"),
+    )
+    return top.unionByName(ded)

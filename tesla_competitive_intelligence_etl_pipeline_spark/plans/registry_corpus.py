@@ -383,3 +383,101 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.exact_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ===========================================================================
+# Incremental aggregate maintenance (materialized-view refresh)
+# ===========================================================================
+
+
+@register(
+    "xtra_incremental_rollup",
+    f"""
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           COUNT(*) AS cnt,
+           {_dsum('value')} AS value_sum,
+           {_dsum('value')} / CAST(COUNT(*) AS DOUBLE) AS value_avg,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def xtra_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance (operators/incremental.py): the daily
+    rollup is built as TWO independent slice states (before/after Jan 16) and
+    merged — the refresh pattern where each day only its new partition is
+    aggregated and merged into stored state. The oracle is the full
+    recompute: merge-of-parts must equal aggregate-of-whole exactly (exact
+    decimal SUM states make the merge order-insensitive)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import incremental as inc
+
+    ev = src.load_events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    split = "2024-01-16"
+    old = inc.rollup_state(
+        ev.filter(F.col("ts") < split), ["event_type", "day"], F.col("value")
+    )
+    new = inc.rollup_state(
+        ev.filter(F.col("ts") >= split), ["event_type", "day"], F.col("value")
+    )
+    return inc.finalize(inc.merge_rollups(old, new))
+
+
+# ===========================================================================
+# Driver-window composite: the three corpus-hygiene ops in one tagged union
+# (the fine-grained entries above stay registered for direct use; this entry
+# sits inside the driver's 50-query correctness window so all three get a
+# hard driver-side hash check)
+# ===========================================================================
+
+from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import REGISTRY  # noqa: E402
+
+
+def _corpus_hygiene_sql() -> str:
+    rep = REGISTRY["x5_repetition_signals"][1]
+    boiler = REGISTRY["x5_boilerplate_ngrams"][1]
+    decon = REGISTRY["xtra_decontaminate"][1]
+    return f"""
+    SELECT 'rep' AS kind, CAST(doc_id AS VARCHAR) AS k1,
+           top_token_fraction AS num1, n_tokens AS num2,
+           dup_trigram_fraction AS num3
+    FROM ({rep})
+    UNION ALL
+    SELECT 'boiler', ng, NULL, doc_freq, NULL FROM ({boiler})
+    UNION ALL
+    SELECT 'decon', CAST(doc_id AS VARCHAR),
+           CAST(CASE WHEN contaminated THEN 1.0 ELSE 0.0 END AS DOUBLE),
+           bench_hits, NULL
+    FROM ({decon})
+    """
+
+
+@register("x_corpus_hygiene", _corpus_hygiene_sql())
+def x_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5g/h + X-2f in one tagged union: repetition signals, boilerplate
+    n-grams, and benchmark decontamination — same operator implementations
+    as the fine-grained entries, one combined oracle."""
+    rep = x5_repetition_signals(spark, sf_dir).select(
+        F.lit("rep").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("top_token_fraction").alias("num1"),
+        F.col("n_tokens").cast("long").alias("num2"),
+        F.col("dup_trigram_fraction").alias("num3"),
+    )
+    boiler = x5_boilerplate_ngrams(spark, sf_dir).select(
+        F.lit("boiler").alias("kind"),
+        F.col("ng").alias("k1"),
+        F.lit(None).cast("double").alias("num1"),
+        F.col("doc_freq").cast("long").alias("num2"),
+        F.lit(None).cast("double").alias("num3"),
+    )
+    decon = xtra_decontaminate(spark, sf_dir).select(
+        F.lit("decon").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.when(F.col("contaminated"), 1.0).otherwise(0.0).alias("num1"),
+        F.col("bench_hits").cast("long").alias("num2"),
+        F.lit(None).cast("double").alias("num3"),
+    )
+    return rep.unionByName(boiler).unionByName(decon)

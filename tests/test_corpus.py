@@ -106,3 +106,24 @@ def test_funnel_counts_monotone(spark, sf_dir):
     users = [r["users"] for r in rows]
     assert users == sorted(users, reverse=True)
     assert users[0] > 0
+
+
+def test_incremental_rollup_merge_equals_full(spark, sf_dir):
+    """Merging per-slice states (any split, any order) must equal the full
+    recompute exactly."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import incremental as inc
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    ev = src.load_events(spark, sf_dir).withColumn("b", F.col("event_id") % 3)
+    slices = [
+        inc.rollup_state(ev.filter(F.col("b") == i), ["event_type"], F.col("value"))
+        for i in range(3)
+    ]
+    full = inc.finalize(inc.rollup_state(ev, ["event_type"], F.col("value")))
+    merged = inc.finalize(inc.merge_rollups(*slices))
+    merged_rev = inc.finalize(inc.merge_rollups(*reversed(slices)))
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(merged) == canon(full)
+    assert canon(merged_rev) == canon(full)
