@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -53,21 +54,33 @@ def asof_join(
     )
 
     left_cols = [c for c in left.columns if c not in on and c != left_ts]
+    # Forward-fill ONE struct of (right_ts, payload...) rather than each
+    # payload column independently: with per-column last(ignorenulls=True), a
+    # NULL payload value in the matched right row would silently fall back to
+    # an OLDER right row's value (and different columns could come from
+    # different right rows). The struct is atomic — all payload columns and
+    # the tolerance timestamp come from the same matched right row, matching
+    # pandas merge_asof / DuckDB ASOF JOIN semantics.
+    pay_type = T.StructType(
+        [T.StructField("__rts", r_dedup.schema[right_ts].dataType)]
+        + [T.StructField(c, r_dedup.schema[c].dataType) for c in payload_cols]
+    )
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(r_dedup.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
-        F.lit(None).cast(r_dedup.schema[right_ts].dataType).alias("__rts"),
+        F.lit(None).cast(pay_type).alias("__pay"),
     )
     r_tagged = r_dedup.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-        F.col(right_ts).alias("__rts"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("__pay"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -79,17 +92,17 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in payload_cols
-        ],
-        F.last(F.col("__rts"), ignorenulls=True).over(w).alias("__f_rts"),
+        F.last(F.col("__pay"), ignorenulls=True).over(w).alias("__f"),
     )
     out = filled.filter(F.col("__is_left") == 1)
-    keep = F.lit(True) if tolerance is None else (F.col("__ts") - F.col("__f_rts") <= tolerance)
+    keep = (
+        F.lit(True)
+        if tolerance is None
+        else (F.col("__ts") - F.col("__f.__rts") <= tolerance)
+    )
     return out.select(
         *on,
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in left_cols],
-        *[F.when(keep, F.col(f"__f_{c}")).alias(c) for c in payload_cols],
+        *[F.when(keep, F.col(f"__f.{c}")).alias(c) for c in payload_cols],
     )

@@ -48,7 +48,12 @@ def decontaminate(
 ) -> DataFrame:
     """Tag every doc with its benchmark n-gram overlap.
 
-    Returns `id_col, bench_hits (distinct matched n-grams), contaminated`.
+    Returns `id_col, bench_hits (distinct matched n-grams), contaminated`,
+    exactly ONE row per distinct ``id_col`` value. Duplicate ids in ``docs``
+    are tolerated: matched (id, n-gram) pairs are de-duplicated before
+    counting (the distinct runs over join SURVIVORS only — tiny for a clean
+    corpus — so it adds no full-corpus shuffle) and the id spine is
+    `.distinct()`, so duplicated ids neither double-count hits nor fan out.
     Keep the clean corpus with `.filter(~F.col('contaminated'))`.
     """
     # n-gram generation is CPU-bound per row; small single-file inputs arrive
@@ -62,10 +67,11 @@ def decontaminate(
     )
     hits = (
         doc_grams.join(F.broadcast(bench), "ng")
+        .distinct()  # (id, ng) pairs: robust to duplicate ids; survivors only
         .groupBy(id_col)
-        .agg(F.count("*").alias("bench_hits"))  # grams are distinct per doc
+        .agg(F.count("*").alias("bench_hits"))
     )
-    return docs.select(id_col).join(hits, id_col, "left").select(
+    return docs.select(id_col).distinct().join(hits, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("bench_hits"), F.lit(0)).cast("bigint").alias("bench_hits"),
         (F.coalesce(F.col("bench_hits"), F.lit(0)) >= min_hits).alias("contaminated"),

@@ -14,7 +14,9 @@ Scale design (the point of these at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import uuid
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tesla_competitive_intelligence_etl_pipeline_spark.operators.text import (
@@ -123,6 +125,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding proposes candidates, exact Jaccard
     on shingle sets confirms. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
@@ -130,6 +133,16 @@ def minhash_lsh_pairs(
     Shuffle profile: one groupBy on (band, band_hash) whose values are just
     (band_key, doc_id); the self-join to fetch shingles back is by doc_id.
     Candidate count — not corpus size — drives the pair-verification cost.
+
+    ``max_bucket_size`` guards the degenerate-bucket blowup (VERDICT r2): a
+    corpus with a large set of identical/boilerplate documents puts them all
+    in the SAME band bucket, and the band self-join is quadratic in bucket
+    size BEFORE the distinct — one 10k-doc bucket is 10^8 candidate rows.
+    Band entries in buckets larger than the cap are dropped (the standard
+    LSH guard: such groups are exact/boilerplate duplicates, caught by exact
+    dedup or boilerplate filters, not near-dup pairing); the dropped-entry
+    count is exposed as the observed metric ``lsh_dropped_entries`` for
+    production monitoring. Pass None to disable.
     """
     rows_per_band = num_hashes // bands
     # Persist the signature table: it feeds the band explode AND the
@@ -154,6 +167,21 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+    if max_bucket_size is not None:
+        # one window count on the SAME (band, bucket) key the self-join
+        # shuffles on — the exchange is shared, so the cap costs no extra
+        # full-corpus shuffle; both join sides then reuse the capped result
+        wcnt = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(wcnt))
+            .withColumn("__dropped", F.col("__bsz") > max_bucket_size)
+        )
+        banded = banded.observe(
+            "lsh_bucket_cap_" + uuid.uuid4().hex[:8],
+            F.sum(F.col("__dropped").cast("long")).alias("lsh_dropped_entries"),
+        )
+        banded = banded.filter(~F.col("__dropped")).drop("__bsz", "__dropped")
 
     candidates = (
         banded.alias("l")

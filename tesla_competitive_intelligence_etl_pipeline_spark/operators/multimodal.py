@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 FEATURE_DIM = 8
 
 FEATURES_SCHEMA = (
-    "doc_id bigint, modality string, n_bytes bigint, features array<double>"
+    "doc_id bigint, modality string, n_bytes bigint, payload_md5 string, "
+    "features array<double>"
 )
 
 
@@ -64,19 +65,31 @@ def extract_features(multimodal: DataFrame, batch_limit: int | None = None) -> D
     """Feature extraction over binary payloads via Arrow-batched mapInPandas
     (X-10 surface). One Python worker pass per partition; batch shape is
     whatever Arrow delivers — the udf must not assume one batch per
-    partition."""
+    partition.
+
+    Besides the feature vector, the udf emits ``payload_md5`` — an md5 of the
+    decoded bytes computed IN PYTHON (hashlib) per row. This is the hard
+    correctness signal for the Python-worker path: DuckDB's md5() over the
+    same bytes must agree, so the driver oracle proves the Arrow round-trip
+    delivered every payload byte intact (not just row counts)."""
+    import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            decoded = [
+                decode_payload(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["n_bytes"],
-                    "features": [
-                        _fake_features(decode_payload(p, m))
-                        for p, m in zip(pdf["payload"], pdf["modality"])
+                    "payload_md5": [
+                        hashlib.md5(p if p is not None else b"").hexdigest()
+                        for p in decoded
                     ],
+                    "features": [_fake_features(p) for p in decoded],
                 }
             )
             yield out

@@ -93,8 +93,15 @@ def upsample_repeats(df: DataFrame, repeats: Column) -> DataFrame:
     """Mixture upsampling: repeat each row ``repeats`` times (epochs-per-
     source weighting in pre-training mixes), adding ``repeat_ix`` (1-based)
     so downstream shuffling/packing can distinguish copies. Rows with
-    repeats <= 0 are dropped (sequence() yields an empty array)."""
+    repeats <= 0 (or null) are dropped.
+
+    The guard matters: a bare ``sequence(1, stop)`` defaults to step -1 when
+    ``stop < 1``, so repeats=0 would yield [1, 0] (two copies!) and repeats=-1
+    three — the opposite of "drop". Gating the sequence behind ``repeats >= 1``
+    makes the else-branch NULL, and ``explode`` of a NULL array drops the row,
+    which is the documented contract (mixture factor 0 = exclude the source)."""
+    n = repeats.cast("int")
     return df.withColumn(
         "repeat_ix",
-        F.explode(F.sequence(F.lit(1), repeats.cast("int"))),
+        F.explode(F.when(n >= 1, F.sequence(F.lit(1), n))),
     )

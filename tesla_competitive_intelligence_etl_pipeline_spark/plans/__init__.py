@@ -30,12 +30,14 @@ DRIVER_WINDOW: list[str] = [
     "set_ops_suite",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_ratio",
     "q18_large_orders",
     "q_corr_subquery_avg",
+    # round-3 composites (VERDICT r2 item 2): fold the oracle-backed extras
+    # that sat outside the window; q5/q6/q12/q14 moved INTO tpch_suite.
+    "tpch_suite",
+    "xtra_suite",
+    "xtra_sampling_suite",
+    "x9_joins_suite",
     "fn_parse_label_format",
     "fn_numeric_suite",
     "fn_boundary_tolerance",
@@ -73,6 +75,10 @@ def load_registry() -> dict:
         registry_fns,
         registry_more,
         registry_streaming,
+    )
+    # suites LAST: their oracles splice REGISTRY SQL from every batch above
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import (  # noqa: F401
+        registry_suites,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

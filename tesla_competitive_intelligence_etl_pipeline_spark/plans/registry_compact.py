@@ -1362,6 +1362,21 @@ def xtra_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def _dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redelivered events stream deduped within watermark, aggregated —
+    shared by the fine-grained entry and the x9_joins_suite composite."""
+    redelivered = strm.stream_events(spark, sf_dir).unionByName(
+        strm.stream_events(spark, sf_dir)
+    )
+    deduped = redelivered.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+    )
+
+
 @register(
     "x9_stream_dedup",
     f"""
@@ -1377,20 +1392,7 @@ def x9_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap of plain dropDuplicates on an infinite stream). Final counts must
     equal the batch aggregate over the ORIGINAL events — proving ingestion
     is idempotent under redelivery."""
-    redelivered = strm.stream_events(spark, sf_dir).unionByName(
-        strm.stream_events(spark, sf_dir)
-    )
-    deduped = redelivered.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
-        ["event_id"]
-    )
-    agg_df = (
-        deduped.groupBy("event_type")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
-        )
-    )
-    return strm.run_to_table(spark, agg_df, mode="complete")
+    return strm.run_to_table(spark, _dedup_stream(spark, sf_dir), mode="complete")
 
 
 # ===========================================================================
@@ -1683,16 +1685,19 @@ def x9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     static customer dim (broadcast; re-read per micro-batch in production so
     dim updates are picked up), then aggregated. The standard streaming
     enrichment topology."""
+    return strm.run_to_table(spark, _static_join_stream(spark, sf_dir), mode="complete")
+
+
+def _static_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = strm.stream_events(spark, sf_dir)
     customer = src.load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     joined = ev.join(F.broadcast(customer), "user_id")
-    agg_df = joined.withWatermark("ts", "10 minutes").groupBy("c_mktsegment").agg(
+    return joined.withWatermark("ts", "10 minutes").groupBy("c_mktsegment").agg(
         F.count("*").alias("cnt"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
     )
-    return strm.run_to_table(spark, agg_df, mode="complete")
 
 
 @register(
@@ -1711,6 +1716,15 @@ def x9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     30 minutes, per user): both sides watermarked so the join state is
     bounded — Spark buffers only rows inside the watermark + interval bound.
     AvailableNow drain must equal the batch interval join (the oracle)."""
+    out = strm.run_to_table(
+        spark,
+        _stream_stream_joined(spark, sf_dir).select("view_id", "purchase_id", "user_id"),
+        mode="append",
+    )
+    return out
+
+
+def _stream_stream_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = (
         strm.stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "view")
@@ -1724,14 +1738,12 @@ def x9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
         .withWatermark("p_ts", "10 minutes")
     )
-    joined = views.join(
+    return views.join(
         purchases,
         (F.col("p_user") == F.col("user_id"))
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
-    out = strm.run_to_table(spark, joined.select("view_id", "purchase_id", "user_id"), mode="append")
-    return out
 
 
 # ===========================================================================

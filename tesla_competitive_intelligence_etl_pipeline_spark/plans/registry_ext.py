@@ -194,24 +194,43 @@ def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.attach_binary_payload(docs).select("doc_id", "modality", "n_bytes")
 
 
-@register("x4_feature_extract", None)  # mapInPandas stub decode -> rows-only
+@register(
+    "x4_feature_extract",
+    """
+    SELECT doc_id, 'text' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(8 AS BIGINT) AS feat_width,
+           octet_length(encode(text)) > 0 AS feat_normalized
+    FROM documents
+    """,
+)
 def x4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4b: Arrow-batched mapInPandas feature extraction over binary
     payloads (decode stubbed — no codec libs in container; plumbing real).
-    The library API returns `features array<double>`; the driver-facing
-    projection flattens it to scalar columns (first element + checksum) —
-    the correctness harness canonicalizes rows through pandas factorize,
-    which cannot hash list cells."""
+
+    Oracle strategy (VERDICT r2 item 1): the udf emits scalar features a SQL
+    engine can recompute — ``payload_md5`` is hashed IN PYTHON from the
+    decoded bytes, so a DuckDB md5() match proves every payload byte survived
+    the Arrow round-trip; ``feat_width`` pins the declared feature dimension;
+    ``feat_normalized`` pins the L1-normalization invariant (sum(features)=1
+    for any nonempty payload). The `features array<double>` column itself is
+    value-checked in tests/test_ext.py against hand-computed vectors."""
     docs = src.load_table(spark, sf_dir, "documents")
     feats = mm.extract_features(mm.attach_binary_payload(docs))
     return feats.select(
         "doc_id",
         "modality",
         "n_bytes",
-        F.round(F.get(F.col("features"), 0), 6).alias("feat_first"),
-        F.round(
-            F.aggregate(F.col("features"), F.lit(0.0), lambda acc, x: acc + x), 6
-        ).alias("feat_checksum"),
+        "payload_md5",
+        F.size("features").cast("bigint").alias("feat_width"),
+        (
+            F.abs(
+                F.aggregate(F.col("features"), F.lit(0.0), lambda acc, x: acc + x)
+                - F.lit(1.0)
+            )
+            < F.lit(1e-4)
+        ).alias("feat_normalized"),
     )
 
 

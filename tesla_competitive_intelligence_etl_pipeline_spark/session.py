@@ -39,8 +39,9 @@ def get_spark(app_name: str = "tesla-ci-etl-spark", shuffle_partitions: int | No
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark has no
-        # native type for — read as long ns, converted in sources.io.load_events
+        # testdata events.ts is parquet TIMESTAMP(NANOS): Spark <= 4.0 reads
+        # it as long ns under this legacy conf; 4.1+ ignores the conf and
+        # surfaces TIMESTAMP_NTZ. sources.io.normalize_event_ts handles both.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -30,14 +30,30 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
-    (spark.sql.legacy.parquet.nanosAsLong). Truncate to microseconds —
-    bit-identical to DuckDB's CAST(ts AS TIMESTAMP)."""
-    from pyspark.sql import functions as F
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp to session-tz TIMESTAMP (microseconds),
+    bit-identical to DuckDB's CAST(ts AS TIMESTAMP) on the same file.
 
-    df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events.parquet carries parquet TIMESTAMP(NANOS), which Spark surfaces
+    differently across versions: as long nanoseconds under
+    spark.sql.legacy.parquet.nanosAsLong (<= 4.0 behavior), or natively as
+    TIMESTAMP_NTZ truncated to microseconds (4.1+). Branch on the arriving
+    type so the engine is correct under either reader; the session timezone
+    is pinned UTC, so the NTZ -> TIMESTAMP cast preserves the wall-clock
+    microsecond value DuckDB produces."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} DIV 1000")))
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with ``ts`` normalized to TIMESTAMP (see
+    normalize_event_ts)."""
+    return normalize_event_ts(load_table(spark, sf_dir, "events"))
 
 
 def write_json_bronze(df: DataFrame, path: str, partition_col: str = "ticker") -> None:

@@ -24,22 +24,26 @@ from pyspark.sql import functions as F
 
 from tesla_competitive_intelligence_etl_pipeline_spark.sources import merge as merge_mod
 
-EVENTS_RAW_DDL = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events parquet (ns timestamps as long —
-    same read path as sources.io.load_events)."""
+    """Streaming source over the events parquet, ``ts`` normalized to
+    TIMESTAMP — same read path as sources.io.load_events.
+
+    readStream needs an explicit schema; the parquet TIMESTAMP(NANOS) column
+    surfaces as long-ns or TIMESTAMP_NTZ depending on the Spark version, so
+    take the schema from a one-footer batch probe (driver-side, no data scan)
+    instead of hardcoding either representation."""
+    import os
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src_io
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_DDL)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # file-source needs a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return src_io.normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
@@ -157,9 +161,16 @@ def merge_micro_batch(batch: DataFrame, target: str, n_buckets: int = 16) -> Non
     touched = [r["__bucket"] for r in latest.select("__bucket").distinct().collect()]
     if not touched:
         return
-    try:
+    # Probe path existence explicitly instead of catching a bare Exception
+    # around the read: a transient/permission/corrupt-footer error must ABORT
+    # the micro-batch (foreachBatch retries it), not be mistaken for "first
+    # batch" — treating it as empty would make the dynamic partition
+    # overwrite silently drop every existing row in the touched buckets.
+    hconf = sess.sparkContext._jsc.hadoopConfiguration()
+    hpath = sess.sparkContext._jvm.org.apache.hadoop.fs.Path(target)
+    if hpath.getFileSystem(hconf).exists(hpath):
         current = sess.read.parquet(target).filter(F.col("__bucket").isin(touched))
-    except Exception:  # first batch: table does not exist yet
+    else:  # first batch: table does not exist yet
         current = sess.createDataFrame([], latest.schema)
     merged = merge_mod.merge_upsert(
         current, latest, keys=["user_id"], order_cols=["ts", "event_id"]

@@ -73,6 +73,20 @@ def test_decontaminate_exact_hit_count(spark):
     assert row["bench_hits"] == 1 and row["contaminated"] is True
 
 
+def test_decontaminate_tolerates_duplicate_doc_ids(spark):
+    """ADVICE r2: duplicate ids must neither double-count hits nor fan out —
+    one output row per distinct id, hits counted over distinct (id, gram)."""
+    bench = spark.createDataFrame([(0, "a b c d e")], "doc_id int, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (1, "a b c d e"), (2, "no overlap at all here x")],
+        "doc_id int, text string",
+    )
+    rows = dc.decontaminate(docs, bench, n=5).collect()
+    assert len(rows) == 2
+    out = {r["doc_id"]: r["bench_hits"] for r in rows}
+    assert out == {1: 1, 2: 0}
+
+
 def test_repetition_signals_keep_split(spark, sf_dir):
     """The registered query must produce BOTH keep classes on the test corpus
     (thresholds were picked against the real distribution)."""

@@ -128,10 +128,23 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
     feats = mm.extract_features(mm.attach_binary_payload(docs))
     rows = feats.collect()
     assert len(rows) == 50
+    import hashlib
+
     for r in rows:
         assert len(r.features) == mm.FEATURE_DIM
         assert abs(sum(r.features) - 1.0) < 1e-3  # normalized fake features
         assert r.n_bytes > 0
+        assert len(r.payload_md5) == 32
+
+    # hand-computed vector + Python-side md5 on a known payload
+    one = spark.createDataFrame(
+        [(1, "text", bytearray(b"abcdefgh"), 8, "{}")],
+        "doc_id long, modality string, payload binary, n_bytes long, meta string",
+    )
+    row = mm.extract_features(one).collect()[0]
+    total = sum(b"abcdefgh")
+    assert row.features == [round(b / total, 6) for b in b"abcdefgh"]
+    assert row.payload_md5 == hashlib.md5(b"abcdefgh").hexdigest()
 
 
 def test_multimodal_decode_stub_raises_for_unsupported_modality():
@@ -248,3 +261,71 @@ def test_split_assign_partition_is_stable_and_complete(spark, sf_dir):
     a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
     b = {(r.doc_id, r.split) for r in sampling.split_assign(docs, "doc_id").select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_upsample_repeats_drops_nonpositive_factors(spark):
+    """ADVICE r2: sequence(1, stop) defaults to step -1 when stop < 1, so an
+    unguarded explode would DUPLICATE rows with repeats <= 0 instead of
+    dropping them. The guarded form must drop them (mixture factor 0 =
+    exclude the source) and keep >= 1 exact."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 1), ("c", 0), ("d", -1), ("e", None)],
+        "doc_id string, factor int",
+    )
+    out = sampling.upsample_repeats(df, F.col("factor"))
+    got = sorted((r.doc_id, r.repeat_ix) for r in out.collect())
+    assert got == [("a", 1), ("a", 2), ("a", 3), ("b", 1)]
+
+
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    """ADVICE r2: payload columns must all come from the SAME matched right
+    row — a NULL in the matched row stays NULL (pandas merge_asof semantics),
+    it must NOT fall back to an older right row's value."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import asof
+
+    left = spark.createDataFrame([(1, 100, "A")], "trade_id long, ts long, k string")
+    right = spark.createDataFrame(
+        [(10, 1.0, 111.0, "A"), (50, None, 555.0, "A")],
+        "qts long, px double, sz double, k string",
+    )
+    out = asof.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="qts",
+        payload_cols=["px", "sz"], right_tiebreak="sz",
+    ).collect()
+    # matched row is qts=50 (latest <= 100): px is NULL there, sz is 555
+    assert out[0].px is None and out[0].sz == 555.0
+
+    # tolerance is judged against the matched row's ts, and nulls BOTH columns
+    out_tol = asof.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="qts",
+        payload_cols=["px", "sz"], right_tiebreak="sz", tolerance=F.lit(20),
+    ).collect()
+    assert out_tol[0].px is None and out_tol[0].sz is None  # 100-50 > 20
+
+
+def test_minhash_lsh_bucket_cap_guards_degenerate_corpus(spark):
+    """VERDICT r2 item 3: an all-identical block of documents lands in ONE
+    band bucket, and the band self-join is quadratic in bucket size before
+    the distinct. The cap must drop such buckets (bounding the candidate
+    set) while leaving genuine near-dup pairs in small buckets untouched."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+
+    boiler = "the quarterly report shows strong growth across all segments again"
+    rows = [(i, boiler) for i in range(400)]
+    # one genuine high-similarity near-dup pair (one-token tail edit over 40
+    # tokens -> shingle Jaccard ~0.93, comfortably above banding recall)
+    base = " ".join(f"delivery{j}" for j in range(40))
+    rows += [(1000, base), (1001, base + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=100)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1000, 1001) in got  # small-bucket near-dups survive
+    # the 400-doc degenerate block (79800 potential pairs) was dropped
+    assert not any(x < 1000 and y < 1000 for x, y in got)
+
+    # uncapped, the same corpus DOES produce the quadratic pair set
+    uncapped = dd.minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=None)
+    assert uncapped.filter("doc_a < 1000 AND doc_b < 1000").count() == 400 * 399 // 2

@@ -152,6 +152,41 @@ def test_merge_micro_batch_rewrites_only_touched_buckets(spark, tmp_path):
     assert gold.count() == 8
 
 
+def test_merge_micro_batch_read_error_aborts_not_wipes(spark, tmp_path):
+    """ADVICE r2: a corrupt/unreadable existing target must ABORT the
+    micro-batch (so foreachBatch retries), never be mistaken for 'first
+    batch' — that mistake would overwrite the touched buckets with
+    batch-only rows, silently dropping gold data."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+
+    def ev(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s long, user_id long, event_type string, value double"
+        )
+        return df.select(
+            "event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    strm.merge_micro_batch(ev([(1, 1000, 7, "seed", 1.0)]), target, n_buckets=4)
+    before = spark.read.parquet(target).collect()
+    assert len(before) == 1
+
+    # corrupt the existing table: truncate every parquet footer
+    import glob
+
+    for p in glob.glob(target + "/__bucket=*/*.parquet"):
+        with open(p, "wb") as fh:
+            fh.write(b"not a parquet file")
+
+    with pytest.raises(Exception):
+        strm.merge_micro_batch(ev([(2, 2000, 7, "update", 2.0)]), target, n_buckets=4)
+
+
 def test_session_gap_boundary_matches_session_window(spark):
     """ADVICE r1 boundary pin, decided EMPIRICALLY: F.session_window MERGES
     touching windows — an event at exactly start+gap joins the session — so
