@@ -12,6 +12,19 @@ registry — every oracle-backed query plus the rows-only approximate variants
 
 Queries are materialized with the noop sink — full plan execution, no
 driver-side collect bottleneck.
+
+HEADLINE SET IS FROZEN (since round 1): the 16 names below are the
+round-over-round comparison basis recorded in BENCH_r*.json against
+BASELINE.md. Do NOT add, remove, or swap entries — a cheaper substitute
+would silently flatter the trend. New operators get timed via the
+all-queries sweep; changing the headline set requires renaming the metric.
+
+ENVIRONMENT NOTE (round 3): the container moved to PySpark 4.1.2 between
+rounds 2 and 3. Measured on otherwise-identical plans, wall-clock inflated
+~40-55% across the board (e.g. the UNCHANGED uncapped minhash query: 4.95 s
+on the r2 runtime -> 7.7 s cold on 4.1.2). Round-over-round comparisons
+against BENCH_r01/r02 therefore mix engine-version drift with plan changes;
+compare per-query ratios within a round's own run where possible.
 """
 
 from __future__ import annotations
@@ -73,7 +86,13 @@ def main() -> None:
     def run(name: str) -> float:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        # Queries are independent: drop their persisted intermediates
+        # (minhash signatures, IVF index, ...) so storage memory doesn't
+        # accumulate across the 150+-query sweep — by the tail it otherwise
+        # causes multi-second GC stalls misattributed to innocent queries.
+        spark.catalog.clearCache()
+        return dt
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

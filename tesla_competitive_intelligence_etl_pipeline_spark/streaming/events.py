@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 from tesla_competitive_intelligence_etl_pipeline_spark.sources import merge as merge_mod
 
+# per-path schema probe results (a static test fixture's schema never
+# changes mid-session; saves one footer read per stream construction)
+_EVENTS_SCHEMA_CACHE: dict = {}
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events parquet, ``ts`` normalized to
     TIMESTAMP — same read path as sources.io.load_events.
@@ -36,7 +40,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src_io
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = _EVENTS_SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _EVENTS_SCHEMA_CACHE[path] = schema
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
