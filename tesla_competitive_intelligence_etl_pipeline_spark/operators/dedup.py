@@ -487,3 +487,99 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def cross_corpus_neardup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Cross-corpus near-dedup: which NEW documents are near-duplicates of
+    anything in the EXISTING corpus (continual-pretraining ingestion: dedup
+    an incoming crawl against the already-trained set without re-pairing the
+    existing corpus with itself).
+
+    Same MinHash-LSH plan as minhash_lsh_pairs over the tagged union, but
+    pairs are kept only ACROSS sides — the quadratic within-side pair sets
+    are never materialized (the band join filters side_a < side_b before the
+    distinct). Returns (doc_id, match_id, jaccard): one row per new doc x
+    matched existing doc above threshold; dedup the new corpus with an
+    anti-join on distinct doc_id.
+
+    ids must be unique WITHIN each side; across sides they may collide (the
+    side tag disambiguates).
+    """
+    tagged = new_docs.select(
+        F.lit(1).alias("__side"), F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).unionByName(
+        existing_docs.select(
+            F.lit(0).alias("__side"), F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    )
+    rows_per_band = num_hashes // bands
+    n_part = tagged.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        tagged.repartition(n_part)
+        .select(
+            "__side",
+            "doc_id",
+            hashed_shingles(F.col("text"), shingle_n).alias("sh"),
+        )
+        .withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes))
+        .persist()
+    )
+    banded = sigs.select(
+        "__side",
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__side", "doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        banded = banded.persist()
+        over = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+
+    new_side = banded.filter(F.col("__side") == 1).select(
+        F.col("doc_id").alias("doc_id"), "band", "bucket"
+    )
+    old_side = banded.filter(F.col("__side") == 0).select(
+        F.col("doc_id").alias("match_id"), "band", "bucket"
+    )
+    candidates = (
+        new_side.join(old_side, ["band", "bucket"])  # cross-side ONLY
+        .select("doc_id", "match_id")
+        .distinct()
+    )
+    sh_new = sigs.filter(F.col("__side") == 1).select("doc_id", F.col("sh").alias("sh_a"))
+    sh_old = sigs.filter(F.col("__side") == 0).select(
+        F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b")
+    )
+    return (
+        candidates.join(sh_new, "doc_id")
+        .join(sh_old, "match_id")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard")
+    )

@@ -158,3 +158,59 @@ def redact_pii(text: Column, replacement: str = "[REDACTED]") -> Column:
     for pat in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, replacement)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining (tokenizer training, step 1): corpus-wide
+# adjacent-token-pair frequencies. The first merge of every BPE training run
+# is argmax over exactly this table; at 100 TB it is the canonical
+# "explode adjacent pairs -> partial-agg groupBy" plan — pairs are generated
+# map-side with array slicing (no self-join), and only (pair, count) rows
+# shuffle. SQL-expressible, so oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def adjacent_pairs(text: Column) -> Column:
+    """Array of 'a b' adjacent token pairs of the normalized text (length
+    n-1 for n tokens; empty for single-token docs)."""
+    toks = tokens(normalized_text(text))
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_pair_frequencies(
+    docs: "DataFrame", text_col: str = "text", top_k: int = 100
+) -> "DataFrame":
+    """Top-k most frequent adjacent token pairs across the corpus with a
+    total order (count desc, pair asc) — the BPE merge-candidate table.
+    Returns (rank, pair, freq)."""
+    from pyspark.sql import Window
+
+    pairs = docs.select(F.explode(adjacent_pairs(F.col(text_col))).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("freq"))
+    # A bare global row_number would pull the WHOLE vocabulary through one
+    # partition. Two-phase top-k instead: each partition keeps its local
+    # top-k (any global top-k member is a local top-k member of its
+    # partition), then the final exact rank sorts only <= k * n_partitions
+    # survivor rows — the same contract as RDD takeOrdered, in DataFrame form.
+    w_local = Window.partitionBy("__pid").orderBy(
+        F.col("freq").desc(), F.col("pair").asc()
+    )
+    survivors = (
+        counts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= top_k)
+        .drop("__pid", "__lrn")
+    )
+    w_global = Window.orderBy(F.col("freq").desc(), F.col("pair").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "pair", "freq")
+    )

@@ -481,3 +481,36 @@ def x_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("num3"),
     )
     return rep.unionByName(boiler).unionByName(decon)
+
+
+# ===========================================================================
+# BPE merge-candidate mining (tokenizer training, step 1)
+# ===========================================================================
+
+
+@register(
+    "xtra_bpe_pairs",
+    f"""
+    WITH t AS (
+      SELECT string_split_regex({_NORM.format(c='text')}, '\\s+') AS tk
+      FROM documents
+    ),
+    p AS (
+      SELECT tk[i] || ' ' || tk[i+1] AS pair
+      FROM t, unnest(range(1, len(tk))) AS r(i)
+    )
+    SELECT * FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS rank,
+             pair, COUNT(*) AS freq
+      FROM p GROUP BY pair
+    ) WHERE rank <= 100
+    """,
+)
+def xtra_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, exact top-100 with a
+    total order — the merge-candidate table every BPE training iteration
+    argmaxes over. Pairs are generated map-side (array slice, no self-join);
+    only (pair, count) shuffles; top-k is two-phase (local top-k then a
+    bounded global rank) so no full-vocabulary single-partition sort."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return tx.bpe_pair_frequencies(docs, top_k=100)

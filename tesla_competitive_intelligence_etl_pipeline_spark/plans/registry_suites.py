@@ -192,6 +192,8 @@ def _xtra_suite_sql() -> str:
             _b("rollup", r["xtra_incremental_rollup"][1],
                f"{_BN} AS k1, event_type || '|' || strftime(day, '%Y-%m-%d') AS k2, "
                "cnt, value_sum AS val"),
+            _b("bpe", r["xtra_bpe_pairs"][1],
+               f"rank AS k1, pair AS k2, freq AS cnt, {_DN} AS val"),
         ]
     )
 
@@ -201,9 +203,9 @@ def xtra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The non-sampling extension extras in one harmonized result: as-of
     join (union+forward-fill), bucketized range join, salted skew join,
     clustered parquet write + read-back, distributed-prefix-sum sequence
-    packing, PII scan/redaction, benchmark decontamination, and incremental
-    rollup maintenance — every branch the SAME registered builder the
-    fine-grained entry uses."""
+    packing, PII scan/redaction, benchmark decontamination, incremental
+    rollup maintenance, and BPE merge-pair mining — every branch the SAME
+    registered builder the fine-grained entry uses."""
     nb = F.lit(-1).cast("long")
     ns = F.lit(None).cast("string")
     nd = F.lit(None).cast("double")
@@ -251,6 +253,10 @@ def xtra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_type"), F.lit("|"), F.date_format("day", "yyyy-MM-dd")
             ).alias("k2"),
             F.col("cnt"), F.col("value_sum").alias("val")),
+        run("xtra_bpe_pairs").select(
+            F.lit("bpe").alias("branch"), F.col("rank").alias("k1"),
+            F.col("pair").alias("k2"), F.col("freq").alias("cnt"),
+            nd.alias("val")),
     ]
     out = branches[0]
     for b in branches[1:]:

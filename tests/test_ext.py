@@ -329,3 +329,28 @@ def test_minhash_lsh_bucket_cap_guards_degenerate_corpus(spark):
     # uncapped, the same corpus DOES produce the quadratic pair set
     uncapped = dd.minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=None)
     assert uncapped.filter("doc_a < 1000 AND doc_b < 1000").count() == 400 * 399 // 2
+
+
+def test_cross_corpus_neardup_finds_only_cross_side_matches(spark):
+    """Continual-pretraining ingestion dedup: new docs matching the existing
+    corpus are flagged; near-dup pairs WITHIN either side are never reported
+    (the quadratic within-side pair sets must not be materialized)."""
+    base = " ".join(f"tok{j}" for j in range(40))
+    other = " ".join(f"w{j}" for j in range(40))
+    existing = spark.createDataFrame(
+        [(100, base), (101, base + " tail"),          # near-dups WITHIN existing
+         (102, other)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " fresh"),                        # near-dup of existing 100/101
+         (2, " ".join(f"z{j}" for j in range(40))),   # novel
+         (3, " ".join(f"z{j}" for j in range(40)) + " x")],  # near-dup of NEW 2
+        "doc_id long, text string",
+    )
+    out = dd.cross_corpus_neardup(new, existing, threshold=0.5).collect()
+    matched_new = {r.doc_id for r in out}
+    assert matched_new == {1}  # only the cross-side near-dup
+    assert {r.match_id for r in out} <= {100, 101}
+    for r in out:
+        assert r.jaccard >= 0.5
