@@ -514,3 +514,40 @@ def xtra_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded global rank) so no full-vocabulary single-partition sort."""
     docs = src.load_table(spark, sf_dir, "documents")
     return tx.bpe_pair_frequencies(docs, top_k=100)
+
+
+# ===========================================================================
+# X-3d: distributed k-means corpus clustering (iterative)
+# ===========================================================================
+
+
+@register("x3_kmeans_clusters", None)  # iterative (Lloyd) — rows-only by design
+def x3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embeddings table (operators/clustering.py):
+    centroids driver-held and broadcast as literals (assignment is map-side,
+    no join), update step shuffles only k rows via per-dimension partial-agg
+    sums, deterministic md5-bucket seeding. Iterative => no SQL oracle; blob
+    recovery + determinism pinned in tests/test_ext.py. Returns the per-
+    cluster summary (size, mean intra-cluster distance)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    assigned, cents = clustering.kmeans(emb, k=8, max_iters=5)
+    dists = assigned.select(
+        "cluster",
+        F.least(
+            *[
+                F.when(F.col("cluster") == j, clustering._sq_dist(
+                    F.col("embedding").cast("array<double>"), c))
+                for j, c in enumerate(cents)
+            ]
+        ).alias("sq_dist"),
+    )
+    return (
+        dists.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -354,3 +354,43 @@ def test_cross_corpus_neardup_finds_only_cross_side_matches(spark):
     assert {r.match_id for r in out} <= {100, 101}
     for r in out:
         assert r.jaccard >= 0.5
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """k-means must exactly recover well-separated planted blobs (deterministic
+    construction: blob centers are scaled one-hot axes, points are small
+    deterministic offsets) and be deterministic across runs. The testdata
+    embeddings carry only a weak label signal (within-label cosine ~0.02), so
+    blobs are planted here instead."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    K, PER, DIM = 4, 50, 8
+    pts = spark.range(K * PER).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % K).cast("int").alias("blob"),
+    )
+    # center_b = 10 * e_b ; offset dims: +/-0.3 pattern varying by id
+    vec = F.array(*[
+        (F.when(F.col("blob") == d, 10.0).otherwise(0.0)
+         + F.when((F.col("vec_id") + d) % 3 == 0, 0.3).otherwise(-0.15))
+        for d in range(DIM)
+    ])
+    emb = pts.withColumn("embedding", vec.cast("array<float>"))
+
+    out, cents = clustering.kmeans(emb, k=K, max_iters=10)
+    rows = out.select("vec_id", "cluster", "blob").collect()
+    from collections import Counter, defaultdict
+
+    by_cluster = defaultdict(Counter)
+    for r in rows:
+        by_cluster[r.cluster][r.blob] += 1
+    # perfect recovery: each cluster holds exactly one blob
+    assert len(by_cluster) == K
+    for c in by_cluster.values():
+        assert len(c) == 1 and c.most_common(1)[0][1] == PER
+
+    out2, cents2 = clustering.kmeans(emb, k=K, max_iters=10)
+    assert cents == cents2  # deterministic seeding + updates
+    a = {(r.vec_id, r.cluster) for r in rows}
+    b = {(r.vec_id, r.cluster) for r in out2.select("vec_id", "cluster").collect()}
+    assert a == b
