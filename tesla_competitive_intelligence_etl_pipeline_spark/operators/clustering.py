@@ -98,3 +98,118 @@ def kmeans(
         if shift < tol:
             break
     return assign_clusters(df, vec_col, centroids), centroids
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale path for billion-vector ANN.
+# A dim-d float vector (4d bytes) becomes m uint8-ish codes (m bytes): the
+# vector is split into m subspaces, each quantized against its own k-word
+# codebook (k-means per subspace). Search uses asymmetric distance: the
+# query's per-subspace distance table (m x k floats, driver-computed) enters
+# the plan as a literal, so scoring a vector is m array lookups + adds —
+# map-side, no join, no full-precision vectors read at query time.
+# ---------------------------------------------------------------------------
+
+
+def _slice_subspace(vec, m: int, sub: int, sub_dim: int):
+    """Subvector for subspace ``sub`` (arrays are 1-indexed in F.slice)."""
+    return F.slice(vec, sub * sub_dim + 1, sub_dim)
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    max_iters: int = 5,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: k-means per subspace (m runs over the SAME scan,
+    each on a sub_dim-wide slice). Returns codebooks[sub][code] -> centroid.
+    dim must be divisible by m."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    codebooks = []
+    for sub in range(m):
+        sliced = df.select(
+            F.col(id_col).alias("vec_id"),
+            _slice_subspace(vec, m, sub, sub_dim).alias("sv"),
+        )
+        _, cents = kmeans(sliced, vec_col="sv", id_col="vec_id", k=k, max_iters=max_iters)
+        codebooks.append(cents)
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``pq_code`` (array<int>, length m): nearest codeword per subspace.
+    Map-side expression; write this table instead of the float vectors for a
+    dim*4/m compression of the searchable corpus."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_dist(_slice_subspace(vec, m, sub, sub_dim), c).alias("d"),
+                            F.lit(code).alias("j"),
+                        )
+                        for code, c in enumerate(codebooks[sub])
+                    ]
+                )
+            ).getField("j")
+            for sub in range(m)
+        ]
+    )
+    return df.withColumn("pq_code", codes)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: distance table computed driver-side
+    (m x k_codes floats), broadcast as a literal; per row the approximate
+    squared distance is m table lookups summed — no float vectors touched.
+    Returns (id, approx_sq_dist) ascending with a total order (dist, id)."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    table = [
+        [
+            sum(
+                (query_vec[sub * sub_dim + i] - c[i]) ** 2
+                for i in range(sub_dim)
+            )
+            for c in codebooks[sub]
+        ]
+        for sub in range(m)
+    ]
+    tbl_lit = F.array(
+        *[F.array(*[F.lit(float(d)) for d in row]) for row in table]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col("pq_code"),
+            lambda sub, code: F.get(F.get(tbl_lit, sub), code),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(F.col(id_col), F.round(dist, 6).alias("approx_sq_dist"))
+        .orderBy(F.col("approx_sq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

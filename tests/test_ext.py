@@ -394,3 +394,42 @@ def test_kmeans_recovers_planted_clusters(spark):
     a = {(r.vec_id, r.cluster) for r in rows}
     b = {(r.vec_id, r.cluster) for r in out2.select("vec_id", "cluster").collect()}
     assert a == b
+
+
+def test_pq_roundtrip_ranks_same_blob_nearest(spark):
+    """Product quantization: train per-subspace codebooks on planted blobs,
+    encode, and verify (a) compression contract (m codes per vector, code <
+    k), (b) asymmetric-distance search puts the query's own blob in the
+    top-k ahead of other blobs, (c) determinism."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    K, PER, DIM = 4, 40, 16
+    pts = spark.range(K * PER).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % K).cast("int").alias("blob"),
+    )
+    vec = F.array(*[
+        (F.when(F.col("blob") == d % K, 8.0).otherwise(0.0)
+         + F.when((F.col("vec_id") + d) % 3 == 0, 0.25).otherwise(-0.1))
+        for d in range(DIM)
+    ])
+    emb = pts.withColumn("embedding", vec.cast("array<float>")).persist()
+
+    books = clustering.pq_train(emb, m=4, k=8, max_iters=4)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    enc = clustering.pq_encode(emb, books).persist()
+    codes = enc.select("pq_code").collect()
+    assert all(len(r.pq_code) == 4 and max(r.pq_code) < 8 for r in codes)
+
+    # query = an actual blob-0 vector; top-(PER-1) must all be blob 0
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding", "blob").first()
+    query = [float(x) for x in qrow.embedding]
+    top = clustering.pq_topk(enc, books, query, k=PER - 1)
+    hits = top.join(emb.select("vec_id", "blob"), "vec_id").collect()
+    assert all(r.blob == 0 for r in hits), Counter(r.blob for r in hits)
+
+    top2 = clustering.pq_topk(enc, books, query, k=PER - 1)
+    assert [tuple(r) for r in top.collect()] == [tuple(r) for r in top2.collect()]
+
+
+from collections import Counter  # noqa: E402  (used in pq test assertion msg)
