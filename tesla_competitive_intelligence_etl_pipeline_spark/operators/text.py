@@ -214,3 +214,49 @@ def bpe_pair_frequencies(
         .filter(F.col("rank") <= top_k)
         .select("rank", "pair", "freq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: split long documents into fixed-token chunks with
+# overlap — the pre-embedding / pre-packing step of RAG and pretraining
+# pipelines. Pure array expressions (sequence + explode + slice), map-side
+# except the explode's row fan-out; no shuffle. SQL-expressible (DuckDB list
+# slicing), so oracle-checkable including chunk CONTENT via md5.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> "DataFrame":
+    """One row per chunk: (id, chunk_ix, n_tokens, chunk_text). Chunk i
+    covers tokens [i*step, i*step + chunk_tokens) with step = chunk_tokens -
+    overlap; the final chunk may be short. Tokens are whitespace splits of
+    the raw text (chunking must not alter content — no normalization)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("__tk"),
+            F.explode(starts).alias("__start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__start") / step).cast("long").alias("chunk_ix"),
+            F.slice(F.col("__tk"), F.col("__start") + 1, chunk_tokens).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_ix",
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        )
+    )

@@ -568,3 +568,37 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = clustering.pq_encode(emb, books)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return clustering.pq_topk(enc, books, query, k=10)
+
+
+# ===========================================================================
+# Context-window chunking (RAG / pre-embedding splitting)
+# ===========================================================================
+
+
+@register(
+    "xtra_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents
+    ),
+    c AS (
+      SELECT doc_id, CAST(i / 96 AS BIGINT) AS chunk_ix,
+             tk[i+1 : i+128] AS chunk
+      FROM t, unnest(range(0, greatest(len(tk), 1), 96)) AS r(i)
+    )
+    SELECT doc_id, chunk_ix, CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def xtra_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/text.chunk_documents): 128-token
+    chunks, 32-token overlap (step 96) — the pre-embedding / RAG splitting
+    pass. Pure sequence+explode+slice plan, no shuffle. The oracle checks
+    chunk CONTENT, not just counts: md5 of the space-joined chunk must match
+    DuckDB's md5 over the identical list slice."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    chunks = tx.chunk_documents(docs, chunk_tokens=128, overlap=32)
+    return chunks.select(
+        "doc_id", "chunk_ix", "n_tokens", F.md5(F.col("chunk_text")).alias("chunk_md5")
+    )

@@ -194,6 +194,9 @@ def _xtra_suite_sql() -> str:
                "cnt, value_sum AS val"),
             _b("bpe", r["xtra_bpe_pairs"][1],
                f"rank AS k1, pair AS k2, freq AS cnt, {_DN} AS val"),
+            _b("chunk", r["xtra_chunk_documents"][1],
+               "doc_id AS k1, CAST(chunk_ix AS VARCHAR) || ':' || chunk_md5 AS k2, "
+               f"n_tokens AS cnt, {_DN} AS val"),
         ]
     )
 
@@ -257,6 +260,12 @@ def xtra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("bpe").alias("branch"), F.col("rank").alias("k1"),
             F.col("pair").alias("k2"), F.col("freq").alias("cnt"),
             nd.alias("val")),
+        run("xtra_chunk_documents").select(
+            F.lit("chunk").alias("branch"), F.col("doc_id").alias("k1"),
+            F.concat(
+                F.col("chunk_ix").cast("string"), F.lit(":"), F.col("chunk_md5")
+            ).alias("k2"),
+            F.col("n_tokens").alias("cnt"), nd.alias("val")),
     ]
     out = branches[0]
     for b in branches[1:]:

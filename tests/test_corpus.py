@@ -141,3 +141,23 @@ def test_incremental_rollup_merge_equals_full(spark, sf_dir):
     canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert canon(merged) == canon(full)
     assert canon(merged_rev) == canon(full)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx2
+
+    toks = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame([(1, toks), (2, "solo")], "doc_id long, text string")
+    out = tx2.chunk_documents(docs, chunk_tokens=4, overlap=2)  # step 2
+    rows = {(r.doc_id, r.chunk_ix): (r.n_tokens, r.chunk_text) for r in out.collect()}
+    # doc 1: starts 0,2,4,6,8 -> 5 chunks; last is the 2-token tail
+    assert [rows[(1, i)][0] for i in range(5)] == [4, 4, 4, 4, 2]
+    assert rows[(1, 0)][1] == "t0 t1 t2 t3"
+    assert rows[(1, 1)][1] == "t2 t3 t4 t5"  # 2-token overlap
+    assert rows[(1, 4)][1] == "t8 t9"
+    # single-token doc -> exactly one chunk
+    assert rows[(2, 0)] == (1, "solo")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx2.chunk_documents(docs, chunk_tokens=4, overlap=4)
