@@ -63,8 +63,11 @@ def kmeans(
     tol: float = 1e-6,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means. Returns (assignments df with a ``cluster`` column,
-    final centroids). ``df`` is scanned once per iteration; cache it first
-    if the upstream plan is expensive."""
+    final centroids). ``df`` is scanned once per iteration, so it is
+    repartitioned across cores (small single-file inputs otherwise iterate
+    on ONE partition) and persisted for the iteration loop."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_part).persist()
     dim = len(df.select(vec_col).first()[0])
 
     # deterministic, engine-portable seeding: k lowest stable-bucket rows
@@ -123,10 +126,22 @@ def pq_train(
     m: int = 8,
     k: int = 16,
     max_iters: int = 5,
+    train_fraction: float | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: k-means per subspace (m runs over the SAME scan,
     each on a sub_dim-wide slice). Returns codebooks[sub][code] -> centroid.
-    dim must be divisible by m."""
+    dim must be divisible by m.
+
+    ``train_fraction``: train on a stable md5-bucket sample (the standard
+    100 TB practice — codebooks converge on a 1-10% sample; ENCODING is the
+    full-corpus pass, and it is map-side). Deterministic and engine-portable
+    like every sampling path in this engine."""
+    if train_fraction is not None:
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators.sampling import (
+            sample_fraction,
+        )
+
+        df = sample_fraction(df, id_col, train_fraction)
     dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

@@ -192,7 +192,13 @@ def bpe_pair_frequencies(
     Returns (rank, pair, freq)."""
     from pyspark.sql import Window
 
-    pairs = docs.select(F.explode(adjacent_pairs(F.col(text_col))).alias("pair"))
+    # pair generation is CPU-bound per row; small single-file inputs arrive
+    # as one partition, so spread across cores first (same idiom as
+    # decontam/dedup — harmless at scale where inputs are already split)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    pairs = docs.repartition(n_part).select(
+        F.explode(adjacent_pairs(F.col(text_col))).alias("pair")
+    )
     counts = pairs.groupBy("pair").agg(F.count("*").alias("freq"))
     # A bare global row_number would pull the WHOLE vocabulary through one
     # partition. Two-phase top-k instead: each partition keeps its local
@@ -242,8 +248,10 @@ def chunk_documents(
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select(
+        docs.repartition(n_part)
+        .select(
             F.col(id_col),
             toks.alias("__tk"),
             F.explode(starts).alias("__start"),

@@ -556,15 +556,17 @@ def x3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x3_pq_topk", None)  # PQ codebooks are k-means-trained — rows-only
 def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3 scale path: product-quantized ANN. Codebooks k-means-trained per
-    subspace, corpus encoded to m=8 codes/vector (32x smaller than the
-    float64 vectors), then asymmetric-distance top-10 for query vector 0 —
-    scoring is m literal-table lookups per row, map-side, no float vectors
-    read at query time. Iterative training => no SQL oracle; blob ranking +
-    determinism pinned in tests/test_ext.py."""
+    subspace ON A 20% STABLE SAMPLE (the 100 TB practice — training cost is
+    bounded by the sample; ENCODING is the full-corpus map-side pass),
+    corpus encoded to m=4 codes/vector, then asymmetric-distance top-10 for
+    query vector 0 — scoring is m literal-table lookups per row, no float
+    vectors read at query time. Iterative training => no SQL oracle; blob
+    ranking + determinism pinned in tests/test_ext.py."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
 
-    emb = src.load_table(spark, sf_dir, "embeddings").persist()
-    books = clustering.pq_train(emb, m=8, k=16, max_iters=3)
+    n_part = spark.sparkContext.defaultParallelism
+    emb = src.load_table(spark, sf_dir, "embeddings").repartition(n_part).persist()
+    books = clustering.pq_train(emb, m=4, k=16, max_iters=2, train_fraction=0.2)
     enc = clustering.pq_encode(emb, books)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return clustering.pq_topk(enc, books, query, k=10)
