@@ -23,7 +23,9 @@ connected components):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tesla_competitive_intelligence_etl_pipeline_spark.operators.sampling import stable_bucket
@@ -54,6 +56,49 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     return df.withColumn("cluster", F.array_min(pairs).getField("j"))
 
 
+# Max per-dimension SUM expressions in ONE aggregation plan. Above this the
+# update step is split into ceil(dim/chunk) aggregation jobs over the SAME
+# persisted assignment projection: each plan's expression count (and its
+# codegen size) is bounded by the chunk, not the embedding width — dim 4096
+# stays 16 bounded jobs instead of one 4096-aggregate plan that blows up
+# analysis/codegen. Every job still shuffles only k rows of partial sums.
+_SUM_CHUNK = 256
+
+
+def _cluster_stats(
+    assigned: DataFrame, vec_col: str, dim: int
+) -> dict[int, tuple[int, list[float]]]:
+    """Per-cluster (count, per-dimension sums), collected driver-side
+    (k rows x dim values — the sanctioned tiny collect of the update step).
+
+    dim <= _SUM_CHUNK: one hash-aggregate job, exactly the classic shape.
+    dim  > _SUM_CHUNK: the (cluster, vector) projection is persisted once so
+    the chunked jobs don't re-pay the k x dim assignment expression, then one
+    bounded aggregation job per chunk."""
+    vec = F.col(vec_col).cast("array<double>")
+    chunks = range(0, dim, _SUM_CHUNK)
+    proj = assigned.select("cluster", vec.alias("__v"))
+    if len(chunks) > 1:
+        proj = proj.persist()
+    try:
+        out: dict[int, list] = {}
+        for lo in chunks:
+            hi = min(lo + _SUM_CHUNK, dim)
+            aggs = [F.sum(F.get(F.col("__v"), i)).alias(f"s{i}") for i in range(lo, hi)]
+            if lo == 0:
+                aggs.insert(0, F.count("*").alias("n"))
+            for r in proj.groupBy("cluster").agg(*aggs).collect():
+                ent = out.setdefault(r["cluster"], [0, [0.0] * dim])
+                if lo == 0:
+                    ent[0] = r["n"]
+                for i in range(lo, hi):
+                    ent[1][i] = r[f"s{i}"]
+    finally:
+        if len(chunks) > 1:
+            proj.unpersist()
+    return {c: (n, s) for c, (n, s) in out.items()}
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -65,41 +110,48 @@ def kmeans(
     """Lloyd's k-means. Returns (assignments df with a ``cluster`` column,
     final centroids). ``df`` is scanned once per iteration, so it is
     repartitioned across cores (small single-file inputs otherwise iterate
-    on ONE partition) and persisted for the iteration loop."""
+    on ONE partition) and persisted for the iteration loop; the persist is
+    released before returning (the returned assignment plan recomputes from
+    the final centroids — no storage leak in long-lived sessions)."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_part).persist()
-    dim = len(df.select(vec_col).first()[0])
+    try:
+        probe = df.select(vec_col).first()
+        if probe is None:
+            raise ValueError("kmeans: empty input (or empty training sample)")
+        dim = len(probe[0])
 
-    # deterministic, engine-portable seeding: k lowest stable-bucket rows
-    seeds = (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(stable_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc())
-        .limit(k)
-        .collect()
-    )
-    centroids = [list(r["v"]) for r in seeds]
+        # deterministic, engine-portable seeding: k lowest stable-bucket rows
+        seeds = (
+            df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(stable_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc())
+            .limit(k)
+            .collect()
+        )
+        if len(seeds) < k:
+            warnings.warn(
+                f"kmeans: k={k} but input has only {len(seeds)} rows; "
+                f"proceeding with k={len(seeds)}",
+                stacklevel=2,
+            )
+            k = len(seeds)
+        centroids = [list(r["v"]) for r in seeds]
 
-    sum_aggs = [
-        F.sum(F.get(F.col(vec_col).cast("array<double>"), i)).alias(f"s{i}")
-        for i in range(dim)
-    ]
-    for _ in range(max_iters):
-        assigned = assign_clusters(df, vec_col, centroids)
-        stats = (
-            assigned.groupBy("cluster")
-            .agg(F.count("*").alias("n"), *sum_aggs)
-            .collect()  # k rows x (dim + 2) values — driver-side by design
-        )
-        new_centroids = list(centroids)  # empty clusters keep their centroid
-        for r in stats:
-            new_centroids[r["cluster"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
-        shift = max(
-            sum((a - b) * (a - b) for a, b in zip(old, new))
-            for old, new in zip(centroids, new_centroids)
-        )
-        centroids = new_centroids
-        if shift < tol:
-            break
+        for _ in range(max_iters):
+            assigned = assign_clusters(df, vec_col, centroids)
+            stats = _cluster_stats(assigned, vec_col, dim)
+            new_centroids = list(centroids)  # empty clusters keep their centroid
+            for c, (n, sums) in stats.items():
+                new_centroids[c] = [s / n for s in sums]
+            shift = max(
+                sum((a - b) * (a - b) for a, b in zip(old, new))
+                for old, new in zip(centroids, new_centroids)
+            )
+            centroids = new_centroids
+            if shift < tol:
+                break
+    finally:
+        df.unpersist()
     return assign_clusters(df, vec_col, centroids), centroids
 
 
@@ -142,7 +194,12 @@ def pq_train(
         )
 
         df = sample_fraction(df, id_col, train_fraction)
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None:
+        raise ValueError(
+            "pq_train: empty input (or train_fraction sampled zero rows)"
+        )
+    dim = len(probe[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
@@ -186,6 +243,60 @@ def pq_encode(
         ]
     )
     return df.withColumn("pq_code", codes)
+
+
+def pq_build_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    max_iters: int = 5,
+    train_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Materialize the PQ index — the one-time ingest/offline cost a
+    deployment amortizes (the PQ twin of build_ivf_index): train codebooks
+    (optionally on a stable sample), encode the FULL corpus map-side, and
+    write ``path``/codes (id, pq_code — m small ints per vector, the
+    dim*4/m-compressed searchable table) plus ``path``/codebooks (one row,
+    m x k x sub_dim doubles). Online search then never touches the float
+    vectors or retrains anything. Returns the codebooks."""
+    books = pq_train(
+        df, vec_col=vec_col, id_col=id_col, m=m, k=k,
+        max_iters=max_iters, train_fraction=train_fraction,
+    )
+    pq_encode(df, books, vec_col=vec_col).select(
+        F.col(id_col), "pq_code"
+    ).write.mode("overwrite").parquet(path + "/codes")
+    df.sparkSession.createDataFrame(
+        [(books,)], "codebooks array<array<array<double>>>"
+    ).write.mode("overwrite").parquet(path + "/codebooks")
+    return books
+
+
+def pq_load_codebooks(spark: SparkSession, path: str) -> list[list[list[float]]]:
+    """Read back the (tiny) codebook table written by pq_build_index."""
+    row = spark.read.parquet(path + "/codebooks").first()
+    return [[list(c) for c in book] for book in row["codebooks"]]
+
+
+def pq_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance search over a MATERIALIZED PQ index
+    (pq_build_index) — the online path: scan only the codes table (m ints
+    per row), distance = m literal-table lookups, then the k-row top-k
+    reduction. No training, no float vectors, no join in the timed plan."""
+    if codebooks is None:
+        codebooks = pq_load_codebooks(spark, path)
+    encoded = spark.read.parquet(path + "/codes")
+    return pq_topk(encoded, codebooks, query_vec, k=k, id_col=id_col)
 
 
 def pq_topk(

@@ -395,6 +395,77 @@ def test_kmeans_recovers_planted_clusters(spark):
     b = {(r.vec_id, r.cluster) for r in out2.select("vec_id", "cluster").collect()}
     assert a == b
 
+    # adjusted Rand index vs the planted labels (VERDICT r3 item 5); perfect
+    # recovery gives ARI exactly 1.0, the >= 0.9 bound leaves room for a
+    # boundary point without weakening the recovery claim
+    assert _adjusted_rand(
+        [(r.blob, r.cluster) for r in rows]
+    ) >= 0.9
+
+
+def _adjusted_rand(label_pairs: list[tuple[int, int]]) -> float:
+    """Adjusted Rand index between two labelings given as (a_label, b_label)
+    pairs. Standard contingency-table formula."""
+    from collections import Counter
+    from math import comb
+
+    n = len(label_pairs)
+    cells = Counter(label_pairs)
+    a_sizes = Counter(a for a, _ in label_pairs)
+    b_sizes = Counter(b for _, b in label_pairs)
+    idx = sum(comb(c, 2) for c in cells.values())
+    sum_a = sum(comb(c, 2) for c in a_sizes.values())
+    sum_b = sum(comb(c, 2) for c in b_sizes.values())
+    expected = sum_a * sum_b / comb(n, 2)
+    max_idx = (sum_a + sum_b) / 2
+    return (idx - expected) / (max_idx - expected)
+
+
+def test_kmeans_high_dim_chunked_update(spark):
+    """dim=1024 (> _SUM_CHUNK): the update step must split into bounded
+    aggregation jobs instead of one 1024-aggregate plan (VERDICT r3 item 4).
+    One Lloyd iteration over planted 3-blob data must complete and produce
+    full-width centroids with a total assignment. (Blob RECOVERY is pinned by
+    test_kmeans_recovers_planted_clusters — one iteration from arbitrary
+    md5-bucket seeds cannot guarantee recovery at any dim; this test pins the
+    wide-plan construction + update-step execution.)"""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    assert clustering._SUM_CHUNK < 1024  # the test exercises the chunked path
+    K, PER, DIM = 3, 12, 1024
+    pts = spark.range(K * PER).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % K).cast("int").alias("blob"),
+    )
+    # blob b lives on axis block [b*8, b*8+8); small deterministic jitter
+    vec = F.array(*[
+        (F.when((F.col("blob") * 8 <= d) & (F.lit(d) < (F.col("blob") + 1) * 8), 10.0)
+         .otherwise(0.0)
+         + F.when((F.col("vec_id") + d) % 2 == 0, 0.2).otherwise(-0.2))
+        for d in range(DIM)
+    ])
+    emb = pts.withColumn("embedding", vec.cast("array<float>"))
+
+    out, cents = clustering.kmeans(emb, k=K, max_iters=1)
+    assert len(cents) == K and all(len(c) == DIM for c in cents)
+    rows = out.select("vec_id", "cluster").collect()
+    assert len(rows) == K * PER
+    assert all(r.cluster is not None and 0 <= r.cluster < K for r in rows)
+
+
+def test_kmeans_and_pq_train_empty_input_raise(spark):
+    """ADVICE r3: an empty input (or a train_fraction that samples zero rows)
+    must raise a clear ValueError, not an opaque TypeError off first()."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        clustering.kmeans(empty, k=2, max_iters=1)
+    with pytest.raises(ValueError, match="empty input"):
+        clustering.pq_train(empty, m=2, k=2)
+
 
 def test_pq_roundtrip_ranks_same_blob_nearest(spark):
     """Product quantization: train per-subspace codebooks on planted blobs,
@@ -430,6 +501,41 @@ def test_pq_roundtrip_ranks_same_blob_nearest(spark):
 
     top2 = clustering.pq_topk(enc, books, query, k=PER - 1)
     assert [tuple(r) for r in top.collect()] == [tuple(r) for r in top2.collect()]
+
+
+def test_pq_indexed_search_matches_inline(spark, tmp_path):
+    """The materialized-index path (pq_build_index -> pq_topk_indexed) must
+    return exactly what the inline train+encode+search path returns on the
+    same data, and the codebooks must round-trip through parquet."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    K, PER, DIM = 4, 40, 16
+    pts = spark.range(K * PER).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % K).cast("int").alias("blob"),
+    )
+    vec = F.array(*[
+        (F.when(F.col("blob") == d % K, 8.0).otherwise(0.0)
+         + F.when((F.col("vec_id") + d) % 3 == 0, 0.25).otherwise(-0.1))
+        for d in range(DIM)
+    ])
+    emb = pts.withColumn("embedding", vec.cast("array<float>")).persist()
+    path = str(tmp_path / "pq_index")
+
+    books = clustering.pq_build_index(emb, path, m=4, k=8, max_iters=4)
+    assert clustering.pq_load_codebooks(spark, path) == books
+
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    query = [float(x) for x in qrow.embedding]
+    inline = clustering.pq_topk(
+        clustering.pq_encode(emb, books), books, query, k=10
+    ).collect()
+    # with codebooks passed (the registry path) and re-loaded from the index
+    indexed = clustering.pq_topk_indexed(spark, path, query, k=10, codebooks=books)
+    reloaded = clustering.pq_topk_indexed(spark, path, query, k=10)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in inline]
+    assert [tuple(r) for r in reloaded.collect()] == [tuple(r) for r in inline]
+    emb.unpersist()
 
 
 from collections import Counter  # noqa: E402  (used in pq test assertion msg)
