@@ -123,7 +123,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket_size: int | None = 256,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding proposes candidates, exact Jaccard
     on shingle sets confirms. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
@@ -138,9 +138,20 @@ def minhash_lsh_pairs(
     size BEFORE the distinct — one 10k-doc bucket is 10^8 candidate rows.
     Band entries in buckets larger than the cap are dropped (the standard
     LSH guard: such groups are exact/boilerplate duplicates, caught by exact
-    dedup or boilerplate filters, not near-dup pairing). Pass None to
-    disable; production monitors can count dropped buckets by running the
-    same HAVING-count aggregation over the signature table.
+    dedup or boilerplate filters, not near-dup pairing).
+
+    The default is None — UNCAPPED — because a cap silently loses recall on
+    genuine >cap near-dup groups with no runtime signal (ADVICE r3): policy
+    belongs to the CALLER. The registered engine queries pass 256; before
+    enabling a cap, measure what it would drop with
+    ``lsh_oversized_buckets`` (same banding, same HAVING aggregate).
+
+    Storage contract: the signature (and, when capped, band) tables are
+    persisted because the RETURNED lazy plan reads them from multiple
+    branches — they cannot be released here without forfeiting the sharing.
+    The caller owns the cleanup once done with the result
+    (``spark.catalog.clearCache()`` or unpersisting, as bench.py does after
+    every query); long-lived sessions that skip it accumulate storage.
     """
     rows_per_band = num_hashes // bands
     # Persist the signature table: it feeds the band explode AND the
@@ -211,6 +222,49 @@ def minhash_lsh_pairs(
     return verified
 
 
+def lsh_oversized_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """The observability twin of minhash_lsh_pairs' bucket cap (ADVICE r3):
+    (band, bucket, bucket_size) for every band bucket LARGER than the cap —
+    exactly the entries the cap would drop. Run it before (or alongside) a
+    capped dedup pass so silent recall loss is a measured number, not a
+    surprise: a non-empty result means >cap-sized identical/boilerplate
+    groups exist and should be routed through exact dedup instead.
+
+    Same banding plan as minhash_lsh_pairs; the aggregate is
+    partial-aggregable, so only (band, bucket, count) rows shuffle."""
+    rows_per_band = num_hashes // bands
+    sigs = _with_shingles_and_sig(docs, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
 def connected_components(
     edges: DataFrame, vertices: DataFrame, max_iters: int = 20
 ) -> DataFrame:
@@ -270,13 +324,17 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_iters: int = 20,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Transitive near-dup clustering: connected components over the
     MinHash-LSH pair graph. Returns (doc_id, cluster_id); cluster_id is the
     smallest doc id in the cluster (singletons map to themselves). This is
     the policy real pretraining dedup needs — A~B and B~C put A and C in one
     cluster even when A~C is below threshold."""
-    pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    pairs = minhash_lsh_pairs(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
     verts = docs.select(F.col(id_col).alias("id"))
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")), verts, max_iters
@@ -289,11 +347,15 @@ def near_dedup_transitive(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate REMOVAL keeping ONE doc per transitive cluster (the
     cluster's smallest id), vs near_dedup_canonical's pairwise
     drop-if-smaller-partner policy."""
-    clusters = near_dup_clusters(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    clusters = near_dup_clusters(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
     survivors = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return docs.join(survivors, on=id_col, how="left_semi")
 
@@ -303,13 +365,17 @@ def near_dedup_canonical(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate REMOVAL: drop every document that has a near-dup
     partner with a smaller id (the standard single-pass policy used by
     pre-training dedup pipelines; full transitive clustering would need an
     iterative connected-components pass). Survivors = docs that are nobody's
     higher-id near-dup."""
-    pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    pairs = minhash_lsh_pairs(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, on=id_col, how="left_anti")
 
@@ -398,6 +464,56 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return out
+
+
+def cross_corpus_jaccard(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Exact cross-corpus token-set Jaccard — the oracle-checkable twin of
+    cross_corpus_neardup (same continual-pretraining shape: dedup an
+    incoming crawl against the already-trained corpus): candidate pairs come
+    from the shared-token inverted index joined ACROSS sides only, so the
+    quadratic within-side pair sets are never materialized; survivors are
+    verified with exact Jaccard over the full token sets. Returns
+    (doc_id, match_id, jaccard) — one row per new doc x matched existing doc.
+
+    ``max_token_df`` prunes tokens whose document frequency over the
+    COMBINED corpus exceeds the cap before candidate generation (same
+    prefix-filtering trade as ngram_jaccard_pairs)."""
+    def _toks(docs: DataFrame, out_id: str) -> DataFrame:
+        return docs.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(tokens(normalized_text(F.col(text_col)))).alias("toks"),
+        )
+
+    ta = _toks(new_docs, "doc_id")
+    tb = _toks(existing_docs, "match_id")
+    tok_a = ta.select("doc_id", F.explode("toks").alias("tok"))
+    tok_b = tb.select("match_id", F.explode("toks").alias("tok"))
+    if max_token_df is not None:
+        keep = (
+            tok_a.select("tok")
+            .unionAll(tok_b.select("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_token_df)
+            .select("tok")
+        )
+        tok_a = tok_a.join(keep, "tok", "left_semi")
+        tok_b = tok_b.join(keep, "tok", "left_semi")
+    candidates = tok_a.join(tok_b, "tok").select("doc_id", "match_id").distinct()
+    return (
+        candidates.join(ta.withColumnRenamed("toks", "ta"), "doc_id")
+        .join(tb.withColumnRenamed("toks", "tb"), "match_id")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("ta"), F.col("tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -498,7 +614,7 @@ def cross_corpus_neardup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket_size: int | None = 256,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dedup: which NEW documents are near-duplicates of
     anything in the EXISTING corpus (continual-pretraining ingestion: dedup

@@ -1269,7 +1269,7 @@ def x9_stream_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s.value_sum"), 6).alias("value_sum"),
         )
     )
-    latest = spark.read.parquet(target)
+    latest = strm.read_merged(spark, target)
     return totals.join(latest, "user_id").select(
         "user_id", "n_events", "value_sum", "last_event_type", "last_value"
     )
@@ -1297,7 +1297,7 @@ def x2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph; one row per doc with its cluster representative (smallest
     id). Recall on a 3-doc transitive chain is pinned in tests/test_ext.py."""
     docs = src.load_table(spark, sf_dir, "documents")
-    clusters = dd.near_dup_clusters(docs, threshold=0.5)
+    clusters = dd.near_dup_clusters(docs, threshold=0.5, max_bucket_size=256)
     return clusters.select("doc_id", "cluster_id")
 
 

@@ -458,28 +458,31 @@ def _corpus_hygiene_sql() -> str:
 def x_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5g/h + X-2f in one tagged union: repetition signals, boilerplate
     n-grams, and benchmark decontamination — same operator implementations
-    as the fine-grained entries, one combined oracle."""
-    rep = x5_repetition_signals(spark, sf_dir).select(
-        F.lit("rep").alias("kind"),
-        F.col("doc_id").cast("string").alias("k1"),
-        F.col("top_token_fraction").alias("num1"),
-        F.col("n_tokens").cast("long").alias("num2"),
-        F.col("dup_trigram_fraction").alias("num3"),
-    )
-    boiler = x5_boilerplate_ngrams(spark, sf_dir).select(
-        F.lit("boiler").alias("kind"),
-        F.col("ng").alias("k1"),
-        F.lit(None).cast("double").alias("num1"),
-        F.col("doc_freq").cast("long").alias("num2"),
-        F.lit(None).cast("double").alias("num3"),
-    )
-    decon = xtra_decontaminate(spark, sf_dir).select(
-        F.lit("decon").alias("kind"),
-        F.col("doc_id").cast("string").alias("k1"),
-        F.when(F.col("contaminated"), 1.0).otherwise(0.0).alias("num1"),
-        F.col("bench_hits").cast("long").alias("num2"),
-        F.lit(None).cast("double").alias("num3"),
-    )
+    as the fine-grained entries, one combined oracle. The three branches
+    share one persisted documents scan (shared_scans) instead of re-reading
+    and re-tokenizing it per branch."""
+    with src.shared_scans(spark, sf_dir, "documents"):
+        rep = x5_repetition_signals(spark, sf_dir).select(
+            F.lit("rep").alias("kind"),
+            F.col("doc_id").cast("string").alias("k1"),
+            F.col("top_token_fraction").alias("num1"),
+            F.col("n_tokens").cast("long").alias("num2"),
+            F.col("dup_trigram_fraction").alias("num3"),
+        )
+        boiler = x5_boilerplate_ngrams(spark, sf_dir).select(
+            F.lit("boiler").alias("kind"),
+            F.col("ng").alias("k1"),
+            F.lit(None).cast("double").alias("num1"),
+            F.col("doc_freq").cast("long").alias("num2"),
+            F.lit(None).cast("double").alias("num3"),
+        )
+        decon = xtra_decontaminate(spark, sf_dir).select(
+            F.lit("decon").alias("kind"),
+            F.col("doc_id").cast("string").alias("k1"),
+            F.when(F.col("contaminated"), 1.0).otherwise(0.0).alias("num1"),
+            F.col("bench_hits").cast("long").alias("num2"),
+            F.lit(None).cast("double").alias("num3"),
+        )
     return rep.unionByName(boiler).unionByName(decon)
 
 

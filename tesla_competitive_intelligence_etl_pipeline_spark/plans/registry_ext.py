@@ -76,9 +76,11 @@ def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x2_minhash_lsh", None)  # approximate -> rows-only; recall tested in tests/test_ext.py
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2: MinHash(32 hashes) + LSH(8 bands) candidate generation with exact
-    Jaccard verification at 0.5 on word-3-gram shingles."""
+    Jaccard verification at 0.5 on word-3-gram shingles. The 256 bucket cap
+    is ENGINE POLICY set here, not an operator default (ADVICE r3) — what it
+    would drop is measurable via dd.lsh_oversized_buckets."""
     docs = src.load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, threshold=0.5)
+    return dd.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=256)
 
 
 _NGRAM_DF_CAP = 50
@@ -126,7 +128,71 @@ def x2_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2e: near-duplicate REMOVAL — documents surviving the drop-if-a-
     smaller-id-near-dup-exists policy (the practical pre-training dedup)."""
     docs = src.load_table(spark, sf_dir, "documents")
-    return dd.near_dedup_canonical(docs, threshold=0.5).select("doc_id", "lang", "source")
+    return dd.near_dedup_canonical(
+        docs, threshold=0.5, max_bucket_size=256
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "x2_cross_corpus",
+    f"""
+    WITH newd AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text
+      FROM documents WHERE doc_id < 50
+    ),
+    oldd AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    na AS (SELECT doc_id,
+                  list_distinct(string_split_regex({_NORM.format(c='text')}, '\\s+')) AS w
+           FROM newd),
+    ob AS (SELECT doc_id,
+                  list_distinct(string_split_regex({_NORM.format(c='text')}, '\\s+')) AS w
+           FROM oldd),
+    ta AS (SELECT doc_id, unnest(w) AS tok FROM na),
+    tb AS (SELECT doc_id AS match_id, unnest(w) AS tok FROM ob),
+    cand AS (SELECT DISTINCT a.doc_id, b.match_id FROM ta a JOIN tb b ON b.tok = a.tok),
+    pairs AS (
+      SELECT c.doc_id, c.match_id,
+             ROUND(CAST(len(list_intersect(x.w, y.w)) AS DOUBLE) /
+                   CAST(len(x.w) + len(y.w) - len(list_intersect(x.w, y.w)) AS DOUBLE),
+                   6) AS jaccard
+      FROM cand c
+      JOIN na x ON x.doc_id = c.doc_id
+      JOIN ob y ON y.doc_id = c.match_id
+    )
+    SELECT doc_id, match_id, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+)
+def x2_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2g: EXACT cross-corpus near-dedup (VERDICT r3 item 8) — an incoming
+    "crawl" (50 docs, lightly perturbed with an appended token, re-keyed
+    +1e6) deduped against the existing corpus (100 docs) via
+    dd.cross_corpus_jaccard: shared-token inverted index joined across sides
+    only (within-side pairs never materialize), exact-Jaccard verified.
+    Every candidate + score is SQL-expressible, so this is the hard-oracle
+    twin of the LSH-based x2_cross_corpus_lsh."""
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return dd.cross_corpus_jaccard(new, old, threshold=0.5)
+
+
+@register("x2_cross_corpus_lsh", None)  # MinHash-LSH based -> rows-only
+def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2g at scale: the same cross-corpus dedup through MinHash-LSH
+    (dd.cross_corpus_neardup) — tagged union, band join filtered to
+    cross-side pairs only, exact-Jaccard verify on candidates. Planted
+    cross-corpus dups pinned in tests/test_ext.py; the exact twin above is
+    the oracle-backed entry."""
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return dd.cross_corpus_neardup(new, old, threshold=0.5, max_bucket_size=256)
 
 
 @register("x2_simhash", None)  # signature bits depend on xxhash64 -> rows-only

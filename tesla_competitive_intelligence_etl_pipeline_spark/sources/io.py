@@ -16,14 +16,67 @@ Scale notes:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+# shared_scans: (normalized sf_dir, table name) -> persisted scan served by
+# load_table for the duration of a composite-builder block
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table. Parquet is self-describing; explicit
-    select/filter by callers still prunes columns and pushes predicates."""
+    select/filter by callers still prunes columns and pushes predicates.
+    Inside a ``shared_scans`` block the named tables come back as ONE
+    persisted scan instead of a fresh read per caller."""
+    cached = _SCAN_CACHE.get((os.path.normpath(sf_dir), name))
+    if cached is not None:
+        return cached
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@contextmanager
+def shared_scans(spark: SparkSession, sf_dir: str, *names: str):
+    """Serve the named tables from ONE persisted scan for the duration of the
+    block — for window-composite builders whose branches each call
+    ``load_table`` on the same table and would otherwise re-read (and
+    re-normalize/re-tokenize downstream of) it once per branch (VERDICT r3
+    item 2: xtra_suite paid ~2x the sum of its branches this way).
+
+    Mechanics, deliberate:
+    - No eager materialization: the first branch to execute fills the cached
+      blocks; the rest reuse them. Zero extra jobs.
+    - The persisted blocks are NOT unpersisted on exit — the composite's plan
+      is evaluated by the CALLER after the builder returns, so dropping them
+      here would forfeit the sharing. The session contract is that the
+      harness isolates queries (bench.py's clearCache; short-lived test
+      sessions); long-lived callers clear the cache themselves.
+    - The cached plan carries a ``WHERE true`` marker so that AFTER the block
+      exits, unrelated plain ``load_table`` reads do not silently hit the
+      leftover cache entry via Catalyst's plan-equality cache lookup (plan
+      shape tests must keep seeing the raw parquet scan).
+    - Nested blocks reuse the outer block's entry for a same-named table.
+    """
+    from pyspark.sql import functions as F
+
+    added: list[tuple[str, str]] = []
+    for n in names:
+        key = (os.path.normpath(sf_dir), n)
+        if key in _SCAN_CACHE:
+            continue
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+            .where(F.lit(True))
+            .persist()
+        )
+        _SCAN_CACHE[key] = df
+        added.append(key)
+    try:
+        yield
+    finally:
+        for key in added:
+            _SCAN_CACHE.pop(key, None)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -134,23 +134,100 @@ def run_to_table(
     return spark.table(name)
 
 
-def merge_micro_batch(batch: DataFrame, target: str, n_buckets: int = 16) -> None:
-    """MERGE one (micro-)batch into the bucket-partitioned gold table at
-    ``target``.
+# Layout of a merge gold table (a minimal manifest-committed table format in
+# plain parquet — what Delta/Iceberg provide, reduced to exactly what the
+# bucketed MERGE needs):
+#
+#   target/_MANIFEST.json            atomic commit point: {"buckets":
+#                                    {"<bucket>": "store/<bucket>/<version>"}}
+#   target/store/<bucket>/<version>/ one immutable parquet dir per committed
+#                                    bucket version (files carry __bucket as a
+#                                    DATA column, so reads need no partition
+#                                    discovery)
+#   target/.staging/<version>/       in-flight batch output, invisible to
+#                                    readers until the manifest swap
+#
+# Readers go through read_merged (manifest -> union of committed bucket
+# dirs); nothing under store/ is ever mutated in place, and the single
+# os.replace of the manifest is the WHOLE commit — a crash anywhere before it
+# leaves every reader on the previous batch's state (orphan staging/version
+# dirs are garbage, collected best-effort on later commits). Paths use local
+# filesystem atomicity (os.replace); an object-store deployment swaps this
+# layer for a real table format (Delta/Iceberg), not for bigger try/excepts.
 
-    I/O is proportional to the batch's key range, not the table:
-    - the gold table is partitioned by ``__bucket = pmod(xxhash64(user_id),
-      n_buckets)`` — a stable hash, so a key always lands in the same
-      partition directory;
-    - only the buckets PRESENT IN THE BATCH are read back (partition
-      pruning on the __bucket filter) and merged;
-    - the write uses dynamic partition overwrite (mode=overwrite +
-      partitionOverwriteMode=dynamic), which replaces exactly the partitions
-      present in the output — untouched buckets are never read or written,
-      and there is no read-back/copy double-write. Each partition swap is a
-      normal job commit; cross-partition atomicity (a crash between two
-      bucket commits) is the residual gap a Delta/Iceberg MERGE closes.
+_MANIFEST = "_MANIFEST.json"
+
+# test hook (crash injection): called after each staged bucket dir is moved
+# into store/, BEFORE the manifest swap — lets tests kill the commit between
+# bucket moves and assert readers still see only the previous batch.
+_after_bucket_move_hook = None
+
+
+def _manifest_path(target: str) -> str:
+    import os
+
+    return os.path.join(target, _MANIFEST)
+
+
+def _load_manifest(target: str) -> dict | None:
+    """None => table does not exist yet (first batch). A PRESENT but
+    unreadable/corrupt manifest raises — the micro-batch must abort (and be
+    retried by foreachBatch), never be mistaken for an empty table: that
+    mistake would commit batch-only rows over the touched buckets."""
+    import json
+    import os
+
+    path = _manifest_path(target)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        m = json.load(fh)
+    if "buckets" not in m or not isinstance(m["buckets"], dict):
+        raise ValueError(f"corrupt merge manifest at {path}: {m!r}")
+    return m
+
+
+def read_merged(spark: SparkSession, target: str, buckets: list[int] | None = None):
+    """Read the committed state of a merge gold table. ``buckets`` prunes the
+    read to those buckets' committed dirs (manifest-level partition pruning —
+    the read cost is proportional to the touched buckets, not the table).
+    Returns None when the table (or every requested bucket) has no committed
+    state yet."""
+    import os
+
+    manifest = _load_manifest(target)
+    if manifest is None:
+        return None
+    want = None if buckets is None else {str(b) for b in buckets}
+    paths = [
+        os.path.join(target, rel)
+        for b, rel in sorted(manifest["buckets"].items())
+        if want is None or b in want
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def merge_micro_batch(batch: DataFrame, target: str, n_buckets: int = 16) -> None:
+    """MERGE one (micro-)batch into the bucket-versioned gold table at
+    ``target`` with a TWO-PHASE commit (VERDICT r3 item 7 — the previous
+    dynamic-partition-overwrite committed per partition, so a crash between
+    two bucket swaps could expose a torn batch).
+
+    I/O stays proportional to the batch's key range, not the table:
+    - keys hash to ``__bucket = pmod(xxhash64(user_id), n_buckets)``;
+    - only the buckets PRESENT IN THE BATCH are read back (manifest-pruned)
+      and merged;
+    - phase 1 writes the merged buckets to ``.staging/<version>`` and moves
+      each finished bucket dir to ``store/<bucket>/<version>`` — all of it
+      invisible to readers;
+    - phase 2 is ONE atomic manifest replace. Readers see the whole batch or
+      none of it; a crash at any point leaves the previous state intact.
     """
+    import os
+    import shutil
+
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
 
     latest = topk.dedup_last_write_wins(
@@ -165,30 +242,56 @@ def merge_micro_batch(batch: DataFrame, target: str, n_buckets: int = 16) -> Non
         order_cols=["ts", "event_id"],
     ).withColumn("__bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
     sess = batch.sparkSession
-    # tiny driver-side list (<= n_buckets values) used for partition pruning
-    touched = [r["__bucket"] for r in latest.select("__bucket").distinct().collect()]
+    # tiny driver-side list (<= n_buckets values) used for manifest pruning
+    touched = sorted(r["__bucket"] for r in latest.select("__bucket").distinct().collect())
     if not touched:
         return
-    # Probe path existence explicitly instead of catching a bare Exception
-    # around the read: a transient/permission/corrupt-footer error must ABORT
-    # the micro-batch (foreachBatch retries it), not be mistaken for "first
-    # batch" — treating it as empty would make the dynamic partition
-    # overwrite silently drop every existing row in the touched buckets.
-    hconf = sess.sparkContext._jsc.hadoopConfiguration()
-    hpath = sess.sparkContext._jvm.org.apache.hadoop.fs.Path(target)
-    if hpath.getFileSystem(hconf).exists(hpath):
-        current = sess.read.parquet(target).filter(F.col("__bucket").isin(touched))
-    else:  # first batch: table does not exist yet
+
+    manifest = _load_manifest(target) or {"buckets": {}}
+    current = read_merged(sess, target, buckets=touched)
+    if current is None:  # none of the touched buckets committed yet
         current = sess.createDataFrame([], latest.schema)
+    else:
+        current = current.filter(F.col("__bucket").isin(touched))
     merged = merge_mod.merge_upsert(
         current, latest, keys=["user_id"], order_cols=["ts", "event_id"]
     )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket")
-        .parquet(target)
-    )
+
+    # ---- phase 1: stage the new bucket versions (reader-invisible) --------
+    version = uuid.uuid4().hex[:12]
+    staging = os.path.join(target, ".staging", version)
+    # __bucket stays a DATA column in the files; __bucket_p only routes the
+    # write into one dir per bucket for the per-bucket moves below
+    merged.withColumn("__bucket_p", F.col("__bucket")).write.partitionBy(
+        "__bucket_p"
+    ).parquet(staging)
+    new_rels: dict[str, str] = {}
+    for i, b in enumerate(touched):
+        src_dir = os.path.join(staging, f"__bucket_p={b}")
+        dst_rel = os.path.join("store", str(b), version)
+        dst = os.path.join(target, dst_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.exists(src_dir):
+            os.rename(src_dir, dst)
+            new_rels[str(b)] = dst_rel
+        if _after_bucket_move_hook is not None:
+            _after_bucket_move_hook(i, len(touched))
+
+    # ---- phase 2: atomic commit ------------------------------------------
+    old_rels = {b: manifest["buckets"].get(b) for b in new_rels}
+    manifest["buckets"].update(new_rels)
+    tmp = _manifest_path(target) + f".tmp.{version}"
+    import json
+
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(target))  # THE commit point
+
+    # best-effort GC of superseded versions + staging (never part of commit)
+    for b, rel in old_rels.items():
+        if rel and rel != new_rels[b]:
+            shutil.rmtree(os.path.join(target, rel), ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def start_merge_latest(
@@ -217,9 +320,9 @@ def foreach_batch_merge_latest(
     n_buckets: int = 16,
 ) -> DataFrame:
     """Streaming upsert (SNK-4 twin): per micro-batch, keep the latest event
-    per user and MERGE into a bucket-partitioned parquet gold table keyed by
+    per user and MERGE into a bucket-versioned parquet gold table keyed by
     user_id. Per-batch cost ∝ touched buckets (see merge_micro_batch), not
-    table size."""
+    table size; commits are manifest-atomic."""
     q, target = start_merge_latest(events, target_dir, n_buckets)
     q.awaitTermination()
-    return spark.read.parquet(target)
+    return read_merged(spark, target)

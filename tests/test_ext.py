@@ -355,6 +355,40 @@ def test_cross_corpus_neardup_finds_only_cross_side_matches(spark):
     for r in out:
         assert r.jaccard >= 0.5
 
+    # the exact (oracle-checkable) twin agrees on the cross-side-only policy
+    exact = dd.cross_corpus_jaccard(new, existing, threshold=0.5).collect()
+    assert {r.doc_id for r in exact} == {1}
+    assert {r.match_id for r in exact} == {100, 101}
+    # token-level Jaccard is exactly computable: new doc 1 is base+1 token vs
+    # existing 100 = base -> 40/41
+    j = {(r.doc_id, r.match_id): r.jaccard for r in exact}
+    assert abs(j[(1, 100)] - round(40 / 41, 6)) < 1e-9
+
+
+def test_lsh_oversized_buckets_reports_what_the_cap_drops(spark):
+    """ADVICE r3: the bucket cap must not lose recall SILENTLY. The
+    observability helper reports every band bucket above the cap (the planted
+    400-identical-doc block) and nothing for a healthy corpus."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+
+    boiler = "the quarterly report shows strong growth across all segments again"
+    rows = [(i, boiler) for i in range(400)]
+    base = " ".join(f"delivery{j}" for j in range(40))
+    rows += [(1000, base), (1001, base + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    over = dd.lsh_oversized_buckets(docs, max_bucket_size=100).collect()
+    # identical docs share identical signatures: every band's bucket holds
+    # the full 400-doc block
+    assert len(over) >= 1
+    assert all(r.bucket_size >= 400 for r in over)
+
+    healthy = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(30))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    assert dd.lsh_oversized_buckets(healthy, max_bucket_size=100).count() == 0
+
 
 def test_kmeans_recovers_planted_clusters(spark):
     """k-means must exactly recover well-separated planted blobs (deterministic

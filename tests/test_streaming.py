@@ -123,16 +123,19 @@ def test_merge_micro_batch_rewrites_only_touched_buckets(spark, tmp_path):
     )
 
     def files():
+        # committed layout: store/<bucket>/<version>/part-*.parquet
         out = {}
-        for p in glob.glob(target + "/__bucket=*/*.parquet"):
-            bucket = p.split("__bucket=")[1].split("/")[0]
-            out.setdefault(bucket, set()).add((os.path.basename(p), os.path.getmtime(p)))
+        for p in glob.glob(target + "/store/*/*/*.parquet"):
+            bucket = p.split("/store/")[1].split("/")[0]
+            out.setdefault(bucket, set()).add(
+                (os.path.relpath(p, target), os.path.getmtime(p))
+            )
         return out
 
     before = files()
     assert len(before) > 1  # several buckets populated
 
-    # second batch touches ONE user -> exactly one bucket
+    # second batch touches ONE user -> exactly one bucket gets a new version
     strm.merge_micro_batch(ev([(999, 5000, 3, "update", 42.0)]), target, n_buckets=8)
     after = files()
 
@@ -146,7 +149,7 @@ def test_merge_micro_batch_rewrites_only_touched_buckets(spark, tmp_path):
             assert after[b] == before[b]  # identical files, byte-for-byte untouched
 
     # merged content: user 3 updated, every other user's latest preserved
-    gold = spark.read.parquet(target)
+    gold = strm.read_merged(spark, target)
     row3 = gold.filter(F.col("user_id") == 3).collect()
     assert len(row3) == 1 and row3[0].last_event_type == "update" and row3[0].last_value == 42.0
     assert gold.count() == 8
@@ -173,18 +176,92 @@ def test_merge_micro_batch_read_error_aborts_not_wipes(spark, tmp_path):
         )
 
     strm.merge_micro_batch(ev([(1, 1000, 7, "seed", 1.0)]), target, n_buckets=4)
-    before = spark.read.parquet(target).collect()
+    before = strm.read_merged(spark, target).collect()
     assert len(before) == 1
 
-    # corrupt the existing table: truncate every parquet footer
+    # corrupt the existing table: truncate every committed parquet footer
     import glob
 
-    for p in glob.glob(target + "/__bucket=*/*.parquet"):
+    for p in glob.glob(target + "/store/*/*/*.parquet"):
         with open(p, "wb") as fh:
             fh.write(b"not a parquet file")
 
     with pytest.raises(Exception):
         strm.merge_micro_batch(ev([(2, 2000, 7, "update", 2.0)]), target, n_buckets=4)
+
+    # a PRESENT but corrupt manifest must also abort, not look like an
+    # empty first batch
+    with open(target + "/_MANIFEST.json", "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ValueError, match="corrupt merge manifest"):
+        strm.merge_micro_batch(ev([(3, 3000, 7, "update", 3.0)]), target, n_buckets=4)
+
+
+def test_merge_two_phase_commit_crash_between_buckets(spark, tmp_path):
+    """VERDICT r3 item 7: a crash BETWEEN bucket moves (after some staged
+    buckets are in place, before the manifest swap) must leave readers on the
+    previous batch's state — never a mix; the retried batch then lands
+    whole."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+
+    def ev(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s long, user_id long, event_type string, value double"
+        )
+        return df.select(
+            "event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    # batch 1: users 0..7 across several buckets
+    strm.merge_micro_batch(
+        ev([(i, 1000 + i, i, "seed", float(i)) for i in range(8)]), target, n_buckets=4
+    )
+    committed = sorted(
+        (r.user_id, r.event_id, r.last_event_type)
+        for r in strm.read_merged(spark, target).collect()
+    )
+    assert len(committed) == 8
+
+    # batch 2 touches every bucket, but the process dies after the FIRST
+    # bucket move — before the manifest swap
+    class Boom(RuntimeError):
+        pass
+
+    def die_after_first(i, n):
+        assert n > 1  # the scenario needs multiple buckets in flight
+        if i == 0:
+            raise Boom("crash between bucket moves")
+
+    strm._after_bucket_move_hook = die_after_first
+    try:
+        import pytest
+
+        with pytest.raises(Boom):
+            strm.merge_micro_batch(
+                ev([(100 + i, 2000 + i, i, "update", -1.0) for i in range(8)]),
+                target,
+                n_buckets=4,
+            )
+    finally:
+        strm._after_bucket_move_hook = None
+
+    # readers: EXACTLY the previous committed state — no torn batch
+    after_crash = sorted(
+        (r.user_id, r.event_id, r.last_event_type)
+        for r in strm.read_merged(spark, target).collect()
+    )
+    assert after_crash == committed
+
+    # retry (foreachBatch redelivers the batch): the whole batch lands
+    strm.merge_micro_batch(
+        ev([(100 + i, 2000 + i, i, "update", -1.0) for i in range(8)]), target, n_buckets=4
+    )
+    final = {r.user_id: r for r in strm.read_merged(spark, target).collect()}
+    assert len(final) == 8
+    assert all(final[u].last_event_type == "update" for u in range(8))
 
 
 def test_session_gap_boundary_matches_session_window(spark):
@@ -283,7 +360,7 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
         q.awaitTermination()
 
     run_once()
-    first = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    first = {r.user_id: r for r in strm.read_merged(spark, target).collect()}
     assert set(first) == {1, 2}
 
     _time.sleep(1.1)
@@ -294,7 +371,7 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
         [(3, "2024-01-01 11:00:00", 1)],
     )
     run_once()
-    gold = spark.read.parquet(target)
+    gold = strm.read_merged(spark, target)
     rows = {r.user_id: r for r in gold.collect()}
     assert gold.count() == 2  # one row per user — no reprocessing duplicates
     assert rows[1].event_id == 3  # user 1 advanced to the new latest event
