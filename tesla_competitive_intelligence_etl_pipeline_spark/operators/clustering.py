@@ -41,9 +41,17 @@ def _sq_dist(vec, centroid: list[float]):
     )
 
 
-def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+def assign_clusters(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    with_distance: bool = False,
+) -> DataFrame:
     """Label each row with its nearest centroid (map-side; no join). Ties on
-    distance go to the lowest cluster index, so assignment is total."""
+    distance go to the lowest cluster index, so assignment is total.
+    ``with_distance`` also emits ``sq_dist`` (the distance to the assigned
+    centroid) from the SAME argmin expression — consumers that need both
+    must not pay the k x dim distance computation twice."""
     pairs = F.array(
         *[
             F.struct(
@@ -53,7 +61,11 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
             for j, c in enumerate(centroids)
         ]
     )
-    return df.withColumn("cluster", F.array_min(pairs).getField("j"))
+    best = F.array_min(pairs)
+    out = df.withColumn("cluster", best.getField("j"))
+    if with_distance:
+        out = out.withColumn("sq_dist", best.getField("d"))
+    return out
 
 
 # Max per-dimension SUM expressions in ONE aggregation plan. Above this the

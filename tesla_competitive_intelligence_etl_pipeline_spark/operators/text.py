@@ -268,3 +268,55 @@ def chunk_documents(
             F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style keyword extraction: per-document top-k terms by term frequency
+# weighted with inverse document frequency. The idf here is the RATIONAL
+# variant tf * N / df (exact small-integer arithmetic in doubles => the
+# DuckDB oracle matches bit-for-bit; classic ln-idf is a one-expression swap
+# that only rescales monotonically, so top-k membership per doc is identical
+# whenever df differs).
+# ---------------------------------------------------------------------------
+
+
+def keyword_scores(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id", top_k: int = 5
+) -> "DataFrame":
+    """Per-document top-k keywords by tf * (N / df), total order
+    (score desc, token asc). Returns (id, rank, tok, score).
+
+    Scale shape: tokenize map-side; tf and df are two partial-aggregable
+    groupBys (only (doc, token, count) / (token, count) rows shuffle — never
+    text); the scoring join is by token; the ranking window partitions by
+    document, so no global sort. The corpus-size scalar N enters as a 1-row
+    broadcast."""
+    from pyspark.sql import Window
+
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(n_part)
+        .select(F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"))
+    )
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "tok",
+            F.round(
+                F.col("tf").cast("double") * F.col("n_docs").cast("double")
+                / F.col("df").cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "rank", "tok", "score")
+    )

@@ -365,6 +365,34 @@ def test_cross_corpus_neardup_finds_only_cross_side_matches(spark):
     assert abs(j[(1, 100)] - round(40 / 41, 6)) < 1e-9
 
 
+def test_keyword_scores_surfaces_distinctive_terms(spark):
+    """tf x (N/df) keyword extraction: a term unique to one doc outranks
+    corpus-wide common terms; ranks are dense per doc with a total order."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    common = "the market report covers quarterly results"
+    docs = spark.createDataFrame(
+        [
+            (1, common + " gigafactory gigafactory expansion"),
+            (2, common + " battery chemistry"),
+            (3, common),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.keyword_scores(docs, top_k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.tok, r.score))
+    # doc 1: 'gigafactory' is tf=2, df=1 -> score 2*3/1=6, the clear top term
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] == "gigafactory" and abs(top1[2] - 6.0) < 1e-9
+    # doc 2: unique terms (tf=1, df=1 -> 3.0) beat common terms (df=3 -> 1.0)
+    assert {t for _, t, _ in sorted(by_doc[2])[:2]} == {"battery", "chemistry"}
+    # ranks dense starting at 1
+    for d in by_doc.values():
+        assert [r for r, _, _ in sorted(d)] == list(range(1, len(d) + 1))
+
+
 def test_lsh_oversized_buckets_reports_what_the_cap_drops(spark):
     """ADVICE r3: the bucket cap must not lose recall SILENTLY. The
     observability helper reports every band bucket above the cap (the planted
