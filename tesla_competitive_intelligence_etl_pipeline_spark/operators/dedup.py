@@ -605,6 +605,111 @@ def simhash_pairs(
     return pairs
 
 
+def write_signature_table(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> None:
+    """Materialize the MinHash signature table next to the corpus — the
+    LSH twin of build_ivf_index / pq_build_index: shingling + signatures are
+    the dominant dedup cost, and they're computed ONCE at ingest, not per
+    dedup run. Stored as (doc_id, sh, sig); every later crawl increment
+    dedups against the stored table without touching the existing corpus's
+    text (cross_corpus_neardup_indexed)."""
+    _with_shingles_and_sig(docs, text_col, id_col, num_hashes, shingle_n).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _band_explode(sigs: DataFrame, num_hashes: int, bands: int, *keep: str) -> DataFrame:
+    """(…keep, doc_id, band, bucket) rows: one per (doc, band), bucket =
+    xxhash64 of the band's signature slice."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        *keep,
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*keep, "doc_id", "bb.band", "bb.bucket")
+
+
+def cross_corpus_neardup_indexed(
+    new_docs: DataFrame,
+    spark,
+    sig_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental crawl dedup against a MATERIALIZED signature table
+    (write_signature_table): only the NEW side is shingled; the existing
+    corpus arrives as stored (doc_id, sh, sig) rows — its text is never
+    re-read or re-processed. Same cross-side-only banding as
+    cross_corpus_neardup (within-side pair sets never materialize), same
+    exact-Jaccard verification, so results match the unindexed operator on
+    identical inputs (pinned in tests). Returns (doc_id, match_id, jaccard).
+
+    This is the steady-state 100 TB ingestion shape: per increment, cost =
+    shingle the increment + one band join against the stored table."""
+    new_sigs = _with_shingles_and_sig(
+        new_docs, text_col, id_col, num_hashes, shingle_n
+    ).persist()
+    old_sigs = spark.read.parquet(sig_path)
+
+    new_band = _band_explode(new_sigs, num_hashes, bands)
+    old_band = _band_explode(old_sigs, num_hashes, bands).withColumnRenamed(
+        "doc_id", "match_id"
+    )
+    if max_bucket_size is not None:
+        # cap judged on the COMBINED bucket population (mirrors the tagged-
+        # union operator): an oversized boilerplate bucket blows up the join
+        # whichever side its members sit on
+        both = new_band.select("band", "bucket").unionAll(
+            old_band.select("band", "bucket")
+        )
+        over = (
+            both.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        new_band = new_band.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+        old_band = old_band.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+
+    candidates = (
+        new_band.join(old_band, ["band", "bucket"])  # cross-side ONLY
+        .select("doc_id", "match_id")
+        .distinct()
+    )
+    sh_new = new_sigs.select("doc_id", F.col("sh").alias("sh_a"))
+    sh_old = old_sigs.select(F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sh_new, "doc_id")
+        .join(sh_old, "match_id")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard")
+    )
+
+
 def cross_corpus_neardup(
     new_docs: DataFrame,
     existing_docs: DataFrame,

@@ -61,6 +61,48 @@ def _fake_features(payload: bytes) -> list[float]:
     return [round(b / total, 6) for b in buckets]
 
 
+def sample_frames(
+    multimodal: DataFrame, frame_bytes: int = 256, max_frames: int = 4
+) -> DataFrame:
+    """Frame sampling over opaque binary payloads — the video/audio
+    "sample k fixed-size frames per asset" plumbing, with a codec-free frame
+    definition: frame i = payload bytes [i*frame_bytes, (i+1)*frame_bytes),
+    capped at ``max_frames`` leading frames. Everything a real sampler needs
+    except the codec is exercised: per-asset fan-out (sequence → explode,
+    no shuffle), typed frame metadata, and a per-frame byte checksum; the
+    decode itself stays behind ``decode_payload``.
+
+    Frames are checksummed as md5(hex(frame bytes)) — hex first, because the
+    DuckDB oracle has no BLOB substring, and md5-over-hex is byte-exact and
+    engine-portable (verified identical Spark vs DuckDB incl. multi-byte
+    utf-8). Returns (doc_id, modality, frame_ix, frame_n_bytes, frame_md5).
+    """
+    fb = frame_bytes
+    n_frames = F.least(
+        F.floor((F.col("n_bytes") + fb - 1) / fb).cast("int"), F.lit(max_frames)
+    )
+    hex_payload = F.hex(F.col("payload"))
+    frame = F.col("__hex").substr(
+        F.col("frame_ix") * (2 * fb) + 1, F.lit(2 * fb)
+    )
+    return (
+        multimodal.filter(F.col("n_bytes") > 0)
+        .select(
+            "doc_id",
+            "modality",
+            hex_payload.alias("__hex"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_ix"),
+        )
+        .select(
+            "doc_id",
+            "modality",
+            F.col("frame_ix").cast("long").alias("frame_ix"),
+            (F.length(frame) / 2).cast("long").alias("frame_n_bytes"),
+            F.md5(frame).alias("frame_md5"),
+        )
+    )
+
+
 def extract_features(multimodal: DataFrame, batch_limit: int | None = None) -> DataFrame:
     """Feature extraction over binary payloads via Arrow-batched mapInPandas
     (X-10 surface). One Python worker pass per partition; batch shape is

@@ -179,6 +179,48 @@ def x2_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cross_corpus_jaccard(new, old, threshold=0.5)
 
 
+# One materialized signature table per (session, sf_dir) — the LSH twin of
+# the IVF/PQ index caches: shingling+signatures for the EXISTING corpus are
+# the offline ingest cost; each crawl increment dedups against the stored
+# table (x2_cross_corpus_indexed) without re-processing existing text.
+# bench.py builds it in the untimed warmup section.
+_SIG_TABLE: dict[str, str] = {}
+
+
+def _ensure_sig_table(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _SIG_TABLE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="lsh_sigs_") + "/signatures"
+        old = (
+            src.load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 100)
+        )
+        dd.write_signature_table(old, path)
+        _SIG_TABLE[sf_dir] = path
+    return _SIG_TABLE[sf_dir]
+
+
+@register("x2_cross_corpus_indexed", None)  # MinHash-LSH based -> rows-only
+def x2_cross_corpus_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2g steady state: the same incoming crawl deduped against the
+    MATERIALIZED signature table (_ensure_sig_table, built once per
+    session/sf_dir — the ingest-time cost, like the IVF/PQ indexes). The
+    timed query shingles ONLY the increment and band-joins it against stored
+    signatures; the existing corpus's text is never re-read. Must return
+    exactly what x2_cross_corpus_lsh returns (pinned in tests/test_ext.py)."""
+    sig_path = _ensure_sig_table(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return dd.cross_corpus_neardup_indexed(
+        new, spark, sig_path, threshold=0.5, max_bucket_size=256
+    )
+
+
 @register("x2_cross_corpus_lsh", None)  # MinHash-LSH based -> rows-only
 def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2g at scale: the same cross-corpus dedup through MinHash-LSH
@@ -258,6 +300,38 @@ def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema/partitioning plumbing for opaque image/audio/video blobs."""
     docs = src.load_table(spark, sf_dir, "documents")
     return mm.attach_binary_payload(docs).select("doc_id", "modality", "n_bytes")
+
+
+@register(
+    "x4_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id, 'text' AS modality, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id < 300
+    ),
+    f AS (
+      SELECT doc_id, modality, i AS frame_ix,
+             substring(h, CAST(i * 512 + 1 AS BIGINT), 512) AS fh
+      FROM m,
+           unnest(range(0, least(CAST(floor((n_bytes + 255) / 256) AS BIGINT), 4)))
+             AS r(i)
+      WHERE n_bytes > 0
+    )
+    SELECT doc_id, modality, CAST(frame_ix AS BIGINT) AS frame_ix,
+           CAST(length(fh) / 2 AS BIGINT) AS frame_n_bytes,
+           md5(fh) AS frame_md5
+    FROM f
+    """,
+)
+def x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4c: frame sampling over binary payloads
+    (operators/multimodal.sample_frames) on a bounded subset — up to 4
+    leading 256-byte frames per asset, each with typed metadata and a
+    byte-exact checksum. The fan-out is pure sequence+explode (no shuffle);
+    the oracle reproduces every frame's bytes via hex-window md5."""
+    docs = src.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return mm.sample_frames(mm.attach_binary_payload(docs), frame_bytes=256, max_frames=4)
 
 
 @register(

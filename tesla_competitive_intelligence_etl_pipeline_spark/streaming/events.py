@@ -209,6 +209,40 @@ def read_merged(spark: SparkSession, target: str, buckets: list[int] | None = No
     return spark.read.parquet(*paths)
 
 
+def vacuum_merge_table(target: str) -> list[str]:
+    """Garbage-collect a merge gold table: remove everything the committed
+    manifest does not reference — leftover ``.staging`` trees and orphaned
+    ``store`` versions (debris of batches that crashed between phase 1 and
+    the manifest swap; the crash-safety contract is that such debris is
+    invisible, and this reclaims its disk). No-op when the table has no
+    committed manifest yet (a first batch may be mid-flight). Single-writer
+    contract, same as the merge itself. Returns the removed paths."""
+    import os
+    import shutil
+
+    manifest = _load_manifest(target)
+    if manifest is None:
+        return []
+    referenced = {os.path.normpath(rel) for rel in manifest["buckets"].values()}
+    removed: list[str] = []
+    staging = os.path.join(target, ".staging")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+        removed.append(staging)
+    store = os.path.join(target, "store")
+    if os.path.isdir(store):
+        for b in os.listdir(store):
+            bdir = os.path.join(store, b)
+            if not os.path.isdir(bdir):
+                continue
+            for ver in os.listdir(bdir):
+                rel = os.path.normpath(os.path.join("store", b, ver))
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(target, rel), ignore_errors=True)
+                    removed.append(os.path.join(target, rel))
+    return removed
+
+
 def merge_micro_batch(batch: DataFrame, target: str, n_buckets: int = 16) -> None:
     """MERGE one (micro-)batch into the bucket-versioned gold table at
     ``target`` with a TWO-PHASE commit (VERDICT r3 item 7 — the previous

@@ -205,3 +205,50 @@ def test_corpus_signal_queries_stay_jvm_side(spark, sf_dir, registry):
         plan = _plan(registry[name][0](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_pq_indexed_search_is_map_side(spark, tmp_path):
+    """The timed PQ path (search over a materialized index) must be a pure
+    map-side scan + top-k: no join, no aggregate exchange, and only the
+    (vec_id, pq_code) columns read — never the float vectors."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    pts = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 7 + d).cast("double") for d in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    path = str(tmp_path / "pq")
+    books = clustering.pq_build_index(pts, path, m=2, k=4, max_iters=2)
+    df = clustering.pq_topk_indexed(
+        spark, path, [float(d) for d in range(8)], k=5, codebooks=books
+    )
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan  # k-row reduction, no global sort
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert set(c.split(":")[0] for c in read_schema.split(",")) == {
+        "vec_id", "pq_code",
+    }
+
+
+def test_shared_scans_cache_is_scoped(spark, sf_dir):
+    """Inside a shared_scans block every load_table call serves the SAME
+    persisted scan (one materialization for all composite branches); after
+    the block exits, plain loads must NOT silently hit the leftover cache —
+    plan-shape tests and memory accounting rely on the raw parquet scan."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    with src.shared_scans(spark, sf_dir, "documents"):
+        a = src.load_table(spark, sf_dir, "documents")
+        b = src.load_table(spark, sf_dir, "documents")
+        assert a is b  # one shared handle, not two reads
+        union_plan = _plan(
+            a.select("doc_id").unionAll(b.select(F.col("doc_id") + 1))
+        )
+        assert "InMemoryTableScan" in union_plan
+
+    fresh = src.load_table(spark, sf_dir, "documents")
+    assert "InMemoryTableScan" not in _plan(fresh.select("doc_id"))
+    spark.catalog.clearCache()  # release the composite-scoped blocks

@@ -255,6 +255,27 @@ def test_merge_two_phase_commit_crash_between_buckets(spark, tmp_path):
     )
     assert after_crash == committed
 
+    # the aborted batch left debris (staged dirs / unreferenced versions);
+    # vacuum reclaims it WITHOUT changing the committed state
+    import glob
+    import os
+
+    removed = strm.vacuum_merge_table(target)
+    assert removed  # the crash really left orphans
+    assert not os.path.isdir(os.path.join(target, ".staging"))
+    manifest_rels = set(
+        strm._load_manifest(target)["buckets"].values()
+    )
+    on_disk = {
+        os.path.relpath(p, target)
+        for p in glob.glob(target + "/store/*/*")
+    }
+    assert on_disk == {os.path.normpath(r) for r in manifest_rels}
+    assert sorted(
+        (r.user_id, r.event_id, r.last_event_type)
+        for r in strm.read_merged(spark, target).collect()
+    ) == committed
+
     # retry (foreachBatch redelivers the batch): the whole batch lands
     strm.merge_micro_batch(
         ev([(100 + i, 2000 + i, i, "update", -1.0) for i in range(8)]), target, n_buckets=4
