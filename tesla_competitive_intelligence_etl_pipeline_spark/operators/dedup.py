@@ -296,22 +296,20 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # the changed flag rides along in the SAME update join (nbr_comp <
+        # comp is exactly "this round lowered a label"), so the convergence
+        # probe is a filter over the checkpointed rows — no second join
+        stepped = (
             labels.join(nbr, labels.id == nbr.dst, "left")
             .select(
                 labels.id,
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("__chg")).limit(1).count()
+        labels = stepped.drop("__chg")
         if changed == 0:
             break
     sym.unpersist()
@@ -534,7 +532,7 @@ def simhash64(text_col: Column) -> Column:
     accumulator (a 64-fold expression per bit would traverse the array 64x)."""
     toks = F.array_distinct(tokens(normalized_text(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    masks = F.lit(_BIT_MASKS).cast("array<long>")
 
     counts = F.aggregate(
         hashes,

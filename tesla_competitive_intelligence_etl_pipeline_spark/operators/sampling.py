@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tesla_competitive_intelligence_etl_pipeline_spark.operators.aggregates import exact_sum
+
 
 def stable_bucket(key: Column, n_buckets: int = 10_000) -> Column:
     """Deterministic bucket in [0, n_buckets): first 8 md5 hex digits of the
@@ -105,3 +107,53 @@ def upsample_repeats(df: DataFrame, repeats: Column) -> DataFrame:
         "repeat_ix",
         F.explode(F.when(n >= 1, F.sequence(F.lit(1), n))),
     )
+
+
+def mixing_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    weight: Column | None = None,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-group mixture report for pre-training data mixing: each group's
+    document count, token budget, actual share of the corpus, target share,
+    and the resampling factor (target_tokens / actual_tokens) that
+    ``upsample_repeats`` / ``sample_fraction`` consume to rebalance the mix.
+
+    ``weight`` is the per-row budget column (defaults to 1 per doc);
+    ``target_shares`` maps group -> desired share (defaults to uniform over
+    the observed groups; entries missing from the map get share 0).
+
+    Scale: ONE partial-aggregable groupBy over the corpus (only (group, n,
+    sum) rows shuffle); the corpus-total window then runs over the k-row
+    aggregate — a deliberate single-partition frame over k rows, never over
+    data."""
+    w = weight if weight is not None else F.lit(1.0)
+    per = df.groupBy(group_col).agg(
+        F.count("*").alias("docs"),
+        exact_sum(w).alias("budget"),
+    )
+    total_w = Window.partitionBy()  # k-row frame (k = #groups), documented
+    share = (F.col("budget") / F.sum("budget").over(total_w)).alias("actual_share")
+    if target_shares is None:
+        target = (F.lit(1.0) / F.count("*").over(total_w)).alias("target_share")
+    else:
+        target = F.coalesce(
+            *(
+                [
+                    F.when(F.col(group_col) == g, F.lit(float(s)))
+                    for g, s in sorted(target_shares.items())
+                ]
+                + [F.lit(0.0)]
+            )
+        ).alias("target_share")
+    return per.select(
+        group_col,
+        "docs",
+        "budget",
+        F.round(share, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(
+            target / share, 6
+        ).alias("resample_factor"),
+    ).orderBy(group_col)

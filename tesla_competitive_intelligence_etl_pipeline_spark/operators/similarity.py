@@ -41,7 +41,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.lit([float(v) for v in query_vec])
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
@@ -96,7 +96,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(v) for v in p]), lambda x, y: x.cast("double") * y),
+            F.zip_with(vec, F.lit([float(v) for v in p]), lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

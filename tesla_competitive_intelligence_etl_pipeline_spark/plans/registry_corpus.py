@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import aggregates as agg
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import decontam as dc
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
 from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import _dsum, register
 from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
@@ -672,4 +673,67 @@ def xtra_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = tx.chunk_documents(docs, chunk_tokens=128, overlap=32)
     return chunks.select(
         "doc_id", "chunk_ix", "n_tokens", F.md5(F.col("chunk_text")).alias("chunk_md5")
+    )
+
+
+# ===========================================================================
+# X-mix: pre-training data mixing — per-source token budgets, resampling
+# factors toward a target mixture, and the context-length histogram
+# ===========================================================================
+
+
+@register(
+    "x_mix_weights",
+    """
+    WITH per AS (
+      SELECT source, COUNT(*) AS docs,
+             CAST(SUM(CAST(len(string_split_regex(text, '\\s+'))
+                           AS DECIMAL(38,6))) AS DOUBLE) AS budget
+      FROM documents GROUP BY source)
+    SELECT source, docs, budget,
+           ROUND(budget / SUM(budget) OVER (), 6) AS actual_share,
+           ROUND(1.0 / COUNT(*) OVER (), 6) AS target_share,
+           ROUND((1.0 / COUNT(*) OVER ())
+                 / (budget / SUM(budget) OVER ()), 6) AS resample_factor
+    FROM per ORDER BY source
+    """,
+)
+def x_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing report (operators/sampling.mixing_weights): per-source doc
+    count, whitespace-token budget, actual corpus share, uniform target
+    share, and the resampling factor upsample_repeats / sample_fraction
+    consume to hit the target mix. One partial-aggregable groupBy over the
+    corpus; the corpus-total window runs over the k-row per-source aggregate
+    (a deliberate k-row single-partition frame, never over data)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return sampling.mixing_weights(
+        docs, "source", weight=tx.token_count(F.col("text")).cast("double")
+    )
+
+
+@register(
+    "x_mix_length_hist",
+    """
+    SELECT CAST((len(string_split_regex(text, '\\s+')) // 32) * 32 AS BIGINT)
+             AS len_bucket,
+           COUNT(*) AS docs,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+             AS tokens
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x_mix_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length distribution: 32-token histogram of whitespace token
+    counts with per-bucket token mass — the curriculum/packing-planning view
+    of the corpus. Map-side bucket expression + one partial-aggregable
+    groupBy; only (bucket, n, sum) rows shuffle."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    return (
+        docs.select((F.floor(n_tok / F.lit(32)) * 32).cast("long").alias("len_bucket"),
+                    n_tok.alias("__n"))
+        .groupBy("len_bucket")
+        .agg(F.count("*").alias("docs"), F.sum("__n").cast("long").alias("tokens"))
+        .orderBy("len_bucket")
     )

@@ -161,3 +161,28 @@ def test_chunk_documents_overlap_and_tail(spark):
 
     with _pytest.raises(ValueError):
         tx2.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_mixing_weights_custom_targets(spark):
+    """mixing_weights: shares sum to 1, resample_factor = target/actual, and
+    groups missing from an explicit target map get share 0 (excluded)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling
+
+    rows = [(i, "a" if i < 6 else ("b" if i < 9 else "c"), 10.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = sampling.mixing_weights(
+        df, "source", weight=F.col("w"), target_shares={"a": 0.5, "b": 0.5}
+    )
+    got = {r["source"]: r for r in out.collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["docs"] == 6 and got["a"]["budget"] == 60.0
+    assert abs(got["a"]["actual_share"] - 0.6) < 1e-9
+    assert abs(got["a"]["resample_factor"] - 0.5 / 0.6) < 1e-6
+    assert abs(got["b"]["resample_factor"] - 0.5 / 0.3) < 1e-6
+    assert got["c"]["target_share"] == 0.0 and got["c"]["resample_factor"] == 0.0
+
+    # uniform default: every target share is 1/3
+    uni = {r["source"]: r for r in sampling.mixing_weights(df, "source").collect()}
+    assert all(abs(r["target_share"] - 1 / 3) < 1e-6 for r in uni.values())
+    # budget defaults to doc counts
+    assert uni["a"]["budget"] == 6.0
