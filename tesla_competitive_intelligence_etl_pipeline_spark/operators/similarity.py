@@ -1,4 +1,6 @@
-"""X-3: similarity search over embedding columns (SURVEY.md §2.9).
+"""X-3: similarity search over embedding columns (SURVEY.md §2.9); index
+maintenance is incremental (ivf_index_append) — appends cost O(batch), never
+a rebuild.
 
 Three tiers, all deterministic:
 - brute-force cosine top-k: the correctness baseline. Dot products are
@@ -240,3 +242,43 @@ def ivf_topk_indexed(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> int:
+    """Incremental index maintenance — the continual-ingest path: assign each
+    NEW vector to the nearest existing centroid (max cosine, the same metric
+    the probe uses) and append only those rows to the cell-partitioned
+    vectors table. The coarse quantizer stays frozen (classic IVF append):
+    no rebuild, no read of the existing corpus — cost is a map-side
+    assignment over the new batch plus the append write, so maintaining the
+    index at 100 TB costs O(batch), not O(corpus).
+
+    Appended rows carry exactly (id_col, vec_col, cell_col) — the schema
+    build_ivf_index wrote. Returns the number of rows appended. Re-running
+    build_ivf_index periodically re-trains cells if drift accumulates (the
+    standard re-index cadence trade-off)."""
+    cents_rows = spark.read.parquet(path + "/centroids").orderBy(cell_col).collect()
+    cells = [r[cell_col] for r in cents_rows]
+    cents = [[float(v) for v in r["centroid"]] for r in cents_rows]
+
+    # argmax cosine over ONE 2-D centroid literal (constant-size plan —
+    # same form as clustering.assign_clusters' argmin)
+    vec = F.col(vec_col).cast("array<double>")
+    pairs = F.transform(
+        F.lit(cents),
+        lambda c, j: F.struct(F.round(cosine(vec, c), 9).alias("s"), j.alias("j")),
+    )
+    assigned = new_vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.get(F.lit(cells), F.array_max(pairs).getField("j")).alias(cell_col),
+    )
+    assigned.write.mode("append").partitionBy(cell_col).parquet(path + "/vectors")
+    return new_vectors.count()

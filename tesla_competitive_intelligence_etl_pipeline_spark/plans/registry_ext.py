@@ -520,6 +520,44 @@ def x6_exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x6_sketch_rollup", None)  # Datasketches HLL binaries are engine-specific
+def x6_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6c: MERGEABLE sketch state — the incremental-rollup pattern for
+    distinct counts at 100 TB. Per-day HLL sketches of user_id
+    (hll_sketch_agg: what a daily ingest job would materialize next to its
+    partition) are merged upward with hll_union_agg to answer the
+    whole-range distinct WITHOUT re-scanning events — re-aggregation cost is
+    #days sketch rows, not data. Exact per-day/total distincts ride along as
+    the accuracy anchor (merge-associativity and error bounds pinned in
+    tests/test_ext.py). Rows-only: sketch estimates are engine-specific."""
+    ev = src.load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .persist()  # sketches feed both the per-day rows and the merge
+    )
+    per_day = daily.select(
+        F.lit("day").alias("scope"),
+        "day",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    )
+    total = daily.agg(
+        F.hll_union_agg("sk").alias("sk_all"),
+    ).crossJoin(
+        ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    ).select(
+        F.lit("total").alias("scope"),
+        F.lit(None).cast("date").alias("day"),
+        F.hll_sketch_estimate("sk_all").alias("est_users"),
+        "exact_users",
+    )
+    return per_day.unionByName(total).orderBy(F.col("scope"), F.col("day"))
+
+
 # ===========================================================================
 # X-7: rollup / cube / grouping sets
 # ===========================================================================

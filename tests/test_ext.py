@@ -667,3 +667,73 @@ def test_pq_indexed_search_matches_inline(spark, tmp_path):
 
 
 from collections import Counter  # noqa: E402  (used in pq test assertion msg)
+
+
+def test_hll_sketch_rollup_merge(spark, sf_dir):
+    """x6_sketch_rollup: per-day estimates stay within HLL error of exact;
+    the total row's estimate comes from MERGING the per-day sketches and
+    must equal the estimate of one direct whole-table sketch (merge
+    associativity — the property incremental rollups rely on)."""
+    import __spark_entry__ as entrymod
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as eio
+
+    rows = entrymod.queries()["x6_sketch_rollup"](spark, sf_dir).collect()
+    days = [r for r in rows if r["scope"] == "day"]
+    totals = [r for r in rows if r["scope"] == "total"]
+    assert len(totals) == 1 and len(days) >= 1
+    for r in days:
+        assert abs(r["est_users"] - r["exact_users"]) <= max(2, 0.05 * r["exact_users"]), r
+    tot = totals[0]
+    assert abs(tot["est_users"] - tot["exact_users"]) <= max(2, 0.05 * tot["exact_users"])
+
+    direct = (
+        eio.load_events(spark, sf_dir)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .first()["e"]
+    )
+    assert tot["est_users"] == direct
+
+
+def test_ivf_index_append_incremental_maintenance(spark, sf_dir, tmp_path):
+    """ivf_index_append: appends only the new batch to the cell-partitioned
+    vectors table (no rebuild), assigns each new vector to its argmax-cosine
+    centroid cell, and the index stays searchable with exact scores."""
+    import math
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    old = emb.filter((F.col("vec_id") % 5 != 0) | (F.col("vec_id") == 0))
+    new = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") != 0))
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(old, path)
+    n = sim.ivf_index_append(spark, path, new.select("vec_id", "embedding"))
+    assert n == new.count() > 0
+
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.count() == emb.count()
+    assert vecs.select("vec_id").distinct().count() == emb.count()  # no dups
+    cents = {
+        r["label"]: list(r["centroid"])
+        for r in spark.read.parquet(path + "/centroids").collect()
+    }
+    assert {r["label"] for r in vecs.select("label").distinct().collect()} <= set(cents)
+
+    # spot-check the assignment rule on one appended row: its cell must be
+    # the argmax-cosine centroid
+    probe_id = new.select(F.min("vec_id")).first()[0]
+    row = vecs.filter(F.col("vec_id") == probe_id).first()
+    v = [float(x) for x in row["embedding"]]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    best = max(sorted(cents), key=lambda c: round(cos(v, cents[c]), 9))
+    assert row["label"] == best
+
+    # the appended index serves exact-scored searches (ANN invariant used
+    # throughout: returned scores equal brute-force scores)
+    brute = {r.vec_id: r.cos_sim for r in sim.topk_neighbors_of(emb, 0, k=500).collect()}
+    got = sim.ivf_topk_indexed(spark, path, query_id=0, k=10, n_probe=2).collect()
+    assert len(got) == 10
+    for r in got:
+        assert abs(brute[r.vec_id] - r.cos_sim) < 1e-9
