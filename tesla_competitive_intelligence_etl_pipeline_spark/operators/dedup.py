@@ -281,8 +281,8 @@ def connected_components(
     is truncated per round with an eager localCheckpoint so the plan doesn't
     grow exponentially across iterations. The convergence probe is a
     LIMIT-1 existence check, not a full count. At extreme diameters switch
-    to small-star/large-star (alternating min-propagation that contracts
-    paths in O(log n) rounds) — same per-round shuffle shape."""
+    to connected_components_star (alternating small-star/large-star, which
+    contracts paths in O(log n) rounds) — same per-round shuffle shape."""
     sym = (
         edges.select(F.col("src"), F.col("dst"))
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -314,6 +314,76 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (the MapReduce CC algorithm of Kiveris et al., 2014): each round rewires
+    every node toward the minimum of its neighborhood, contracting path-like
+    graphs in O(log n) rounds where plain min-label propagation needs
+    O(diameter). Returns (id, component), component = smallest reachable id.
+
+    Use this over ``connected_components`` when the pair graph can be DEEP
+    (chained edits, citation/link graphs); for shallow near-dup graphs the
+    propagation loop's cheaper rounds win. Demonstrated in
+    tests/test_ext.py: a 64-node path converges here in <= 8 alternating
+    rounds while propagation needs ~diameter rounds.
+
+    Per round: one groupBy (neighborhood min) + one join back — the same
+    shuffle shape as the propagation loop; the edge set only shrinks toward
+    the star forest, so round cost is bounded by the current edge count.
+    Lineage is truncated per round (eager localCheckpoint); the fixpoint
+    probe is a LIMIT-1 set-difference, not a full count."""
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # for each u: m = min(neighborhood(u) + {u}); emit (v, m) for v > u
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(F.min("dst").alias("nmin"))
+        m = F.least(F.col("src"), F.col("nmin"))
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient (hi, lo); for each hi: m = min(lo-neighborhood); emit
+        # (v, m) for the other lo-neighbors plus (hi, m)
+        ori = e.select(
+            F.greatest(F.col("src"), F.col("dst")).alias("src"),
+            F.least(F.col("src"), F.col("dst")).alias("dst"),
+        )
+        mins = ori.groupBy("src").agg(F.min("dst").alias("m"))
+        rewired = (
+            ori.join(mins, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        return rewired.union(mins.select("src", F.col("m").alias("dst"))).distinct()
+
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        stepped = small_star(large_star(e)).localCheckpoint(eager=True)
+        # fixpoint: the (distinct) edge set no longer changes
+        if (
+            stepped.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(stepped).limit(1).count() == 0
+        ):
+            e = stepped
+            break
+        e = stepped
+    # star forest: every edge is (child, root); singletons label themselves
+    return vertices.select("id").join(
+        e.select(F.col("src").alias("id"), F.col("dst").alias("comp")), "id", "left"
+    ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
 
 
 def near_dup_clusters(

@@ -1628,6 +1628,74 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q8_market_share",
+    f"""
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    )
+    SELECT o_year,
+           ROUND({_dsum("CASE WHEN supp_nation = 'NATION_0' THEN volume ELSE 0 END")}
+                 / {_dsum('volume')}, 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — one nation's slice of a
+    region's yearly volume for one part type. With q8/q21-minus-dates this
+    completes every TPC-H query expressible on this testdata (Q2/9/11/16/20
+    need partsupp; Q21 needs receipt/commit dates). Seven-table snowflake:
+    selective part-type and date filters pushed to the fact scans, all four
+    dims broadcast, one groupBy on year with two exact-decimal sums divided
+    in double space (reference parity: numeric discipline of
+    transform.py:184-186)."""
+    li = src.load_table(spark, sf_dir, "lineitem")
+    p = src.load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = src.load_table(spark, sf_dir, "supplier")
+    o = src.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    c = src.load_table(spark, sf_dir, "customer")
+    nation = src.load_table(spark, sf_dir, "nation")
+    r = src.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.round(
+        agg.exact_sum(
+            F.when(F.col("supp_nation") == "NATION_0", F.col("volume")).otherwise(0.0)
+        )
+        / agg.exact_sum(F.col("volume")),
+        6,
+    )
+    return vol.groupBy("o_year").agg(share.alias("mkt_share")).orderBy("o_year")
+
+
 # ===========================================================================
 # Skew-safe join through the driver gate + range-clustered write
 # ===========================================================================

@@ -212,6 +212,52 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fu.funnel_counts(ev, ["signup", "view", "click", "purchase"])
 
 
+@register(
+    "evt_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS act_week
+      FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(act_week) AS cohort_week FROM act GROUP BY 1
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS users
+    FROM act a JOIN first_seen f ON f.user_id = a.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: cohort = a user's first active week;
+    (cohort_week, week_offset) -> users still active that many weeks later —
+    the standard product-analytics retention triangle. Two partial-aggregable
+    groupBys on (user_id, week) pairs plus one keyed join; the distinct
+    collapses each user-week to one row BEFORE anything shuffles, so cost is
+    active user-weeks, never raw events. Counting rows of the (user, week)
+    distinct equals COUNT(DISTINCT user) per cell without a second
+    distinct aggregate."""
+    ev = src.load_events(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    first_seen = act.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
+    return (
+        act.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 # ===========================================================================
 # Remaining TPC-H shapes
 # ===========================================================================

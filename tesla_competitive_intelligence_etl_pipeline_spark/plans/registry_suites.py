@@ -75,6 +75,9 @@ def _tpch_suite_sql() -> str:
                f"{_VS} AS k1, {_VS} AS k2, {_BN} AS cnt, revenue_delta AS val"),
             _b("q7", r["q7_volume_shipping"][1],
                "supp_nation AS k1, cust_nation AS k2, l_year AS cnt, revenue AS val"),
+            _b("q8", r["q8_market_share"][1],
+               f"CAST(o_year AS VARCHAR) AS k1, {_VS} AS k2, {_BN} AS cnt, "
+               "mkt_share AS val"),
             _b("q10", r["q10_returned_items"][1],
                "CAST(c_custkey AS VARCHAR) AS k1, c_name || '|' || n_name AS k2, "
                f"{_BN} AS cnt, revenue AS val"),
@@ -100,15 +103,17 @@ def _tpch_suite_sql() -> str:
 
 @register("tpch_suite", _tpch_suite_sql())
 def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H shapes Q4/5/6/7/10/12/13/14/15/17/19/22 in one harmonized
+    """TPC-H shapes Q4/5/6/7/8/10/12/13/14/15/17/19/22 in one harmonized
     result — the same registered builders (registry_compact / registry_corpus
     / registry_analytics), each branch tagged and mapped onto
     (k1, k2, cnt, val). Q1/Q3/Q18 and the correlated-subquery shape keep
-    their own window slots (headline queries).
+    their own window slots (headline queries). With these, every TPC-H query
+    expressible on this testdata is covered (Q2/9/11/16/20 need partsupp;
+    Q21 needs receipt/commit dates).
 
     The three fact/dim tables the branches scan are served from ONE persisted
-    scan via shared_scans — twelve branches otherwise re-read lineitem/
-    orders/customer up to twelve times inside the unioned plan."""
+    scan via shared_scans — thirteen branches otherwise re-read lineitem/
+    orders/customer up to thirteen times inside the unioned plan."""
     ns = F.lit(None).cast("string")
     nb = F.lit(-1).cast("long")
     nd = F.lit(None).cast("double")
@@ -131,6 +136,9 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("q7").alias("branch"), F.col("supp_nation").alias("k1"),
                 F.col("cust_nation").alias("k2"), F.col("l_year").alias("cnt"),
                 F.col("revenue").alias("val")),
+            run("q8_market_share").select(
+                F.lit("q8").alias("branch"), F.col("o_year").cast("string").alias("k1"),
+                ns.alias("k2"), nb.alias("cnt"), F.col("mkt_share").alias("val")),
             run("q10_returned_items").select(
                 F.lit("q10").alias("branch"), F.col("c_custkey").cast("string").alias("k1"),
                 F.concat(F.col("c_name"), F.lit("|"), F.col("n_name")).alias("k2"),

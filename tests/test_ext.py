@@ -737,3 +737,31 @@ def test_ivf_index_append_incremental_maintenance(spark, sf_dir, tmp_path):
     assert len(got) == 10
     for r in got:
         assert abs(brute[r.vec_id] - r.cos_sim) < 1e-9
+
+
+def test_star_cc_matches_propagation_and_contracts_paths(spark):
+    """connected_components_star: equals min-label propagation on a mixed
+    graph, labels singletons, and fully resolves a 64-node PATH — the
+    diameter-bound shape where propagation capped at far fewer-than-diameter
+    rounds still has unresolved labels but alternating stars converge."""
+    # mixed graph: one triangle, one 4-chain, two singletons
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 13)],
+        "src long, dst long",
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12, 13, 20, 21]], "id long")
+    star = {r.id: r.comp for r in dd.connected_components_star(edges, verts).collect()}
+    prop = {r.id: r.comp for r in dd.connected_components(edges, verts).collect()}
+    assert star == prop
+    assert star[20] == 20 and star[21] == 21  # singletons self-labeled
+
+    # 64-node path 0-1-...-63: diameter 63
+    path_edges = spark.createDataFrame([(i, i + 1) for i in range(63)], "src long, dst long")
+    path_verts = spark.createDataFrame([(i,) for i in range(64)], "id long")
+    out = {r.id: r.comp for r in dd.connected_components_star(
+        path_edges, path_verts, max_rounds=8).collect()}
+    assert all(c == 0 for c in out.values()), "star CC must resolve the path in <= 8 rounds"
+    # propagation with the same tiny round budget cannot resolve the far end
+    capped = {r.id: r.comp for r in dd.connected_components(
+        path_edges, path_verts, max_iters=8).collect()}
+    assert capped[63] != 0

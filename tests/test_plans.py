@@ -252,3 +252,15 @@ def test_shared_scans_cache_is_scoped(spark, sf_dir):
     fresh = src.load_table(spark, sf_dir, "documents")
     assert "InMemoryTableScan" not in _plan(fresh.select("doc_id"))
     spark.catalog.clearCache()  # release the composite-scoped blocks
+
+
+def test_q8_market_share_plan_broadcasts_dims_and_pushes_filters(spark, sf_dir, registry):
+    """TPC-H Q8: the seven-table snowflake must broadcast every dim side
+    (part/nation x2/region and the small supplier/customer sides at this SF
+    may also broadcast — assert NO SortMergeJoin appears) and push the
+    selective part-type and order-date filters into the parquet scans."""
+    plan = _plan(registry["q8_market_share"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4
+    assert "EqualTo(p_type,ECONOMY)" in plan          # pushed to part scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan   # pushed to orders scan
