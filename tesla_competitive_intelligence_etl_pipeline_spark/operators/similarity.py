@@ -261,9 +261,11 @@ def ivf_index_append(
     index at 100 TB costs O(batch), not O(corpus).
 
     Appended rows carry exactly (id_col, vec_col, cell_col) — the schema
-    build_ivf_index wrote. Returns the number of rows appended. Re-running
-    build_ivf_index periodically re-trains cells if drift accumulates (the
-    standard re-index cadence trade-off)."""
+    build_ivf_index wrote. Returns the number of rows appended (a second
+    evaluation of the batch plan — fine for ingest batches, which are small
+    relative to the corpus by definition). Re-running build_ivf_index
+    periodically re-trains cells if drift accumulates (the standard
+    re-index cadence trade-off)."""
     cents_rows = spark.read.parquet(path + "/centroids").orderBy(cell_col).collect()
     cells = [r[cell_col] for r in cents_rows]
     cents = [[float(v) for v in r["centroid"]] for r in cents_rows]

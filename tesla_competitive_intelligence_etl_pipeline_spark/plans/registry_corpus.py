@@ -722,6 +722,48 @@ def xtra_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x1_chunk_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents),
+    c AS (
+      SELECT doc_id, tk[i+1 : i+16] AS chunk
+      FROM t, unnest(range(0, greatest(len(tk), 1), 16)) AS r(i))
+    SELECT md5(array_to_string(chunk, ' ')) AS chunk_md5,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM c WHERE len(chunk) = 16
+    GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY 1
+    """,
+)
+def x1_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: non-overlapping 16-token windows
+    (text.chunk_documents with overlap 0) hashed and grouped across the
+    corpus; windows appearing in >= 2 distinct docs are the repeated-passage
+    report — the sub-document granularity doc-level dedup misses (shared
+    boilerplate/quotes inside otherwise-distinct documents). Only
+    (chunk_md5, doc_id) pairs shuffle — never text; both aggregates are
+    partial-aggregable. Short tail windows are excluded (only full-width
+    windows are comparable)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    chunks = tx.chunk_documents(docs, chunk_tokens=16, overlap=0)
+    return (
+        chunks.filter(F.col("n_tokens") == 16)
+        .select("doc_id", F.md5(F.col("chunk_text")).alias("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    )
+
+
 # ===========================================================================
 # X-mix: pre-training data mixing — per-source token budgets, resampling
 # factors toward a target mixture, and the context-length histogram
