@@ -214,6 +214,17 @@ def _xtra_suite_sql() -> str:
             _b("xcorpus", r["x2_cross_corpus"][1],
                f"doc_id AS k1, CAST(match_id AS VARCHAR) AS k2, {_BN} AS cnt, "
                "jaccard AS val"),
+            _b("mixw", r["x_mix_weights"][1],
+               f"{_BN} AS k1, source AS k2, docs AS cnt, resample_factor AS val"),
+            _b("mixh", r["x_mix_length_hist"][1],
+               f"len_bucket AS k1, {_VS} AS k2, docs AS cnt, "
+               "CAST(tokens AS DOUBLE) AS val"),
+            _b("ret", r["evt_retention_cohorts"][1],
+               "week_offset AS k1, strftime(cohort_week, '%Y-%m-%d') AS k2, "
+               f"users AS cnt, {_DN} AS val"),
+            _b("cdup", r["x1_chunk_dedup"][1],
+               "first_doc AS k1, chunk_md5 AS k2, n_docs AS cnt, "
+               "CAST(n_occurrences AS DOUBLE) AS val"),
         ]
     )
 
@@ -224,11 +235,13 @@ def xtra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (union+forward-fill), bucketized range join, salted skew join,
     clustered parquet write + read-back, distributed-prefix-sum sequence
     packing, PII scan/redaction, benchmark decontamination, incremental
-    rollup maintenance, and BPE merge-pair mining — every branch the SAME
-    registered builder the fine-grained entry uses.
+    rollup maintenance, BPE merge-pair mining, cross-corpus near-dedup,
+    data-mixing weights + context-length histogram, retention cohorts, and
+    passage-level chunk dedup — every branch the SAME registered builder
+    the fine-grained entry uses.
 
-    The corpus/fact tables the branches scan (documents x5 branches, events
-    x4, orders x2) are served from ONE persisted scan via shared_scans
+    The corpus/fact tables the branches scan (documents x8 branches, events
+    x5, orders x2) are served from ONE persisted scan via shared_scans
     (VERDICT r3 item 2 — this suite previously cost ~2x the sum of its
     branches by re-reading and re-normalizing per branch)."""
     nb = F.lit(-1).cast("long")
@@ -293,6 +306,22 @@ def xtra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("xcorpus").alias("branch"), F.col("doc_id").alias("k1"),
                 F.col("match_id").cast("string").alias("k2"),
                 nb.alias("cnt"), F.col("jaccard").alias("val")),
+            run("x_mix_weights").select(
+                F.lit("mixw").alias("branch"), nb.alias("k1"),
+                F.col("source").alias("k2"), F.col("docs").alias("cnt"),
+                F.col("resample_factor").alias("val")),
+            run("x_mix_length_hist").select(
+                F.lit("mixh").alias("branch"), F.col("len_bucket").alias("k1"),
+                ns.alias("k2"), F.col("docs").alias("cnt"),
+                F.col("tokens").cast("double").alias("val")),
+            run("evt_retention_cohorts").select(
+                F.lit("ret").alias("branch"), F.col("week_offset").alias("k1"),
+                F.date_format("cohort_week", "yyyy-MM-dd").alias("k2"),
+                F.col("users").alias("cnt"), nd.alias("val")),
+            run("x1_chunk_dedup").select(
+                F.lit("cdup").alias("branch"), F.col("first_doc").alias("k1"),
+                F.col("chunk_md5").alias("k2"), F.col("n_docs").alias("cnt"),
+                F.col("n_occurrences").cast("double").alias("val")),
         ]
     out = branches[0]
     for b in branches[1:]:
