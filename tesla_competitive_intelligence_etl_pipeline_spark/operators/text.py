@@ -320,3 +320,40 @@ def keyword_scores(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "rank", "tok", "score")
     )
+
+
+def rare_token_stats(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_df: int = 2,
+) -> "DataFrame":
+    """Corpus-relative quality signal: per document, the fraction of its
+    DISTINCT tokens whose corpus document-frequency is <= ``rare_df`` — the
+    exact-arithmetic stand-in for LM-perplexity filtering (documents full of
+    tokens the rest of the corpus never uses are junk/noise candidates;
+    ln-based logprob scoring is deliberately avoided because libm rounding
+    differs across engines while integer df ratios hash-match exactly).
+
+    Two partial-aggregable groupBys over (doc, token) pairs — text itself
+    never shuffles — plus one join against the document-frequency table
+    (vocabulary-sized; AQE broadcasts it when small). Returns
+    (id, n_distinct, rare_rate)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.round(
+                F.sum(F.when(F.col("__df") <= rare_df, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("rare_rate"),
+        )
+        .orderBy(id_col)
+    )

@@ -825,3 +825,27 @@ def x_mix_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("docs"), F.sum("__n").cast("long").alias("tokens"))
         .orderBy("len_bucket")
     )
+
+
+@register(
+    "x5_rare_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+      FROM documents),
+    d AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_distinct,
+           ROUND(SUM(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS rare_rate
+    FROM t JOIN d USING (tok)
+    GROUP BY 1 ORDER BY doc_id
+    """,
+)
+def x5_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5i: corpus-relative rare-token rate (operators/text.rare_token_stats)
+    — the exact-arithmetic LM-quality proxy: documents dominated by tokens
+    the rest of the corpus never uses are junk candidates. Only (doc, token)
+    pairs shuffle; the df table joins vocabulary-sized."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return tx.rare_token_stats(docs, rare_df=2)
