@@ -765,3 +765,22 @@ def test_star_cc_matches_propagation_and_contracts_paths(spark):
     capped = {r.id: r.comp for r in dd.connected_components(
         path_edges, path_verts, max_iters=8).collect()}
     assert capped[63] != 0
+
+
+def test_star_cc_random_graphs_match_propagation(spark):
+    """connected_components_star must agree with min-label propagation on
+    deterministic pseudo-random graphs of varied density (LCG edges — no RNG
+    dependency), including isolated vertices."""
+    state = 12345
+    def nxt(mod):
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (state >> 33) % mod
+
+    for n, m in [(30, 10), (30, 40), (50, 25)]:
+        edges = [(nxt(n), nxt(n)) for _ in range(m)]
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        star = {r.id: r.comp for r in dd.connected_components_star(edf, vdf).collect()}
+        prop = {r.id: r.comp for r in dd.connected_components(edf, vdf, max_iters=50).collect()}
+        assert star == prop, f"n={n} m={m}"

@@ -264,3 +264,25 @@ def test_q8_market_share_plan_broadcasts_dims_and_pushes_filters(spark, sf_dir, 
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4
     assert "EqualTo(p_type,ECONOMY)" in plan          # pushed to part scan
     assert "GreaterThanOrEqual(o_orderdate" in plan   # pushed to orders scan
+
+
+def test_retention_plan_distinct_before_join_and_partial_agg(spark, sf_dir, registry):
+    """evt_retention_cohorts: the (user, week) distinct must collapse rows
+    BEFORE the cohort join (cost = active user-weeks, not raw events), and
+    the final count must partial-aggregate."""
+    plan = _plan(registry["evt_retention_cohorts"][0](spark, sf_dir))
+    assert "partial_count" in plan
+    # the distinct (HashAggregate on user_id+act_week) must appear below the
+    # join in the formatted plan: its first occurrence precedes the join's
+    join_pos = plan.find("Join")
+    distinct_pos = plan.find("HashAggregate")
+    assert 0 <= distinct_pos < join_pos
+
+
+def test_chunk_dedup_plan_shuffles_hashes_not_text(spark, sf_dir, registry):
+    """x1_chunk_dedup: the exchange input must carry (chunk_md5, doc_id)
+    aggregates — never chunk_text — and both aggregates partial-combine."""
+    plan = _plan(registry["x1_chunk_dedup"][0](spark, sf_dir))
+    assert "partial_count" in plan
+    m = re.search(r"\(\d+\) Exchange\s*\nInput(.*)", plan)
+    assert m and "chunk_text" not in m.group(1)
