@@ -849,3 +849,45 @@ def x5_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs shuffle; the df table joins vocabulary-sized."""
     docs = src.load_table(spark, sf_dir, "documents")
     return tx.rare_token_stats(docs, rare_df=2)
+
+
+@register(
+    "x_mix_rollup",
+    """
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+           COUNT(*) AS docs,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    ORDER BY gid, source, lang
+    """,
+)
+def x_mix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture composition at every granularity in ONE pass: grouping sets
+    over (source, lang) give the per-cell, per-source, per-language, and
+    grand-total doc/token budgets that mixing decisions read — one
+    partial-aggregable grouping-sets aggregate instead of four scans.
+    grouping_id disambiguates rolled-up NULLs from real values."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    return (
+        docs.select("source", "lang", n_tok.alias("__n"))
+        .groupingSets(
+            [["source", "lang"], ["source"], ["lang"], []], "source", "lang"
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("docs"),
+            F.sum("__n").cast("long").alias("tokens"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "gid",
+            "docs",
+            "tokens",
+        )
+        .orderBy("gid", "source", "lang")
+    )
