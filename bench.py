@@ -106,12 +106,19 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    # Load hygiene (VERDICT r4 item 6): record the box's 1-min load average
+    # around the run so round-over-round comparisons can discard contaminated
+    # runs (r4's x7_cube showed a phantom 1.3x regression from a loaded box).
+    load_before = round(os.getloadavg()[0], 2)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = run(name)
     for name in queries:
         if name not in timings:
             timings[name] = run(name)
+
+    load_after = round(os.getloadavg()[0], 2)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # The stdout contract is ONE SMALL json line (the driver's capture
@@ -122,6 +129,8 @@ def main() -> None:
         "all_queries_total_sec": round(sum(timings.values()), 3),
         "n_queries": len(timings),
         "queries": timings,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
@@ -135,6 +144,10 @@ def main() -> None:
                 "all_queries_total_sec": round(sum(timings.values()), 3),
                 "n_queries": len(timings),
                 "queries": {n: timings[n] for n in HEADLINE},
+                # loadavg(1m) sampled before/after: `before` >> n_cpus-idle
+                # baseline means another process contaminated the numbers
+                "loadavg_before": load_before,
+                "loadavg_after": load_after,
                 "detail_file": "BENCH_DETAIL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -20,6 +20,17 @@ connected components):
 - Deterministic: seeds are the k vectors with the smallest stable md5
   bucket of their id (engine-portable, no rand()), ties by id; argmin over
   (distance, cluster) struct breaks distance ties by lowest cluster index.
+
+Driver-memory bound (the 100x operator's arithmetic): centroid state is
+k x dim x 8 B held on the driver AND serialized into each iteration's plan
+as a literal — k=8/dim=64 is 4 KiB; k=4,096/dim=1,024 is 32 MiB (fine);
+k=65,536/dim=4,096 is ~2 GiB and does NOT fit the literal-broadcast
+pattern. Escape hatch at that scale: store centroids as a (cluster,
+centroid) DataFrame and assign via a broadcast-join argmin (one
+min_by(cluster, dist) aggregate per point) — same shuffle shape as the
+update step, no driver-held state. The codebase keeps the literal form
+because typical curation clusterings (k <= a few thousand) sit far below
+the bound and the literal form saves a join per iteration.
 """
 
 from __future__ import annotations
@@ -30,19 +41,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tesla_competitive_intelligence_etl_pipeline_spark.operators.sampling import stable_bucket
-
-
-def _sq_dist(vec, centroid: list[float]):
-    """Squared L2 distance between an array column and a literal centroid."""
-    # ONE array literal (a single Literal node), not F.array over dim F.lit
-    # nodes: at dim 64 x k 8 the per-element form put ~512 literal nodes in
-    # the plan and tripled codegen time (measured 1.12 s -> 0.31 s per job)
-    lit = F.lit([float(c) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def assign_clusters(

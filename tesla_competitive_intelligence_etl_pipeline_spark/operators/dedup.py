@@ -14,6 +14,8 @@ Scale design (the point of these at 100 TB):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -370,6 +372,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_rounds):
         stepped = small_star(large_star(e)).localCheckpoint(eager=True)
         # fixpoint: the (distinct) edge set no longer changes
@@ -378,12 +381,29 @@ def connected_components_star(
             and e.exceptAll(stepped).limit(1).count() == 0
         ):
             e = stepped
+            converged = True
             break
         e = stepped
-    # star forest: every edge is (child, root); singletons label themselves
-    return vertices.select("id").join(
-        e.select(F.col("src").alias("id"), F.col("dst").alias("comp")), "id", "left"
-    ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    if not converged:
+        # ADVICE r4: a non-converged edge set need not be a star forest — a
+        # vertex can still hold multiple outgoing edges, and joining on it
+        # would emit duplicate (id, comp) rows (silently wrong cardinality).
+        # Surface the budget exhaustion loudly; the min-collapse below then
+        # degrades to stale-but-unique labels, matching connected_components'
+        # failure mode.
+        warnings.warn(
+            f"connected_components_star: round budget ({max_rounds}) exhausted "
+            "before edge-set fixpoint; labels may be stale (not fully merged). "
+            "Raise max_rounds.",
+            stacklevel=2,
+        )
+    # star forest: every edge is (child, root); singletons label themselves.
+    # The groupBy collapses to ONE row per vertex — free on a converged star
+    # forest (already unique) and the cardinality guard when it is not.
+    roots = e.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("comp"))
+    return vertices.select("id").join(roots, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
 
 
 def near_dup_clusters(
@@ -686,10 +706,47 @@ def write_signature_table(
     the dominant dedup cost, and they're computed ONCE at ingest, not per
     dedup run. Stored as (doc_id, sh, sig); every later crawl increment
     dedups against the stored table without touching the existing corpus's
-    text (cross_corpus_neardup_indexed)."""
+    text (cross_corpus_neardup_indexed).
+
+    Build parameters are persisted in a one-row parquet sidecar at
+    ``path``/_params (underscore-prefixed => invisible to the table's own
+    readers, like _SUCCESS): querying a signature table with different
+    num_hashes/shingle_n than it was built with silently degrades recall
+    (mismatched banding) or compares wrong-granularity Jaccard, so
+    cross_corpus_neardup_indexed asserts equality on read (VERDICT r4)."""
     _with_shingles_and_sig(docs, text_col, id_col, num_hashes, shingle_n).write.mode(
         "overwrite"
     ).parquet(path)
+    docs.sparkSession.createDataFrame(
+        [(int(num_hashes), int(shingle_n))], "num_hashes int, shingle_n int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_params")
+
+
+def _check_signature_params(
+    spark, sig_path: str, num_hashes: int, shingle_n: int
+) -> None:
+    """Raise loudly when query-time LSH parameters differ from the ones the
+    signature table was built with; warn (legacy table) when the sidecar is
+    absent. Silent mismatch = silent recall loss, never acceptable."""
+    try:
+        stored = spark.read.parquet(sig_path + "/_params").first()
+    except Exception:
+        warnings.warn(
+            f"signature table at {sig_path} has no _params sidecar (built by "
+            "an older write_signature_table?); cannot verify num_hashes/"
+            "shingle_n — a mismatch silently degrades recall",
+            stacklevel=3,
+        )
+        return
+    if stored["num_hashes"] != num_hashes or stored["shingle_n"] != shingle_n:
+        raise ValueError(
+            f"signature table at {sig_path} was built with "
+            f"num_hashes={stored['num_hashes']}, shingle_n={stored['shingle_n']} "
+            f"but the query passed num_hashes={num_hashes}, shingle_n={shingle_n}; "
+            "mismatched parameters silently degrade recall / compare "
+            "wrong-granularity Jaccard — rebuild the table or match the "
+            "build parameters"
+        )
 
 
 def _band_explode(sigs: DataFrame, num_hashes: int, bands: int, *keep: str) -> DataFrame:
@@ -736,10 +793,18 @@ def cross_corpus_neardup_indexed(
     identical inputs (pinned in tests). Returns (doc_id, match_id, jaccard).
 
     This is the steady-state 100 TB ingestion shape: per increment, cost =
-    shingle the increment + one band join against the stored table."""
+    shingle the increment + one band join against the stored table. Raises
+    when num_hashes/shingle_n differ from the table's build parameters (the
+    _params sidecar written by write_signature_table — VERDICT r4)."""
+    _check_signature_params(spark, sig_path, num_hashes, shingle_n)
+    # eager localCheckpoint (not persist — VERDICT r4 storage-leak class):
+    # materializes the increment's signatures ONCE for the two consumers
+    # below (band join + exact-Jaccard verify), and the blocks are released
+    # by the ContextCleaner when the returned plan is dropped — no
+    # caller-must-unpersist contract
     new_sigs = _with_shingles_and_sig(
         new_docs, text_col, id_col, num_hashes, shingle_n
-    ).persist()
+    ).localCheckpoint(eager=True)
     old_sigs = spark.read.parquet(sig_path)
 
     new_band = _band_explode(new_sigs, num_hashes, bands)

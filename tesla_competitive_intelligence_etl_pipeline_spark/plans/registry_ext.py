@@ -537,7 +537,12 @@ def x6_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id").alias("sk"),
             F.count_distinct("user_id").alias("exact_users"),
         )
-        .persist()  # sketches feed both the per-day rows and the merge
+        # sketches feed both the per-day rows and the merge; an eager
+        # localCheckpoint (vs persist, ADVICE r4) materializes the #days-row
+        # sketch table once and its blocks are released by the ContextCleaner
+        # when the returned plan is dropped — no cache leak across the
+        # oracle's repeated executions / the bench sweep
+        .localCheckpoint(eager=True)
     )
     per_day = daily.select(
         F.lit("day").alias("scope"),

@@ -1,0 +1,168 @@
+"""Pluggable filesystem layer for the streaming merge's COMMIT BOOKKEEPING
+(VERDICT r4 item 1): manifest load/swap, staged-bucket moves, vacuum.
+
+The two-phase merge in streaming/events.py previously reached straight for
+``os.*``/``open``/``shutil`` — correct on a single box, but the stated 100 TB
+posture runs the driver against HDFS/S3 where (a) paths aren't local and
+(b) S3 has NO atomic rename. This module narrows the merge's filesystem
+contract to the six operations it actually needs and makes the commit
+protocol's atomicity assumption EXPLICIT:
+
+- ``put_atomic(path, data)`` — full-object write that readers see entirely
+  or not at all. This is the ONLY operation the commit point relies on.
+  Local: write a temp file in the same directory + ``os.replace``. S3: a
+  single object PUT (atomic by the S3 consistency model). HDFS: temp +
+  rename.
+- ``rename(src, dst)`` — move a finished staging dir into ``store/``. MAY be
+  non-atomic (S3 = copy + delete): a crash mid-copy leaves a partial
+  destination tree, which is SAFE because nothing under ``store/`` is
+  reader-visible until the manifest names it, and vacuum reclaims
+  unreferenced versions. ``NonAtomicRenameFS`` simulates exactly these
+  semantics so tests can prove the manifest swap remains the single commit
+  point without atomic rename.
+- read/exists/list/remove bookkeeping (tiny metadata I/O — the data files
+  themselves are written/read by Spark through its own Hadoop FS layer; this
+  module never touches row data).
+
+A real object-store deployment implements ``MergeFS`` over boto3/Hadoop-FS
+calls (or swaps the whole table for Delta/Iceberg); the protocol in
+events.py does not change. Reference behavior anchor: the transactional
+upsert at /root/reference/load.py:128-154.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+class MergeFS:
+    """Minimal filesystem contract for the merge table's bookkeeping.
+
+    Atomicity contract: ``put_atomic`` is all-or-nothing per call;
+    ``rename`` need not be atomic (see module docstring). Everything else
+    is plain metadata I/O.
+    """
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        """All-or-nothing full-object write (the commit primitive)."""
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move a file or directory tree; may be copy+delete."""
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rmtree(self, path: str) -> None:
+        """Recursive remove; must not fail if the path is already gone."""
+        raise NotImplementedError
+
+
+class LocalFS(MergeFS):
+    """POSIX filesystem: ``put_atomic`` = same-directory temp + os.replace
+    (atomic on POSIX), ``rename`` = os.rename (atomic, same filesystem)."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rmtree(self, path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+
+class NonAtomicRenameFS(LocalFS):
+    """S3-semantics simulation over the local disk: ``rename`` is a
+    file-by-file COPY then a source DELETE (there is no server-side move on
+    S3), while ``put_atomic`` stays all-or-nothing (an S3 object PUT is
+    atomic — readers see the old object or the new one, never a torn one).
+
+    Used by tests to prove the merge's crash-safety does NOT depend on
+    atomic rename: a crash mid-copy strands a partial destination tree that
+    no reader can see (the manifest doesn't reference it) and vacuum
+    reclaims.
+
+    ``fail_after_ops``: crash injection — raise ``InjectedCrash`` after N
+    mutating file operations (each copied file and each delete counts), so
+    tests can kill the commit at EVERY intermediate point.
+    """
+
+    class InjectedCrash(RuntimeError):
+        pass
+
+    def __init__(self, fail_after_ops: int | None = None):
+        self.fail_after_ops = fail_after_ops
+        self.ops = 0
+
+    def _tick(self) -> None:
+        self.ops += 1
+        if self.fail_after_ops is not None and self.ops > self.fail_after_ops:
+            raise NonAtomicRenameFS.InjectedCrash(
+                f"injected crash after {self.fail_after_ops} mutating ops"
+            )
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        self._tick()  # the PUT either happens entirely or not at all
+        super().put_atomic(path, data)
+
+    def rename(self, src: str, dst: str) -> None:
+        # S3 "move" = per-object copy, then per-object delete of the source
+        if os.path.isdir(src):
+            for root, _dirs, files in os.walk(src):
+                for f in sorted(files):
+                    s = os.path.join(root, f)
+                    d = os.path.join(dst, os.path.relpath(s, src))
+                    self._tick()
+                    os.makedirs(os.path.dirname(d), exist_ok=True)
+                    shutil.copy2(s, d)
+            self._tick()
+            shutil.rmtree(src, ignore_errors=True)
+        else:
+            self._tick()
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+            self._tick()
+            os.remove(src)
+
+
+LOCAL_FS = LocalFS()

@@ -432,6 +432,37 @@ def test_cross_corpus_indexed_matches_unindexed(spark, tmp_path):
         assert indexed == direct and len(indexed) >= 1
 
 
+def test_signature_table_parameter_mismatch_raises(spark, tmp_path):
+    """VERDICT r4: querying a materialized signature table with different
+    num_hashes/shingle_n than it was built with must be a LOUD error (the
+    _params sidecar), never silent recall loss; a legacy table without the
+    sidecar degrades to a warning."""
+    import shutil
+    import warnings as w
+
+    import pytest as pt
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{j}" for j in range(20)))], "doc_id long, text string"
+    )
+    sig_path = str(tmp_path / "sigs")
+    dd.write_signature_table(docs, sig_path, num_hashes=32, shingle_n=3)
+
+    with pt.raises(ValueError, match="shingle_n=3"):
+        dd.cross_corpus_neardup_indexed(docs, spark, sig_path, shingle_n=2)
+    with pt.raises(ValueError, match="num_hashes=32"):
+        dd.cross_corpus_neardup_indexed(docs, spark, sig_path, num_hashes=16)
+    # matching params: constructs fine
+    dd.cross_corpus_neardup_indexed(docs, spark, sig_path)
+
+    # legacy table (no sidecar): warn, don't raise
+    shutil.rmtree(str(tmp_path / "sigs" / "_params"))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        dd.cross_corpus_neardup_indexed(docs, spark, sig_path)
+    assert any("_params sidecar" in str(c.message) for c in caught)
+
+
 def test_keyword_scores_surfaces_distinctive_terms(spark):
     """tf x (N/df) keyword extraction: a term unique to one doc outranks
     corpus-wide common terms; ranks are dense per doc with a total order."""
@@ -739,6 +770,65 @@ def test_ivf_index_append_incremental_maintenance(spark, sf_dir, tmp_path):
         assert abs(brute[r.vec_id] - r.cos_sim) < 1e-9
 
 
+def test_compact_ivf_index_drops_files_and_preserves_results(spark, sf_dir, tmp_path):
+    """VERDICT r4 item 4: repeated ivf_index_append accrues small files per
+    cell; compact_ivf_index must (a) cut over-threshold cells to the target
+    file count, (b) leave under-threshold cells' files byte-for-byte
+    untouched, and (c) keep indexed search results bit-identical."""
+    import glob
+    import os
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, path)
+
+    # five append batches -> several files per touched cell
+    for lo in range(300, 400, 20):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20))
+        sim.ivf_index_append(spark, path, batch.select("vec_id", "embedding"))
+
+    before_counts = sim.ivf_cell_file_counts(path)
+    assert max(before_counts.values()) > 2  # appends really fragmented cells
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path + "/vectors").collect()
+    )
+    before_topk = [
+        tuple(r)
+        for r in sim.ivf_topk_indexed(spark, path, query_id=0, k=10, n_probe=2).collect()
+    ]
+    untouched = {c for c, n in before_counts.items() if n <= 2}
+    untouched_files = {
+        c: sorted(
+            (os.path.basename(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(path, "vectors", c, "*.parquet"))
+        )
+        for c in untouched
+    }
+
+    rewritten = sim.compact_ivf_index(spark, path, max_files_per_cell=2)
+    assert rewritten  # something was over threshold
+    after_counts = sim.ivf_cell_file_counts(path)
+    assert all(n == 1 for c, n in after_counts.items() if c in rewritten)
+    assert all(after_counts[c] == before_counts[c] for c in untouched)
+    for c in untouched:  # byte-for-byte: same files, same mtimes
+        now = sorted(
+            (os.path.basename(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(path, "vectors", c, "*.parquet"))
+        )
+        assert now == untouched_files[c], c
+
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path + "/vectors").collect()
+    )
+    assert after_rows == before_rows  # content identical, layout compacted
+    after_topk = [
+        tuple(r)
+        for r in sim.ivf_topk_indexed(spark, path, query_id=0, k=10, n_probe=2).collect()
+    ]
+    assert after_topk == before_topk
+
+
 def test_star_cc_matches_propagation_and_contracts_paths(spark):
     """connected_components_star: equals min-label propagation on a mixed
     graph, labels singletons, and fully resolves a 64-node PATH — the
@@ -765,6 +855,24 @@ def test_star_cc_matches_propagation_and_contracts_paths(spark):
     capped = {r.id: r.comp for r in dd.connected_components(
         path_edges, path_verts, max_iters=8).collect()}
     assert capped[63] != 0
+
+
+def test_star_cc_exhausted_rounds_warns_and_keeps_unique_ids(spark):
+    """ADVICE r4: when the round budget runs out before the edge-set
+    fixpoint, the intermediate edge set need not be a star forest — the
+    closing join must still emit exactly ONE row per vertex (stale labels
+    are acceptable, duplicated vertices are not), and the exhaustion must be
+    surfaced as a warning."""
+    import warnings as w
+
+    path_edges = spark.createDataFrame([(i, i + 1) for i in range(63)], "src long, dst long")
+    path_verts = spark.createDataFrame([(i,) for i in range(64)], "id long")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out = dd.connected_components_star(path_edges, path_verts, max_rounds=1).collect()
+    assert any("round budget" in str(c.message) for c in caught)
+    ids = [r.id for r in out]
+    assert len(ids) == 64 and len(set(ids)) == 64  # one row per vertex, no dups
 
 
 def test_star_cc_random_graphs_match_propagation(spark):

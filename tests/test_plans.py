@@ -266,17 +266,57 @@ def test_q8_market_share_plan_broadcasts_dims_and_pushes_filters(spark, sf_dir, 
     assert "GreaterThanOrEqual(o_orderdate" in plan   # pushed to orders scan
 
 
+def _tree_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """(depth, name, node_id) per operator in the formatted plan's tree
+    section, pre-order. Depth = the column where the operator name starts
+    (the tree-drawing prefix length), so a node's subtree is exactly the
+    following nodes with strictly greater depth."""
+    nodes = []
+    in_tree = False
+    for line in plan.splitlines():
+        m = re.match(r"^([\s:+\-]*)(?:\* )?([A-Za-z][\w ]*?)\s*\((\d+)\)\s*$", line)
+        if m:
+            in_tree = True
+            nodes.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+        elif in_tree:
+            break  # tree section over (first non-node line after it)
+    return nodes
+
+
+def _subtree_ids(nodes: list[tuple[int, str, int]], root_idx: int) -> list[int]:
+    depth = nodes[root_idx][0]
+    ids = []
+    for d, _, nid in nodes[root_idx + 1 :]:
+        if d <= depth:
+            break
+        ids.append(nid)
+    return ids
+
+
 def test_retention_plan_distinct_before_join_and_partial_agg(spark, sf_dir, registry):
     """evt_retention_cohorts: the (user, week) distinct must collapse rows
     BEFORE the cohort join (cost = active user-weeks, not raw events), and
-    the final count must partial-aggregate."""
+    the final count must partial-aggregate. ADVICE r4: the old first-
+    occurrence string check was vacuous (formatted plans print the root
+    first); this walks the tree and asserts a HashAggregate keyed on
+    (user_id, act_week) is a DESCENDANT of the join node."""
     plan = _plan(registry["evt_retention_cohorts"][0](spark, sf_dir))
     assert "partial_count" in plan
-    # the distinct (HashAggregate on user_id+act_week) must appear below the
-    # join in the formatted plan: its first occurrence precedes the join's
-    join_pos = plan.find("Join")
-    distinct_pos = plan.find("HashAggregate")
-    assert 0 <= distinct_pos < join_pos
+    nodes = _tree_nodes(plan)
+    join_idx = next(i for i, (_, name, _) in enumerate(nodes) if "Join" in name)
+    below_join = set(_subtree_ids(nodes, join_idx))
+    assert below_join, "join node has no parsed children"
+    distinct_ids = {
+        int(nid)
+        for nid, keys in re.findall(
+            r"\((\d+)\) HashAggregate[^(]*?Keys \[\d+\]: \[([^\]]*)\]", plan, re.S
+        )
+        if "user_id" in keys and "act_week" in keys
+    }
+    assert distinct_ids & below_join, (
+        f"no (user_id, act_week) distinct HashAggregate inside the join's "
+        f"subtree {sorted(below_join)}; distinct aggregates at {sorted(distinct_ids)}"
+    )
 
 
 def test_chunk_dedup_plan_shuffles_hashes_not_text(spark, sf_dir, registry):

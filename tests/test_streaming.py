@@ -397,3 +397,117 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     assert gold.count() == 2  # one row per user — no reprocessing duplicates
     assert rows[1].event_id == 3  # user 1 advanced to the new latest event
     assert rows[2].event_id == 2  # user 2 untouched
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 item 1: filesystem-pluggable commit — the merge's crash safety
+# must hold WITHOUT atomic rename (S3 semantics: rename = copy+delete, only
+# a full-object PUT is atomic).
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s long, user_id long, event_type string, value double"
+    )
+    return df.select(
+        "event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id", "event_type", "value",
+    )
+
+
+def test_merge_under_nonatomic_rename_fs_matches_localfs(spark, tmp_path):
+    """The same batch sequence through NonAtomicRenameFS (S3-style
+    copy+delete moves) and LocalFS (atomic os.rename) must produce
+    identical committed state — the protocol may not depend on rename
+    atomicity."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    batches = [
+        [(i, 1000 + i, i % 5, "seed", float(i)) for i in range(16)],
+        [(100, 5000, 2, "update", 42.0), (101, 5001, 9, "new", 1.0)],
+        [(200, 9000, 2, "late", 7.0)],
+    ]
+    results = {}
+    for name, fs in [("local", mfs.LOCAL_FS), ("s3ish", mfs.NonAtomicRenameFS())]:
+        target = str(tmp_path / f"gold_{name}")
+        for b in batches:
+            strm.merge_micro_batch(_ev(spark, b), target, n_buckets=4, fs=fs)
+        results[name] = sorted(
+            (r.user_id, r.event_id, r.last_event_type, r.last_value)
+            for r in strm.read_merged(spark, target, fs=fs).collect()
+        )
+    assert results["local"] == results["s3ish"]
+    assert len(results["local"]) == 6  # users 0..4 plus 9
+
+
+def test_merge_crash_at_every_mutating_op_never_tears(spark, tmp_path):
+    """Exhaustive crash sweep under S3 semantics: inject a crash after EVERY
+    mutating filesystem operation of the second batch's commit (each copied
+    file, each delete, the manifest put) and assert readers see EXACTLY the
+    first batch's state — never a torn mix — then that a clean retry lands
+    the whole batch. This is the proof the manifest put is the single commit
+    point."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    seed = [(i, 1000 + i, i, "seed", float(i)) for i in range(6)]
+    update = [(100 + i, 2000 + i, i, "update", -1.0) for i in range(6)]
+
+    # how many mutating ops does the full second commit take?
+    probe_target = str(tmp_path / "probe")
+    probe_fs = mfs.NonAtomicRenameFS()
+    strm.merge_micro_batch(_ev(spark, seed), probe_target, n_buckets=2, fs=probe_fs)
+    ops_batch1 = probe_fs.ops
+    strm.merge_micro_batch(_ev(spark, update), probe_target, n_buckets=2, fs=probe_fs)
+    total_ops = probe_fs.ops - ops_batch1
+    assert total_ops >= 3  # >=2 bucket moves + the manifest put
+
+    target = str(tmp_path / "gold")
+    strm.merge_micro_batch(_ev(spark, seed), target, n_buckets=2, fs=mfs.LOCAL_FS)
+    committed = sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    )
+
+    import pytest
+
+    for crash_at in range(total_ops):
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            strm.merge_micro_batch(_ev(spark, update), target, n_buckets=2, fs=fs)
+            # the injected budget outlasted the commit: batch landed whole
+            landed = True
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            landed = False
+        state = sorted(
+            (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+        )
+        if landed:
+            assert all(eid >= 100 for _, eid in state), crash_at
+        else:
+            # crash after the manifest put but before GC also "lands"
+            manifest_committed = {
+                r for r in state if r[1] >= 100
+            } == {(i, 100 + i) for i in range(6)}
+            assert state == committed or manifest_committed, (crash_at, state)
+        if not landed and state == committed:
+            # debris from the aborted attempt is invisible; vacuum reclaims
+            # it without changing the committed state
+            strm.vacuum_merge_table(target, fs=mfs.NonAtomicRenameFS())
+            assert sorted(
+                (r.user_id, r.event_id)
+                for r in strm.read_merged(spark, target).collect()
+            ) == committed
+        if landed or state != committed:
+            # batch is in — reset the table to the seed state for the next
+            # crash point (rebuild from scratch; cheap at this size)
+            import shutil
+
+            shutil.rmtree(target)
+            strm.merge_micro_batch(_ev(spark, seed), target, n_buckets=2, fs=mfs.LOCAL_FS)
+
+    # final clean retry on the last reset table
+    strm.merge_micro_batch(_ev(spark, update), target, n_buckets=2, fs=mfs.NonAtomicRenameFS())
+    final = {r.user_id: r.event_id for r in strm.read_merged(spark, target).collect()}
+    assert final == {i: 100 + i for i in range(6)}
