@@ -114,13 +114,24 @@ def kmeans(
     k: int = 8,
     max_iters: int = 10,
     tol: float = 1e-6,
+    round_decimals: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means. Returns (assignments df with a ``cluster`` column,
     final centroids). ``df`` is scanned once per iteration, so it is
     repartitioned across cores (small single-file inputs otherwise iterate
     on ONE partition) and persisted for the iteration loop; the persist is
     released before returning (the returned assignment plan recomputes from
-    the final centroids — no storage leak in long-lived sessions)."""
+    the final centroids — no storage leak in long-lived sessions).
+
+    ``round_decimals``: round each updated centroid component (driver-side,
+    Python round) to this many decimals per iteration. This makes the final
+    centroids ENGINE-PORTABLE: the per-cluster vector sums are double
+    aggregates whose partial-merge order varies run-to-run and
+    engine-to-engine (last-ulp noise), and rounding quantizes that noise
+    away so an independent implementation (the NumPy oracle twin in
+    plans/oracle_twins.py) reproduces bit-identical centroids. 1e-6 is far
+    above double noise and far below any real centroid separation — it does
+    not change clustering quality, it pins reproducibility."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_part).persist()
     try:
@@ -145,12 +156,18 @@ def kmeans(
             k = len(seeds)
         centroids = [list(r["v"]) for r in seeds]
 
+        if round_decimals is not None:
+            centroids = [[round(v, round_decimals) for v in c] for c in centroids]
         for _ in range(max_iters):
             assigned = assign_clusters(df, vec_col, centroids)
             stats = _cluster_stats(assigned, vec_col, dim)
             new_centroids = list(centroids)  # empty clusters keep their centroid
             for c, (n, sums) in stats.items():
                 new_centroids[c] = [s / n for s in sums]
+            if round_decimals is not None:
+                new_centroids = [
+                    [round(v, round_decimals) for v in c] for c in new_centroids
+                ]
             shift = max(
                 sum((a - b) * (a - b) for a, b in zip(old, new))
                 for old, new in zip(centroids, new_centroids)
@@ -187,10 +204,12 @@ def pq_train(
     k: int = 16,
     max_iters: int = 5,
     train_fraction: float | None = None,
+    round_decimals: int | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: k-means per subspace (m runs over the SAME scan,
     each on a sub_dim-wide slice). Returns codebooks[sub][code] -> centroid.
-    dim must be divisible by m.
+    dim must be divisible by m. ``round_decimals`` is forwarded to each
+    subspace k-means (engine-portable codebooks — see kmeans).
 
     ``train_fraction``: train on a stable md5-bucket sample (the standard
     100 TB practice — codebooks converge on a 1-10% sample; ENCODING is the
@@ -218,7 +237,10 @@ def pq_train(
             F.col(id_col).alias("vec_id"),
             _slice_subspace(vec, m, sub, sub_dim).alias("sv"),
         )
-        _, cents = kmeans(sliced, vec_col="sv", id_col="vec_id", k=k, max_iters=max_iters)
+        _, cents = kmeans(
+            sliced, vec_col="sv", id_col="vec_id", k=k, max_iters=max_iters,
+            round_decimals=round_decimals,
+        )
         codebooks.append(cents)
     return codebooks
 
@@ -270,6 +292,7 @@ def pq_build_index(
     k: int = 16,
     max_iters: int = 5,
     train_fraction: float | None = None,
+    round_decimals: int | None = None,
 ) -> list[list[list[float]]]:
     """Materialize the PQ index — the one-time ingest/offline cost a
     deployment amortizes (the PQ twin of build_ivf_index): train codebooks
@@ -281,6 +304,7 @@ def pq_build_index(
     books = pq_train(
         df, vec_col=vec_col, id_col=id_col, m=m, k=k,
         max_iters=max_iters, train_fraction=train_fraction,
+        round_decimals=round_decimals,
     )
     pq_encode(df, books, vec_col=vec_col).select(
         F.col(id_col), "pq_code"

@@ -1,0 +1,305 @@
+"""DuckDB oracle SQL builders for the vector/ANN registry entries
+(VERDICT r4 item 2: upgrade rows-only approximate operators to hash-checked
+oracles).
+
+These generate SELF-CONTAINED ANSI-ish SQL over the pre-registered
+``embeddings`` view — no sidecar files, no baked-in data — so the same
+string is valid at every scale factor the harness pairs it with (tests run
+sf0.001, the driver runs sf0.01).
+
+The interesting one is k-means: Lloyd's algorithm is iterative, so the
+oracle UNROLLS the iterations as a CTE chain (c0 -> c1 -> ... -> c_T), each
+step = assign (argmin over the previous centroids, ties to the lowest
+cluster) + update (per-dimension mean of assigned points, empty clusters
+keep their centroid) + the same early-stop rule the engine uses (once the
+max squared centroid shift drops below tol, later steps freeze). Cross-
+engine reproducibility comes from the engine's ``round_decimals=6``
+centroid quantization (operators/clustering.py): double partial-sum order
+differs between Spark and DuckDB only at the last few ulps, and rounding to
+1e-6 collapses both to identical centroids, so assignments and summaries
+match bit-for-bit after the shared ROUND(..., 6) on outputs.
+
+The PQ oracle composes the same unrolled k-means once per subspace (over
+the deterministic md5-bucket training sample), then encodes the full corpus
+and scores the query's asymmetric distance table — DuckDB independently
+re-derives the codebooks AND the codes, so a regression anywhere in the
+train/encode/score pipeline shows up as a hash mismatch.
+
+LSH-ANN bakes the deterministic LCG hyperplanes (operators/similarity
+._hyperplanes — pure Python, no Spark needed) as literals; IVF recomputes
+the per-cell mean centroids with the same exact-decimal sums the engine
+uses.
+"""
+
+from __future__ import annotations
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+    _hyperplanes,
+)
+
+# stable_bucket's DuckDB twin (documented in operators/sampling.py)
+_BUCKET = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {n}"
+
+
+def _dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cosine(a: str, b: str, dim: int) -> str:
+    return (
+        f"ROUND({_dot(a, b, dim)} / "
+        f"(sqrt({_dot(a, a, dim)}) * sqrt({_dot(b, b, dim)})), 6)"
+    )
+
+
+def _kmeans_ctes(
+    pfx: str,
+    exp_cte: str,
+    seed_src: str,
+    k: int,
+    iters: int,
+    tol: float,
+    rd: int,
+) -> str:
+    """CTE chain for one unrolled k-means run.
+
+    ``exp_cte``: name of a CTE with (vec_id, pos, val) rows — the vectors to
+    cluster, pos 1-based. ``seed_src``: name of a CTE with the candidate
+    seed (vec_id) rows (the training set). Produces ``{pfx}c{iters}`` =
+    final (cluster, pos, c) centroids, mirroring operators/clustering.kmeans
+    with round_decimals=rd: md5-stable-bucket seeding, argmin assignment
+    with ties to the lowest cluster, per-dimension mean update, empty
+    clusters keep their centroid, early stop frozen once max shift < tol."""
+    out = [
+        f"""
+{pfx}sd AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket, vec_id) - 1 AS INTEGER) AS cluster,
+         vec_id
+  FROM (SELECT vec_id, {_BUCKET.format(key="vec_id", n=1 << 31)} AS bucket
+        FROM {seed_src})
+  ORDER BY bucket, vec_id LIMIT {k}
+),
+{pfx}c0 AS (
+  SELECT s.cluster, e.pos, ROUND(e.val, {rd}) AS c
+  FROM {pfx}sd s JOIN {exp_cte} e USING (vec_id)
+),
+{pfx}f0 AS (SELECT FALSE AS frozen)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        out.append(
+            f""",
+{pfx}a{i} AS (
+  SELECT e.vec_id, c.cluster, SUM((e.val - c.c) * (e.val - c.c)) AS d
+  FROM {exp_cte} e JOIN {pfx}c{p} c USING (pos)
+  GROUP BY e.vec_id, c.cluster
+),
+{pfx}w{i} AS (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+  FROM {pfx}a{i}
+),
+{pfx}n{i} AS (
+  SELECT w.cluster, e.pos, ROUND(SUM(e.val) / COUNT(*), {rd}) AS c
+  FROM (SELECT vec_id, cluster FROM {pfx}w{i} WHERE rn = 1) w
+  JOIN {exp_cte} e USING (vec_id)
+  GROUP BY w.cluster, e.pos
+),
+{pfx}m{i} AS (
+  SELECT o.cluster, o.pos, o.c AS cold, COALESCE(n.c, o.c) AS cnew
+  FROM {pfx}c{p} o LEFT JOIN {pfx}n{i} n ON n.cluster = o.cluster AND n.pos = o.pos
+),
+{pfx}s{i} AS (
+  SELECT MAX(sq) AS mshift FROM (
+    SELECT cluster, SUM((cnew - cold) * (cnew - cold)) AS sq
+    FROM {pfx}m{i} GROUP BY cluster)
+),
+{pfx}c{i} AS (
+  SELECT cluster, pos,
+         CASE WHEN (SELECT frozen FROM {pfx}f{p}) THEN cold ELSE cnew END AS c
+  FROM {pfx}m{i}
+),
+{pfx}f{i} AS (
+  SELECT (SELECT frozen FROM {pfx}f{p})
+         OR (SELECT mshift FROM {pfx}s{i}) < {tol!r} AS frozen
+)"""
+        )
+    return "".join(out)
+
+
+_EXP = """
+exp AS (
+  SELECT vec_id, pos, CAST(uval AS DOUBLE) AS val FROM (
+    SELECT vec_id, unnest(embedding) AS uval,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM embeddings)
+)"""
+
+
+def kmeans_summary_sql(
+    k: int = 8, iters: int = 5, tol: float = 1e-6, rd: int = 6
+) -> str:
+    """Oracle for x3_kmeans_clusters: full unrolled Lloyd over the
+    embeddings view, then the per-cluster (n, mean squared distance)
+    summary under the FINAL centroids — verifying every point's assignment
+    is the argmin over those centroids, exactly as VERDICT r4 asked."""
+    return (
+        "WITH "
+        + _EXP
+        + ","
+        + _kmeans_ctes("", "exp", "embeddings", k, iters, tol, rd)
+        + f""",
+af AS (
+  SELECT e.vec_id, c.cluster, SUM((e.val - c.c) * (e.val - c.c)) AS d
+  FROM exp e JOIN c{iters} c USING (pos)
+  GROUP BY e.vec_id, c.cluster
+),
+wf AS (
+  SELECT vec_id, cluster, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+  FROM af
+)
+SELECT cluster, COUNT(*) AS n, ROUND(AVG(d), 6) AS mean_sq_dist
+FROM wf WHERE rn = 1
+GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+def pq_topk_sql(
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    train_fraction: float = 0.2,
+    sub_dim: int = 16,
+    tol: float = 1e-6,
+    rd: int = 6,
+    topk: int = 10,
+) -> str:
+    """Oracle for x3_pq_topk: re-derive the PQ index end-to-end in SQL —
+    stable-bucket training sample, one unrolled k-means per subspace
+    (codebooks), nearest-codeword encoding of the full corpus, and the
+    query's asymmetric distance table — then score and take the top-k.
+    Matches pq_build_index(m, k, iters, train_fraction,
+    round_decimals=6) + pq_topk_indexed for query vector vec_id=0."""
+    cutoff = int(round(train_fraction * 10_000))
+    parts = [
+        "WITH ",
+        _EXP,
+        f""",
+samp AS (
+  SELECT vec_id FROM embeddings
+  WHERE {_BUCKET.format(key="vec_id", n=10_000)} < {cutoff}
+)""",
+    ]
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f""",
+tr{s} AS (
+  SELECT e.vec_id, e.pos - {s * sub_dim} AS pos, e.val
+  FROM exp e JOIN samp USING (vec_id)
+  WHERE e.pos BETWEEN {lo} AND {hi}
+),
+fu{s} AS (
+  SELECT vec_id, pos - {s * sub_dim} AS pos, val
+  FROM exp WHERE pos BETWEEN {lo} AND {hi}
+),"""
+        )
+        parts.append(
+            _kmeans_ctes(f"s{s}_", f"tr{s}", "samp", k_codes, iters, tol, rd)
+        )
+        parts.append(
+            f""",
+enc{s} AS (
+  SELECT vec_id, cluster AS code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+  FROM (
+    SELECT e.vec_id, c.cluster, SUM((e.val - c.c) * (e.val - c.c)) AS d
+    FROM fu{s} e JOIN s{s}_c{iters} c USING (pos)
+    GROUP BY e.vec_id, c.cluster)
+),
+tq{s} AS (
+  SELECT c.cluster AS code, SUM((q.val - c.c) * (q.val - c.c)) AS d
+  FROM (SELECT pos, val FROM fu{s} WHERE vec_id = 0) q
+  JOIN s{s}_c{iters} c USING (pos)
+  GROUP BY c.cluster
+)"""
+        )
+    dist = " + ".join(f"t{s}.d" for s in range(m))
+    joins = "\n".join(
+        f"JOIN (SELECT vec_id, code FROM enc{s} WHERE rn = 1) e{s} "
+        + ("ON e0.vec_id = e%d.vec_id" % s if s else "ON TRUE")
+        for s in range(1, m)
+    )
+    tjoins = "\n".join(f"JOIN tq{s} t{s} ON t{s}.code = e{s}.code" for s in range(m))
+    parts.append(
+        f"""
+SELECT e0.vec_id, ROUND({dist}, {rd}) AS approx_sq_dist
+FROM (SELECT vec_id, code FROM enc0 WHERE rn = 1) e0
+{joins}
+{tjoins}
+ORDER BY approx_sq_dist ASC, e0.vec_id ASC LIMIT {topk}"""
+    )
+    return "".join(parts)
+
+
+def lsh_ann_sql(n_planes: int = 6, dim: int = 64, topk: int = 10) -> str:
+    """Oracle for x3_lsh_ann: the deterministic LCG hyperplanes are pure
+    Python (no Spark), so they are regenerated here and baked in as double
+    literals; bucket = sign-bit integer, candidates = the query's bucket,
+    exact cosine re-rank — mirroring similarity.lsh_topk(query_id=0)."""
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in p) + "]::DOUBLE[]"
+        d = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id, {_cosine("b.embedding", "q.qv", dim)} AS cos_sim
+FROM b, q
+WHERE b.bucket = q.qb AND b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id ASC LIMIT {topk}"""
+
+
+def ivf_topk_sql(n_probe: int = 2, topk: int = 10) -> str:
+    """Oracle for x3_ivf: per-cell mean centroids with the engine's exact
+    decimal(38,12) sums (partition-order independent on BOTH engines, so
+    centroid doubles match bit-for-bit), probe the n_probe
+    highest-cosine cells, exact re-rank inside — mirroring
+    similarity.ivf_topk(query_id=0)."""
+    return f"""
+WITH exp AS (
+  SELECT vec_id, label, pos, CAST(uval AS DOUBLE) AS val FROM (
+    SELECT vec_id, label, unnest(embedding) AS uval,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM embeddings)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*) AS c
+  FROM exp GROUP BY label, pos
+),
+qe AS (SELECT pos, val FROM exp WHERE vec_id = 0),
+csim AS (
+  SELECT cent.label,
+         ROUND(SUM(qe.val * cent.c)
+               / (sqrt(SUM(cent.c * cent.c)) * sqrt(SUM(qe.val * qe.val))), 6)
+           AS c_sim
+  FROM cent JOIN qe USING (pos)
+  GROUP BY cent.label
+),
+probed AS (SELECT label FROM csim ORDER BY c_sim DESC, label ASC LIMIT {n_probe}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_cosine("e.embedding", "q.qv", 64)} AS cos_sim
+FROM embeddings e JOIN probed USING (label), q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {topk}"""

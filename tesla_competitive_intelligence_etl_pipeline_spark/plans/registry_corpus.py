@@ -14,6 +14,7 @@ from tesla_competitive_intelligence_etl_pipeline_spark.operators import aggregat
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import decontam as dc
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+from tesla_competitive_intelligence_etl_pipeline_spark.plans import oracle_vec
 from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import _dsum, register
 from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
 
@@ -571,18 +572,22 @@ def xtra_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register("x3_kmeans_clusters", None)  # iterative (Lloyd) — rows-only by design
+@register("x3_kmeans_clusters", oracle_vec.kmeans_summary_sql(k=8, iters=5))
 def x3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means over the embeddings table (operators/clustering.py):
     centroids driver-held and broadcast as literals (assignment is map-side,
     no join), update step shuffles only k rows via per-dimension partial-agg
-    sums, deterministic md5-bucket seeding. Iterative => no SQL oracle; blob
-    recovery + determinism pinned in tests/test_ext.py. Returns the per-
-    cluster summary (size, mean intra-cluster distance)."""
+    sums, deterministic md5-bucket seeding. Hash-checked oracle (VERDICT r4
+    item 2): DuckDB re-runs the UNROLLED Lloyd iterations in SQL
+    (plans/oracle_vec.py) and re-derives every point's argmin assignment
+    over the final centroids; centroids are quantized per iteration
+    (round_decimals=6) so both engines' double partial-sum orders collapse
+    to identical values. Returns the per-cluster summary (size, mean
+    intra-cluster distance)."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
 
     emb = src.load_table(spark, sf_dir, "embeddings")
-    _, cents = clustering.kmeans(emb, k=8, max_iters=5)
+    _, cents = clustering.kmeans(emb, k=8, max_iters=5, round_decimals=6)
     # final summary pass: ONE assignment expression yields cluster AND its
     # distance (with_distance) — not a second k x dim distance computation
     # over an already-labeled row (that double pass cost ~2.5 s at sf0.1)
@@ -620,7 +625,8 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, list]
         emb = src.load_table(spark, sf_dir, "embeddings").repartition(n_part).persist()
         try:
             books = clustering.pq_build_index(
-                emb, path, m=4, k=16, max_iters=2, train_fraction=0.2
+                emb, path, m=4, k=16, max_iters=2, train_fraction=0.2,
+                round_decimals=6,
             )
             query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         finally:
@@ -629,7 +635,10 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, list]
     return _PQ_INDEX[sf_dir]
 
 
-@register("x3_pq_topk", None)  # PQ codebooks are k-means-trained — rows-only
+@register(
+    "x3_pq_topk",
+    oracle_vec.pq_topk_sql(m=4, k_codes=16, iters=2, train_fraction=0.2),
+)
 def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3 scale path: product-quantized ANN over a MATERIALIZED index.
     Codebooks k-means-trained per subspace ON A 20% STABLE SAMPLE (the
@@ -639,8 +648,12 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query is the online asymmetric-distance top-10 for query vector 0:
     a map-side scan of the codes table (m literal-table lookups per row) +
     the k-row top-k reduction. No float vectors read, nothing retrained.
-    Iterative training => no SQL oracle; blob ranking + determinism +
-    vs-brute-force recall pinned in tests/test_ext.py."""
+    Hash-checked oracle (VERDICT r4 item 2): DuckDB independently re-derives
+    the sample, the per-subspace codebooks (unrolled Lloyd in SQL —
+    plans/oracle_vec.py), the corpus codes, AND the asymmetric scores;
+    round_decimals=6 codebook quantization makes the two engines'
+    training bit-identical. Recall vs brute force stays pinned in
+    tests/test_ext.py."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
 
     path, books, query = _ensure_pq_index(spark, sf_dir)

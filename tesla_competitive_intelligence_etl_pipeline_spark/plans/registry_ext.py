@@ -22,6 +22,7 @@ from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import multimodal as mm
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import similarity as sim
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+from tesla_competitive_intelligence_etl_pipeline_spark.plans import oracle_vec
 from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import _dsum, register
 from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
 
@@ -268,17 +269,24 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_neighbors_of(emb, query_id=0, k=10)
 
 
-@register("x3_lsh_ann", None)  # approximate (bucket pruning) -> rows-only
+@register("x3_lsh_ann", oracle_vec.lsh_ann_sql(n_planes=6, dim=64))
 def x3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-3b: random-hyperplane LSH bucketed ANN (scale path)."""
+    """X-3b: random-hyperplane LSH bucketed ANN (scale path). Hash-checked
+    oracle (VERDICT r4 item 2): the hyperplanes come from a deterministic
+    pure-Python LCG, so the oracle bakes the SAME planes as double literals
+    and re-derives buckets + candidates + exact re-rank in SQL
+    (plans/oracle_vec.py)."""
     emb = src.load_table(spark, sf_dir, "embeddings")
     return sim.lsh_topk(emb, query_id=0, k=10, n_planes=6)
 
 
-@register("x3_ivf", None)  # probing is approximate -> rows-only
+@register("x3_ivf", oracle_vec.ivf_topk_sql(n_probe=2))
 def x3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3c: IVF-style coarse-quantized search (label column = cell; probe 2
-    nearest centroids, exact re-rank inside)."""
+    nearest centroids, exact re-rank inside). Hash-checked oracle (VERDICT
+    r4 item 2): centroids are exact decimal(38,12) per-dimension means —
+    partition-order independent, so DuckDB reproduces them bit-for-bit and
+    re-runs the probe + re-rank (plans/oracle_vec.py)."""
     emb = src.load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb, query_id=0, k=10, n_probe=2)
 
