@@ -128,8 +128,8 @@ def kmeans(
     centroids ENGINE-PORTABLE: the per-cluster vector sums are double
     aggregates whose partial-merge order varies run-to-run and
     engine-to-engine (last-ulp noise), and rounding quantizes that noise
-    away so an independent implementation (the NumPy oracle twin in
-    plans/oracle_twins.py) reproduces bit-identical centroids. 1e-6 is far
+    away so an independent implementation (the unrolled-Lloyd DuckDB oracle
+    in plans/oracle_vec.py) reproduces bit-identical centroids. 1e-6 is far
     above double noise and far below any real centroid separation — it does
     not change clustering quality, it pins reproducibility."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
