@@ -937,3 +937,67 @@ def cross_corpus_neardup(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "match_id", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): embedding-space near-dup removal with the
+# quadratic pair work CONFINED TO k-means clusters (Abbas et al., 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540).
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.8,
+    max_iters: int = 5,
+) -> DataFrame:
+    """Drop every item that has a LOWER-id neighbor with cosine >=
+    ``threshold`` inside its k-means cluster; return the survivors (the
+    lowest-id representative of each semantic near-dup group survives, plus
+    everything unpaired). This is the SemDeDup recipe: all-pairs cosine over
+    a web-scale corpus is O(n^2) and impossible, but near-dups co-locate in
+    embedding-space clusters, so clustering first confines the quadratic
+    term to O(sum of cluster^2) — pick k so the expected cluster size is
+    bounded (k ~ n/1e4 keeps clusters ~1e4 at any corpus size, i.e. ~1e8
+    in-cluster pairs per cluster worst case, embarrassingly parallel across
+    clusters).
+
+    Determinism/oracle notes: clustering uses round_decimals=6 (engine-
+    portable centroids — see clustering.kmeans), and the cosine is ROUNDED
+    to 6 decimals BEFORE the threshold compare so the keep/drop decision at
+    the boundary cannot flip on cross-engine last-ulp noise. The DuckDB twin
+    re-derives clusters and pairs end-to-end (plans/oracle_vec.py
+    semantic_dedup_sql)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+        clustering,
+        similarity,
+    )
+
+    assigned, _ = clustering.kmeans(
+        df, vec_col=vec_col, id_col=id_col, k=k, max_iters=max_iters,
+        round_decimals=6,
+    )
+    slim = assigned.select(
+        F.col(id_col).alias("__id"), "cluster", F.col(vec_col).alias("__v")
+    )
+    a = slim.select(
+        F.col("__id").alias("__a"), "cluster", F.col("__v").alias("__va")
+    )
+    b = slim.select(
+        F.col("__id").alias("__b"), "cluster", F.col("__v").alias("__vb")
+    )
+    drops = (
+        a.join(b, "cluster")  # pair shuffle keyed on cluster — never global
+        .filter(F.col("__a") < F.col("__b"))
+        .filter(
+            F.round(similarity.cosine(F.col("__va"), F.col("__vb")), 6)
+            >= threshold
+        )
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "left_anti")

@@ -168,6 +168,47 @@ GROUP BY cluster ORDER BY cluster"""
     )
 
 
+def semantic_dedup_sql(
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.4,
+    tol: float = 1e-6,
+    rd: int = 6,
+) -> str:
+    """Oracle for x2_semantic_dedup (SemDeDup): unrolled Lloyd for the
+    cluster assignment, then within-cluster pairs with ROUND(cosine, 6) >=
+    threshold drop the higher id; survivors are everything not dropped —
+    mirroring operators/dedup.semantic_dedup."""
+    return (
+        "WITH "
+        + _EXP
+        + ","
+        + _kmeans_ctes("", "exp", "embeddings", k, iters, tol, rd)
+        + f""",
+af AS (
+  SELECT e.vec_id, c.cluster, SUM((e.val - c.c) * (e.val - c.c)) AS d
+  FROM exp e JOIN c{iters} c USING (pos)
+  GROUP BY e.vec_id, c.cluster
+),
+wf AS (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+  FROM af
+),
+asg AS (SELECT vec_id, cluster FROM wf WHERE rn = 1),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a
+  JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_cosine("ea.embedding", "eb.embedding", 64)} >= {threshold!r}
+)
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)"""
+    )
+
+
 def pq_topk_sql(
     m: int = 4,
     k_codes: int = 16,

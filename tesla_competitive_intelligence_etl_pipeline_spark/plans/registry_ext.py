@@ -269,6 +269,19 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_neighbors_of(emb, query_id=0, k=10)
 
 
+@register("x2_semantic_dedup", oracle_vec.semantic_dedup_sql(k=8, iters=5, threshold=0.4))
+def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2e: SemDeDup (Abbas et al., arXiv:2303.09540) — embedding-space
+    near-dup removal with the quadratic cosine work confined to k-means
+    clusters (operators/dedup.semantic_dedup). Hash-checked oracle: DuckDB
+    re-derives clusters (unrolled Lloyd, plans/oracle_vec.py) and the
+    within-cluster drop set; the keep/drop compare uses ROUND(cos, 6) so
+    the boundary cannot flip on cross-engine ulp noise. Returns surviving
+    vec_ids."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    return dd.semantic_dedup(emb, k=8, threshold=0.4, max_iters=5).select("vec_id")
+
+
 @register("x3_lsh_ann", oracle_vec.lsh_ann_sql(n_planes=6, dim=64))
 def x3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3b: random-hyperplane LSH bucketed ANN (scale path). Hash-checked

@@ -892,3 +892,40 @@ def test_star_cc_random_graphs_match_propagation(spark):
         star = {r.id: r.comp for r in dd.connected_components_star(edf, vdf).collect()}
         prop = {r.id: r.comp for r in dd.connected_components(edf, vdf, max_iters=50).collect()}
         assert star == prop, f"n={n} m={m}"
+
+
+def test_semantic_dedup_drops_planted_embedding_dups(spark):
+    """SemDeDup: planted near-identical embedding pairs lose their higher
+    id; distinct vectors and singletons survive; the survivor set is stable
+    across runs (deterministic clustering + rounded-cosine compare)."""
+    import math
+
+    def unit(seed, dim=8):
+        # deterministic pseudo-random unit vector (LCG)
+        s, out = seed, []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            out.append(((s >> 33) / float(1 << 31)) - 1.0)
+        n = math.sqrt(sum(x * x for x in out))
+        return [x / n for x in out]
+
+    rows = []
+    for i in range(20):
+        v = unit(i + 1)
+        rows.append((i, v))
+        if i % 4 == 0:  # plant a near-dup twin with a tiny perturbation
+            twin = [x + 1e-4 for x in v]
+            rows.append((100 + i, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out1 = sorted(
+        r.vec_id
+        for r in dd.semantic_dedup(df, k=4, threshold=0.99, max_iters=3).collect()
+    )
+    out2 = sorted(
+        r.vec_id
+        for r in dd.semantic_dedup(df, k=4, threshold=0.99, max_iters=3).collect()
+    )
+    assert out1 == out2  # deterministic
+    assert set(range(20)) <= set(out1)  # every original survives (lower id)
+    assert all(t not in out1 for t in (100, 104, 108, 112, 116)), out1  # twins dropped

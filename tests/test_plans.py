@@ -326,3 +326,17 @@ def test_chunk_dedup_plan_shuffles_hashes_not_text(spark, sf_dir, registry):
     assert "partial_count" in plan
     m = re.search(r"\(\d+\) Exchange\s*\nInput(.*)", plan)
     assert m and "chunk_text" not in m.group(1)
+
+
+def test_semantic_dedup_pairs_shuffle_on_cluster_not_cartesian(spark, sf_dir, registry):
+    """x2_semantic_dedup: the within-cluster pair generation must be a JOIN
+    keyed on the cluster id — never a cartesian product over the corpus
+    (the whole point of SemDeDup is confining the quadratic term), and the
+    final survivor filter must be an anti join."""
+    plan = _plan(registry["x2_semantic_dedup"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    # the pair join's keys are the cluster column
+    m = re.search(r"\(\d+\) (?:Broadcast|Shuffled|Sort)\w*Join[^\n]*\n(?:Left keys(?:[^\n]*\n))?", plan)
+    assert m is not None
+    assert "cluster" in plan[m.start():m.start() + 400]
