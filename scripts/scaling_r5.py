@@ -136,6 +136,32 @@ def main() -> None:
         print(f"| {k} | {timed(run)} |")
         spark.catalog.clearCache()
 
+    print("## 3b. semantic dedup: volume 1x/2x/4x with k scaled to hold cluster size")
+    for mult, kk in ((1, 8), (2, 16), (4, 32)):
+        emb = (
+            spark.read.parquet(SF_DIR + "/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .select(
+                (F.col("vec_id") + F.col("i") * 1_000_000).alias("vec_id"),
+                "embedding",
+            )
+        )
+
+        def run():
+            from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+                dedup as dd,
+            )
+
+            dd.semantic_dedup(emb, k=kk, threshold=0.4).select(
+                "vec_id"
+            ).write.format("noop").mode("overwrite").save()
+
+        run()  # warm
+        spark.catalog.clearCache()
+        print(f"| {mult} (k={kk}) | {timed(run)} |")
+        spark.catalog.clearCache()
+
     print("## 4. streaming merge: fixed 64-bucket table, batch touches 1/4/16 buckets")
     target = tempfile.mkdtemp(prefix="gold_scale_") + "/t"
     ev = spark.read.parquet(SF_DIR + "/events.parquet")
