@@ -321,6 +321,29 @@ def pq_load_codebooks(spark: SparkSession, path: str) -> list[list[list[float]]]
     return [[list(c) for c in book] for book in row["codebooks"]]
 
 
+def pq_index_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> int:
+    """Incremental PQ index maintenance — the continual-ingest twin of
+    ivf_index_append: encode ONLY the new batch against the STORED codebooks
+    (the quantizer stays frozen — classic PQ deployment; re-train on the
+    re-index cadence if drift accumulates) and append the (id, pq_code) rows
+    to the codes table. Cost is a map-side encode of the batch plus the
+    append write — O(batch), never a re-encode of the corpus. Returns the
+    number of rows appended."""
+    if codebooks is None:
+        codebooks = pq_load_codebooks(spark, path)
+    pq_encode(new_vectors, codebooks, vec_col=vec_col).select(
+        F.col(id_col), "pq_code"
+    ).write.mode("append").parquet(path + "/codes")
+    return new_vectors.count()
+
+
 def pq_topk_indexed(
     spark: SparkSession,
     path: str,

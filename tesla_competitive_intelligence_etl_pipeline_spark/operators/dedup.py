@@ -728,9 +728,14 @@ def _check_signature_params(
     """Raise loudly when query-time LSH parameters differ from the ones the
     signature table was built with; warn (legacy table) when the sidecar is
     absent. Silent mismatch = silent recall loss, never acceptable."""
+    from pyspark.errors import AnalysisException
+
     try:
         stored = spark.read.parquet(sig_path + "/_params").first()
-    except Exception:
+    except AnalysisException:
+        # sidecar absent (legacy table) -> warn; any OTHER failure (corrupt
+        # sidecar, permission error) propagates — it must not be mistaken
+        # for "nothing to check"
         warnings.warn(
             f"signature table at {sig_path} has no _params sidecar (built by "
             "an older write_signature_table?); cannot verify num_hashes/"

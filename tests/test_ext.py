@@ -929,3 +929,63 @@ def test_semantic_dedup_drops_planted_embedding_dups(spark):
     assert out1 == out2  # deterministic
     assert set(range(20)) <= set(out1)  # every original survives (lower id)
     assert all(t not in out1 for t in (100, 104, 108, 112, 116)), out1  # twins dropped
+
+
+def test_pq_index_append_matches_full_encode(spark, sf_dir, tmp_path):
+    """pq_index_append: appended vectors get the SAME codes the full-corpus
+    encode would give them (frozen codebooks), and the indexed search over
+    build+append equals the search over a one-shot full build with the same
+    codebooks."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    tail = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "pq")
+    books = clustering.pq_build_index(
+        base, path, m=4, k=16, max_iters=2, train_fraction=0.5, round_decimals=6
+    )
+    n = clustering.pq_index_append(spark, path, tail.select("vec_id", "embedding"))
+    assert n == tail.count() > 0
+
+    codes = spark.read.parquet(path + "/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+
+    # appended codes == full-corpus encode under the same (stored) codebooks
+    full = {
+        r.vec_id: list(r.pq_code)
+        for r in clustering.pq_encode(emb, books).select("vec_id", "pq_code").collect()
+    }
+    got = {r.vec_id: list(r.pq_code) for r in codes.collect()}
+    assert got == full
+
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed = clustering.pq_topk_indexed(spark, path, query, k=10).collect()
+    inline = clustering.pq_topk(
+        clustering.pq_encode(emb, books), books, query, k=10
+    ).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in inline]
+
+
+def test_compact_ivf_index_under_nonatomic_rename_fs(spark, sf_dir, tmp_path):
+    """compact_ivf_index's swap protocol must hold under S3 semantics (the
+    NonAtomicRenameFS copy+delete moves): same file-count reduction, same
+    bit-identical rows."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb.filter(F.col("vec_id") < 300), path)
+    for lo in range(300, 400, 20):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20))
+        sim.ivf_index_append(spark, path, batch.select("vec_id", "embedding"))
+
+    before_rows = sorted(tuple(r) for r in spark.read.parquet(path + "/vectors").collect())
+    rewritten = sim.compact_ivf_index(
+        spark, path, max_files_per_cell=2, fs=mfs.NonAtomicRenameFS()
+    )
+    assert rewritten
+    after_counts = sim.ivf_cell_file_counts(path)
+    assert all(after_counts[c] == 1 for c in rewritten)
+    assert sorted(tuple(r) for r in spark.read.parquet(path + "/vectors").collect()) == before_rows
