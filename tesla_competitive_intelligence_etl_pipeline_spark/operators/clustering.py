@@ -335,13 +335,20 @@ def pq_index_append(
     re-index cadence if drift accumulates) and append the (id, pq_code) rows
     to the codes table. Cost is a map-side encode of the batch plus the
     append write — O(batch), never a re-encode of the corpus. Returns the
-    number of rows appended."""
+    number of rows appended, observed on the SAME evaluation as the write
+    (no second scan of the batch, and the count cannot disagree with what
+    landed)."""
+    from pyspark.sql import Observation
+
     if codebooks is None:
         codebooks = pq_load_codebooks(spark, path)
+    obs = Observation()
     pq_encode(new_vectors, codebooks, vec_col=vec_col).select(
         F.col(id_col), "pq_code"
-    ).write.mode("append").parquet(path + "/codes")
-    return new_vectors.count()
+    ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
+        path + "/codes"
+    )
+    return int(obs.get["n"])
 
 
 def pq_topk_indexed(

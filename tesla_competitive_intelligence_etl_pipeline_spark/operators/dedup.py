@@ -995,13 +995,17 @@ def semantic_dedup(
     b = slim.select(
         F.col("__id").alias("__b"), "cluster", F.col("__v").alias("__vb")
     )
+    cos = F.round(similarity.cosine(F.col("__va"), F.col("__vb")), 6)
     drops = (
         a.join(b, "cluster")  # pair shuffle keyed on cluster — never global
         .filter(F.col("__a") < F.col("__b"))
-        .filter(
-            F.round(similarity.cosine(F.col("__va"), F.col("__vb")), 6)
-            >= threshold
-        )
+        # NaN guard (code review r5): a zero-norm embedding makes cosine
+        # 0/0 = NaN, and Spark orders NaN ABOVE every number, so a bare
+        # `>= threshold` would declare a zero vector a near-dup of its whole
+        # cluster and silently drop unrelated rows. A degenerate vector is
+        # never a duplicate of anything; the DuckDB twin agrees for free
+        # (0.0/0.0 is NULL there, and NULL >= t filters out).
+        .filter(~F.isnan(cos) & (cos >= threshold))
         .select(F.col("__b").alias(id_col))
         .distinct()
     )

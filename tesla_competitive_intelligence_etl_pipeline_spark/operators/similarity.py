@@ -269,11 +269,13 @@ def ivf_index_append(
     index at 100 TB costs O(batch), not O(corpus).
 
     Appended rows carry exactly (id_col, vec_col, cell_col) — the schema
-    build_ivf_index wrote. Returns the number of rows appended (a second
-    evaluation of the batch plan — fine for ingest batches, which are small
-    relative to the corpus by definition). Re-running build_ivf_index
+    build_ivf_index wrote. Returns the number of rows appended, observed on
+    the SAME evaluation as the write (code review r5: the earlier
+    count-after-write re-evaluated the batch plan and could disagree with
+    what landed for non-deterministic sources). Re-running build_ivf_index
     periodically re-trains cells if drift accumulates (the standard
     re-index cadence trade-off)."""
+    from pyspark.sql import Observation
     cents_rows = spark.read.parquet(path + "/centroids").orderBy(cell_col).collect()
     cells = [r[cell_col] for r in cents_rows]
     cents = [[float(v) for v in r["centroid"]] for r in cents_rows]
@@ -285,13 +287,14 @@ def ivf_index_append(
         F.lit(cents),
         lambda c, j: F.struct(F.round(cosine(vec, c), 9).alias("s"), j.alias("j")),
     )
+    obs = Observation()
     assigned = new_vectors.select(
         F.col(id_col),
         F.col(vec_col),
         F.get(F.lit(cells), F.array_max(pairs).getField("j")).alias(cell_col),
-    )
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
     assigned.write.mode("append").partitionBy(cell_col).parquet(path + "/vectors")
-    return new_vectors.count()
+    return int(obs.get["n"])
 
 
 def ivf_cell_file_counts(path: str, fs=None) -> dict[str, int]:
@@ -315,6 +318,45 @@ def ivf_cell_file_counts(path: str, fs=None) -> dict[str, int]:
     return counts
 
 
+def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
+    """Heal a materialized IVF index after a crashed compaction (code
+    review r5: the swap's only unsafe window is between the two renames,
+    when a cell's live dir is absent and its data sits in
+    ``.retired_<tag>__<cell>``). For every retired dir: if the live cell
+    dir is MISSING, rename the retired copy back (restore — old and
+    compacted content are row-identical, so restoring the pre-compaction
+    copy is always correct); if the live cell exists, the retired copy is
+    superseded debris — remove it. Leftover ``.compact_*`` staging dirs are
+    always debris (their cell was never unlinked). Runs automatically at
+    the start of compact_ivf_index; call directly after a crash to restore
+    search completeness without waiting for the next compaction. Returns
+    {"restored": [...], "removed": [...]}."""
+    import os
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    vectors = path + "/vectors"
+    out: dict[str, list[str]] = {"restored": [], "removed": []}
+    if not fs.isdir(vectors):
+        return out
+    for entry in sorted(fs.listdir(vectors)):
+        full = os.path.join(vectors, entry)
+        if entry.startswith(".compact_"):
+            fs.rmtree(full)
+            out["removed"].append(full)
+        elif entry.startswith(".retired_") and "__" in entry:
+            cell = entry.split("__", 1)[1]
+            live = os.path.join(vectors, cell)
+            if fs.isdir(live):
+                fs.rmtree(full)
+                out["removed"].append(full)
+            else:
+                fs.rename(full, live)
+                out["restored"].append(live)
+    return out
+
+
 def compact_ivf_index(
     spark,
     path: str,
@@ -335,8 +377,13 @@ def compact_ivf_index(
 
     Swap protocol (per cell, via the pluggable MergeFS): write the
     coalesced cell to a dot-prefixed staging dir (invisible to Spark's
-    listing), move the old cell dir aside, move staging in, then drop the
-    old dir. Same single-writer/maintenance-window contract as
+    listing), move the old cell dir aside to ``.retired_<tag>__<cell>``,
+    move staging in, then drop the retired copy. Crash-RECOVERABLE (code
+    review r5): the retired name carries the cell it came from, so a death
+    between the two renames — the only window where the live cell dir is
+    absent — leaves the data in the retired dir and ``recover_ivf_index``
+    restores it; recovery runs automatically at the start of every
+    compaction. Same single-writer/maintenance-window contract as
     vacuum_merge_table — run it where a deployment runs OPTIMIZE, not
     concurrently with queries. Returns {cell: new_file_count} for the
     rewritten cells."""
@@ -346,6 +393,7 @@ def compact_ivf_index(
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
+    recover_ivf_index(path, fs)  # self-heal debris of any crashed prior run
     vectors = path + "/vectors"
     rewritten: dict[str, int] = {}
     for cell, n_files in sorted(ivf_cell_file_counts(path, fs).items()):
@@ -360,7 +408,7 @@ def compact_ivf_index(
         spark.read.parquet(cell_dir).coalesce(target_files_per_cell).write.parquet(
             staging
         )
-        retired = os.path.join(vectors, f".retired_{tag}")
+        retired = os.path.join(vectors, f".retired_{tag}__{cell}")
         fs.rename(cell_dir, retired)
         fs.rename(staging, cell_dir)
         fs.rmtree(retired)

@@ -272,7 +272,7 @@ tq{s} AS (
     dist = " + ".join(f"t{s}.d" for s in range(m))
     joins = "\n".join(
         f"JOIN (SELECT vec_id, code FROM enc{s} WHERE rn = 1) e{s} "
-        + ("ON e0.vec_id = e%d.vec_id" % s if s else "ON TRUE")
+        f"ON e0.vec_id = e{s}.vec_id"
         for s in range(1, m)
     )
     tjoins = "\n".join(f"JOIN tq{s} t{s} ON t{s}.code = e{s}.code" for s in range(m))

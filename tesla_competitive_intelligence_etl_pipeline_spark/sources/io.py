@@ -152,7 +152,13 @@ def write_jdbc(
     connection and streams ``batchsize``-row prepared-statement batches —
     ``num_partitions`` caps the concurrent connections (the standard guard
     against overwhelming the database: at 1000 executors you do NOT want
-    1000 connections; repartition down to what the DB can absorb).
+    1000 connections). It uses ``repartition`` — a real shuffle — rather
+    than the free ``coalesce`` DELIBERATELY: coalesce folds the cap into
+    the upstream stages (the whole batch computation would run at
+    num_partitions-way parallelism) and inherits their skew, while the
+    round-robin shuffle keeps upstream compute wide and gives every JDBC
+    connection an evenly-sized slice. For a pre-materialized, evenly-sized
+    input, passing the DataFrame already coalesced is the cheaper call.
     ``isolation_level`` defaults to READ_UNCOMMITTED, the cheapest level
     Spark's writer supports — bulk loads don't need more.
 
@@ -191,6 +197,12 @@ def read_jdbc(
     if driver:
         r = r.option("driver", driver)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound and "
+                "upper_bound (Spark splits the key range into numPartitions "
+                "strides)"
+            )
         r = (
             r.option("partitionColumn", partition_column)
             .option("lowerBound", lower_bound)

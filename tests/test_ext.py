@@ -989,3 +989,52 @@ def test_compact_ivf_index_under_nonatomic_rename_fs(spark, sf_dir, tmp_path):
     after_counts = sim.ivf_cell_file_counts(path)
     assert all(after_counts[c] == 1 for c in rewritten)
     assert sorted(tuple(r) for r in spark.read.parquet(path + "/vectors").collect()) == before_rows
+
+
+def test_semantic_dedup_zero_vector_is_never_a_duplicate(spark):
+    """NaN guard (code review r5): a zero-norm embedding's cosine is NaN,
+    which Spark orders above every number — without the guard a low-id
+    zero vector would 'match' its whole cluster and silently drop
+    unrelated rows. Zero vectors must neither drop others nor be dropped."""
+    rows = [(0, [0.0] * 8)]  # lowest id, degenerate
+    for i in range(1, 9):
+        rows.append((i, [float(i == j) for j in range(8)]))  # orthogonal units
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        r.vec_id for r in dd.semantic_dedup(df, k=2, threshold=0.5, max_iters=2).collect()
+    )
+    assert out == list(range(9))  # nothing dropped: no true near-dups here
+
+
+def test_recover_ivf_index_restores_cell_after_crashed_compaction(spark, sf_dir, tmp_path):
+    """Crash between the compaction's two renames leaves a cell's data only
+    in .retired_<tag>__<cell>; recover_ivf_index must restore it (and clear
+    staging debris) so indexed search is complete again."""
+    import os
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path + "/vectors").collect())
+
+    # simulate the crash window: cell moved aside, replacement never landed
+    vectors = path + "/vectors"
+    cell = sorted(c for c in os.listdir(vectors) if c.startswith("label="))[0]
+    fs = mfs.LOCAL_FS
+    fs.rename(os.path.join(vectors, cell), os.path.join(vectors, f".retired_dead__{cell}"))
+    fs.makedirs(os.path.join(vectors, ".compact_dead"))
+    assert not os.path.isdir(os.path.join(vectors, cell))
+
+    out = sim.recover_ivf_index(path)
+    assert out["restored"] == [os.path.join(vectors, cell)]
+    assert os.path.join(vectors, ".compact_dead") in out["removed"]
+    after = sorted(tuple(r) for r in spark.read.parquet(path + "/vectors").collect())
+    assert after == before  # cell fully restored, nothing lost
+
+    # recovery after a COMPLETED swap: retired copy is superseded debris
+    fs.makedirs(os.path.join(vectors, f".retired_old__{cell}"))
+    out2 = sim.recover_ivf_index(path)
+    assert out2["restored"] == []
+    assert os.path.join(vectors, f".retired_old__{cell}") in out2["removed"]

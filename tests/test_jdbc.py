@@ -69,3 +69,12 @@ def test_jdbc_partitioned_read_matches_single_connection(spark, sf_dir, tmp_path
     assert sorted(tuple(r) for r in par.collect()) == sorted(
         tuple(r) for r in serial.collect()
     )
+
+
+def test_read_jdbc_partition_column_requires_bounds(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        src_io.read_jdbc(
+            spark, "jdbc:derby:memory:x", "t", partition_column="id"
+        )
