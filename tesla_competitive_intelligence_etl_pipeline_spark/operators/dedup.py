@@ -959,6 +959,7 @@ def semantic_dedup(
     k: int = 8,
     threshold: float = 0.8,
     max_iters: int = 5,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Drop every item that has a LOWER-id neighbor with cosine >=
     ``threshold`` inside its k-means cluster; return the survivors (the
@@ -970,6 +971,19 @@ def semantic_dedup(
     bounded (k ~ n/1e4 keeps clusters ~1e4 at any corpus size, i.e. ~1e8
     in-cluster pairs per cluster worst case, embarrassingly parallel across
     clusters).
+
+    ``max_cluster_size`` is the degenerate-cluster guard — the SAME blowup
+    class as the LSH boilerplate bucket (minhash_lsh_pairs): a corpus with
+    a mass of identical/near-identical embeddings (empty docs, a template
+    page) collapses them into ONE cluster whose pair term is quadratic in
+    the mass (10^5 copies = 5·10^9 pairs). Clusters above the cap are
+    EXCLUDED from pairing (their rows all survive — no pairs means no
+    drops) because such masses are exact-duplicate shaped and belong to
+    exact/embedding-hash dedup, not pairwise cosine. Like the LSH cap, the
+    default is None — UNCAPPED — because a cap silently loses recall on
+    genuine >cap near-dup groups: policy belongs to the caller, and
+    ``semantic_oversized_clusters`` measures what a cap would exclude
+    before you enable it.
 
     Determinism/oracle notes: clustering uses round_decimals=6 (engine-
     portable centroids — see clustering.kmeans), and the cosine is ROUNDED
@@ -989,6 +1003,15 @@ def semantic_dedup(
     slim = assigned.select(
         F.col(id_col).alias("__id"), "cluster", F.col(vec_col).alias("__v")
     )
+    if max_cluster_size is not None:
+        over = (
+            slim.groupBy("cluster")
+            .agg(F.count("*").alias("__csz"))
+            .filter(F.col("__csz") > max_cluster_size)
+            .select("cluster")
+        )
+        # over has at most k rows — broadcast anti join, no extra shuffle
+        slim = slim.join(F.broadcast(over), "cluster", "left_anti")
     a = slim.select(
         F.col("__id").alias("__a"), "cluster", F.col("__v").alias("__va")
     )
@@ -1010,3 +1033,29 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(drops, id_col, "left_anti")
+
+
+def semantic_oversized_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_cluster_size: int = 10_000,
+    max_iters: int = 5,
+) -> DataFrame:
+    """Observability twin of semantic_dedup's ``max_cluster_size`` cap
+    (mirrors dedup.lsh_oversized_buckets): the clusters a cap would exclude
+    from pairing, with their sizes — run this BEFORE enabling a cap to see
+    exactly what recall you are trading away. Returns (cluster,
+    cluster_size) for clusters above the cap."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    assigned, _ = clustering.kmeans(
+        df, vec_col=vec_col, id_col=id_col, k=k, max_iters=max_iters,
+        round_decimals=6,
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > max_cluster_size)
+    )

@@ -1038,3 +1038,34 @@ def test_recover_ivf_index_restores_cell_after_crashed_compaction(spark, sf_dir,
     out2 = sim.recover_ivf_index(path)
     assert out2["restored"] == []
     assert os.path.join(vectors, f".retired_old__{cell}") in out2["removed"]
+
+
+def test_semantic_dedup_cluster_cap_excludes_degenerate_mass(spark):
+    """max_cluster_size (degenerate-cluster guard, mirroring the LSH
+    bucket cap): a mass of identical embeddings above the cap is excluded
+    from pairing — ALL its rows survive — while normal-size near-dup pairs
+    still dedup; the observability twin reports exactly the capped
+    cluster."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    mass = [(i, base) for i in range(40)]  # 40 identical -> one fat cluster
+    pair = [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 1e-4])]
+    far = [(200, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(mass + pair + far, "vec_id long, embedding array<double>")
+
+    uncapped = {r.vec_id for r in dd.semantic_dedup(df, k=3, threshold=0.99, max_iters=3).collect()}
+    assert uncapped >= {0, 100, 200} and 101 not in uncapped
+    assert uncapped & set(range(1, 40)) == set()  # mass deduped to one row
+
+    capped = {
+        r.vec_id
+        for r in dd.semantic_dedup(
+            df, k=3, threshold=0.99, max_iters=3, max_cluster_size=10
+        ).collect()
+    }
+    assert set(range(40)) <= capped  # fat cluster excluded -> all survive
+    assert 101 not in capped and 100 in capped  # normal pair still dedups
+
+    over = dd.semantic_oversized_clusters(
+        df, k=3, max_cluster_size=10, max_iters=3
+    ).collect()
+    assert len(over) == 1 and over[0].cluster_size == 40
