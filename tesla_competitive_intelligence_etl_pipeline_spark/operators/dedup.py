@@ -1000,8 +1000,24 @@ def semantic_dedup(
         df, vec_col=vec_col, id_col=id_col, k=k, max_iters=max_iters,
         round_decimals=6,
     )
+    # per-ROW norm, computed once before the self-join: the pair stage then
+    # pays ONE dot product per pair instead of three (cosine's two norm
+    # dots re-derived per pair tripled the dominant quadratic FLOPs).
+    # sqrt-per-side then multiply keeps the arithmetic bit-identical to
+    # cosine's sqrt(aa)*sqrt(bb), so the rounded-6 compare (and the DuckDB
+    # twin) are unchanged.
+    vec = F.col(vec_col).cast("array<double>")
     slim = assigned.select(
-        F.col(id_col).alias("__id"), "cluster", F.col(vec_col).alias("__v")
+        F.col(id_col).alias("__id"),
+        "cluster",
+        F.col(vec_col).alias("__v"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(vec, vec, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            )
+        ).alias("__n"),
     )
     if max_cluster_size is not None:
         over = (
@@ -1013,12 +1029,18 @@ def semantic_dedup(
         # over has at most k rows — broadcast anti join, no extra shuffle
         slim = slim.join(F.broadcast(over), "cluster", "left_anti")
     a = slim.select(
-        F.col("__id").alias("__a"), "cluster", F.col("__v").alias("__va")
+        F.col("__id").alias("__a"), "cluster",
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
     )
     b = slim.select(
-        F.col("__id").alias("__b"), "cluster", F.col("__v").alias("__vb")
+        F.col("__id").alias("__b"), "cluster",
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
-    cos = F.round(similarity.cosine(F.col("__va"), F.col("__vb")), 6)
+    cos = F.round(
+        similarity._dot_exact(F.col("__va"), F.col("__vb"))
+        / (F.col("__na") * F.col("__nb")),
+        6,
+    )
     drops = (
         a.join(b, "cluster")  # pair shuffle keyed on cluster — never global
         .filter(F.col("__a") < F.col("__b"))
