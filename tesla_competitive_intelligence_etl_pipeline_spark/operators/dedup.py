@@ -1020,13 +1020,20 @@ def semantic_dedup(
         ).alias("__n"),
     )
     if max_cluster_size is not None:
+        # the capped path reads slim THREE times (size census + both pair
+        # sides); an eager localCheckpoint materializes the scan +
+        # assignment + norm once (blocks released by the ContextCleaner
+        # when the plan is dropped) instead of re-running them per consumer
+        # (code review r5)
+        slim = slim.localCheckpoint(eager=True)
         over = (
             slim.groupBy("cluster")
             .agg(F.count("*").alias("__csz"))
             .filter(F.col("__csz") > max_cluster_size)
             .select("cluster")
         )
-        # over has at most k rows — broadcast anti join, no extra shuffle
+        # the census shuffles only k partially-combined count rows, and
+        # `over` (at most k rows) rides a broadcast anti join
         slim = slim.join(F.broadcast(over), "cluster", "left_anti")
     a = slim.select(
         F.col("__id").alias("__a"), "cluster",

@@ -310,8 +310,13 @@ def ivf_cell_file_counts(path: str, fs=None) -> dict[str, int]:
     counts: dict[str, int] = {}
     for cell in fs.listdir(vectors):
         cdir = os.path.join(vectors, cell)
-        if "=" not in cell or not fs.isdir(cdir):
-            continue  # _SUCCESS etc.
+        # hidden/bookkeeping entries are dot- or underscore-prefixed
+        # (.compact_* staging, .swap_* markers, _SUCCESS); a bare prefix
+        # check — not '=' membership — keeps crash debris out of the counts
+        # (code review r5: a crashed swap's staging dir embeds the cell
+        # name, which contains '=')
+        if cell.startswith((".", "_")) or "=" not in cell or not fs.isdir(cdir):
+            continue
         counts[cell] = sum(
             1 for f in fs.listdir(cdir) if f.endswith(".parquet")
         )
@@ -319,18 +324,25 @@ def ivf_cell_file_counts(path: str, fs=None) -> dict[str, int]:
 
 
 def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
-    """Heal a materialized IVF index after a crashed compaction (code
-    review r5: the swap's only unsafe window is between the two renames,
-    when a cell's live dir is absent and its data sits in
-    ``.retired_<tag>__<cell>``). For every retired dir: if the live cell
-    dir is MISSING, rename the retired copy back (restore — old and
-    compacted content are row-identical, so restoring the pre-compaction
-    copy is always correct); if the live cell exists, the retired copy is
-    superseded debris — remove it. Leftover ``.compact_*`` staging dirs are
-    always debris (their cell was never unlinked). Runs automatically at
-    the start of compact_ivf_index; call directly after a crash to restore
-    search completeness without waiting for the next compaction. Returns
+    """Heal a materialized IVF index after a crashed compaction. The swap
+    commits per cell through an ATOMIC marker (``.swap_<tag>.json``,
+    written with put_atomic) that records the staging dir and its exact
+    parquet file list — because under S3-style copy+delete renames neither
+    "live dir exists" nor "staging dir exists" proves anything (either can
+    be a partial copy; code review r5). Recovery decides from the marker:
+
+    - marker present and staging holds EVERY listed file -> the commit must
+      be redone: drop the (possibly partial) live dir, move staging in.
+    - marker present and staging is missing files -> the swap's copy phase
+      had finished (staging is only ever deleted AFTER the live copy is
+      complete), so the live dir is whole: drop the staging remnant.
+    - ``.compact_*`` staging without any marker -> pre-commit debris, drop.
+
+    Idempotent: re-running after a crash mid-recovery lands in the same
+    branch. Runs automatically at the start of compact_ivf_index; call
+    directly after a crash to restore search completeness. Returns
     {"restored": [...], "removed": [...]}."""
+    import json
     import os
 
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
@@ -340,20 +352,35 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
     out: dict[str, list[str]] = {"restored": [], "removed": []}
     if not fs.isdir(vectors):
         return out
-    for entry in sorted(fs.listdir(vectors)):
-        full = os.path.join(vectors, entry)
-        if entry.startswith(".compact_"):
+    entries = sorted(fs.listdir(vectors))
+    referenced_staging: set[str] = set()
+    for entry in entries:
+        if not (entry.startswith(".swap_") and entry.endswith(".json")):
+            continue
+        marker = os.path.join(vectors, entry)
+        meta = json.loads(fs.read_bytes(marker).decode())
+        staging = os.path.join(vectors, meta["staging"])
+        live = os.path.join(vectors, meta["cell"])
+        referenced_staging.add(meta["staging"])
+        staged_files = set(fs.listdir(staging)) if fs.isdir(staging) else set()
+        if set(meta["files"]) <= staged_files:
+            # staging complete -> redo the commit
+            fs.rmtree(live)
+            fs.rename(staging, live)
+            success = os.path.join(live, "_SUCCESS")
+            if fs.exists(success):
+                fs.rmtree(success)
+            out["restored"].append(live)
+        else:
+            # staging partial/gone -> live is whole; clear remnants
+            fs.rmtree(staging)
+            out["removed"].append(staging)
+        fs.rmtree(marker)
+    for entry in entries:
+        if entry.startswith(".compact_") and entry not in referenced_staging:
+            full = os.path.join(vectors, entry)
             fs.rmtree(full)
             out["removed"].append(full)
-        elif entry.startswith(".retired_") and "__" in entry:
-            cell = entry.split("__", 1)[1]
-            live = os.path.join(vectors, cell)
-            if fs.isdir(live):
-                fs.rmtree(full)
-                out["removed"].append(full)
-            else:
-                fs.rename(full, live)
-                out["restored"].append(live)
     return out
 
 
@@ -375,18 +402,22 @@ def compact_ivf_index(
     bit-identical before/after (pinned in tests) — compaction changes file
     layout, never content; centroids are untouched.
 
-    Swap protocol (per cell, via the pluggable MergeFS): write the
-    coalesced cell to a dot-prefixed staging dir (invisible to Spark's
-    listing), move the old cell dir aside to ``.retired_<tag>__<cell>``,
-    move staging in, then drop the retired copy. Crash-RECOVERABLE (code
-    review r5): the retired name carries the cell it came from, so a death
-    between the two renames — the only window where the live cell dir is
-    absent — leaves the data in the retired dir and ``recover_ivf_index``
-    restores it; recovery runs automatically at the start of every
-    compaction. Same single-writer/maintenance-window contract as
-    vacuum_merge_table — run it where a deployment runs OPTIMIZE, not
-    concurrently with queries. Returns {cell: new_file_count} for the
-    rewritten cells."""
+    Swap protocol (per cell, via the pluggable MergeFS; crash-safe under
+    S3-style copy+delete renames — code review r5 replaced the earlier
+    rename-aside scheme, whose recovery could not tell a partial copy from
+    a complete one): (1) write the coalesced cell to a dot-prefixed
+    staging dir (invisible to Spark's listing); (2) PUT an atomic
+    ``.swap_<tag>.json`` marker recording the staging dir and its exact
+    file list — THE commit point; (3) drop the live cell dir; (4) move
+    staging in; (5) drop the marker. A crash anywhere is healed by
+    ``recover_ivf_index`` (run automatically here first): before the
+    marker nothing changed; after it, the marker's file list decides
+    whether staging (complete) or live (complete once staging starts
+    disappearing) is authoritative. Same single-writer/maintenance-window
+    contract as vacuum_merge_table — run it where a deployment runs
+    OPTIMIZE, not concurrently with queries. Returns
+    {cell: new_file_count} for the rewritten cells."""
+    import json
     import os
     import uuid as _uuid
 
@@ -401,22 +432,32 @@ def compact_ivf_index(
             continue
         cell_dir = os.path.join(vectors, cell)
         tag = _uuid.uuid4().hex[:8]
-        staging = os.path.join(vectors, f".compact_{tag}")
+        staging_rel = f".compact_{tag}"
+        staging = os.path.join(vectors, staging_rel)
         # the cell dir's files carry the non-partition columns only; the
         # partition value is re-derived from the dir name on read, so the
         # rewrite round-trips exactly
         spark.read.parquet(cell_dir).coalesce(target_files_per_cell).write.parquet(
             staging
         )
-        retired = os.path.join(vectors, f".retired_{tag}__{cell}")
-        fs.rename(cell_dir, retired)
+        staged_files = sorted(
+            f for f in fs.listdir(staging) if f.endswith(".parquet")
+        )
+        marker = os.path.join(vectors, f".swap_{tag}.json")
+        fs.put_atomic(
+            marker,
+            json.dumps(
+                {"cell": cell, "staging": staging_rel, "files": staged_files}
+            ).encode(),
+        )  # commit point: from here the swap WILL complete (or be redone)
+        fs.rmtree(cell_dir)
         fs.rename(staging, cell_dir)
-        fs.rmtree(retired)
         # drop Spark's _SUCCESS marker from the swapped-in dir (harmless,
         # but keep the layout identical to partitionBy output)
-        marker = os.path.join(cell_dir, "_SUCCESS")
-        if fs.exists(marker):
-            fs.rmtree(marker)
+        success = os.path.join(cell_dir, "_SUCCESS")
+        if fs.exists(success):
+            fs.rmtree(success)
+        fs.rmtree(marker)
         rewritten[cell] = sum(
             1 for f in fs.listdir(cell_dir) if f.endswith(".parquet")
         )

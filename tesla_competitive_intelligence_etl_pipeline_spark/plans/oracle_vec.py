@@ -202,7 +202,13 @@ drops AS (
   JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id
-  WHERE {_cosine("ea.embedding", "eb.embedding", 64)} >= {threshold!r}
+  -- NaN guard mirroring the engine (code review r5): a zero-norm vector's
+  -- cosine is NULL on DuckDB < 1.1 (0/0 -> NULL) but NaN under the
+  -- ieee_floating_point_ops default of newer releases, where NaN sorts
+  -- ABOVE every number; the explicit isnan test excludes it under BOTH
+  -- semantics (NOT isnan(NULL) is NULL -> row filtered)
+  WHERE NOT isnan({_cosine("ea.embedding", "eb.embedding", 64)})
+    AND {_cosine("ea.embedding", "eb.embedding", 64)} >= {threshold!r}
 )
 SELECT e.vec_id FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)"""

@@ -1006,38 +1006,69 @@ def test_semantic_dedup_zero_vector_is_never_a_duplicate(spark):
     assert out == list(range(9))  # nothing dropped: no true near-dups here
 
 
-def test_recover_ivf_index_restores_cell_after_crashed_compaction(spark, sf_dir, tmp_path):
-    """Crash between the compaction's two renames leaves a cell's data only
-    in .retired_<tag>__<cell>; recover_ivf_index must restore it (and clear
-    staging debris) so indexed search is complete again."""
+def test_recover_ivf_index_heals_crashed_swap_states(spark, sf_dir, tmp_path):
+    """The compaction swap commits through an atomic .swap marker whose
+    file list decides recovery (live-dir existence proves nothing under
+    copy+delete renames — code review r5). Three crash states:
+    (a) marker + COMPLETE staging (crash after the commit point, live
+        possibly partial/gone) -> redo: staging moves in, rows intact;
+    (b) marker + PARTIAL staging (crash while the finished swap deleted
+        staging, live whole) -> staging remnant dropped, live untouched;
+    (c) pre-commit .compact_* with no marker -> debris, dropped."""
+    import json
     import os
+    import shutil
 
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     emb = src.load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "ivf")
     sim.build_ivf_index(emb, path)
-    before = sorted(tuple(r) for r in spark.read.parquet(path + "/vectors").collect())
-
-    # simulate the crash window: cell moved aside, replacement never landed
     vectors = path + "/vectors"
+    before = sorted(tuple(r) for r in spark.read.parquet(vectors).collect())
     cell = sorted(c for c in os.listdir(vectors) if c.startswith("label="))[0]
+    cell_dir = os.path.join(vectors, cell)
     fs = mfs.LOCAL_FS
-    fs.rename(os.path.join(vectors, cell), os.path.join(vectors, f".retired_dead__{cell}"))
-    fs.makedirs(os.path.join(vectors, ".compact_dead"))
-    assert not os.path.isdir(os.path.join(vectors, cell))
+
+    # (a) commit point passed: staging holds the full (here: identical)
+    # cell content; live dir is GONE (crash between rmtree and rename)
+    staging = os.path.join(vectors, ".compact_deadA")
+    shutil.copytree(cell_dir, staging)
+    files = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    fs.put_atomic(
+        os.path.join(vectors, ".swap_deadA.json"),
+        json.dumps({"cell": cell, "staging": ".compact_deadA", "files": files}).encode(),
+    )
+    shutil.rmtree(cell_dir)
+    # (c) an unreferenced pre-commit staging dir
+    fs.makedirs(os.path.join(vectors, ".compact_orphan"))
 
     out = sim.recover_ivf_index(path)
-    assert out["restored"] == [os.path.join(vectors, cell)]
-    assert os.path.join(vectors, ".compact_dead") in out["removed"]
-    after = sorted(tuple(r) for r in spark.read.parquet(path + "/vectors").collect())
-    assert after == before  # cell fully restored, nothing lost
+    assert out["restored"] == [cell_dir]
+    assert os.path.join(vectors, ".compact_orphan") in out["removed"]
+    assert not fs.exists(os.path.join(vectors, ".swap_deadA.json"))
+    after = sorted(tuple(r) for r in spark.read.parquet(vectors).collect())
+    assert after == before  # nothing lost
 
-    # recovery after a COMPLETED swap: retired copy is superseded debris
-    fs.makedirs(os.path.join(vectors, f".retired_old__{cell}"))
+    # (b) marker + partial staging (one listed file missing): live is
+    # authoritative and must NOT be touched
+    staging_b = os.path.join(vectors, ".compact_deadB")
+    shutil.copytree(cell_dir, staging_b)
+    fs.put_atomic(
+        os.path.join(vectors, ".swap_deadB.json"),
+        json.dumps(
+            {"cell": cell, "staging": ".compact_deadB",
+             "files": files + ["part-MISSING.parquet"]}
+        ).encode(),
+    )
     out2 = sim.recover_ivf_index(path)
     assert out2["restored"] == []
-    assert os.path.join(vectors, f".retired_old__{cell}") in out2["removed"]
+    assert staging_b in out2["removed"]
+    assert sorted(tuple(r) for r in spark.read.parquet(vectors).collect()) == before
+
+    # idempotent: a second recovery is a no-op
+    out3 = sim.recover_ivf_index(path)
+    assert out3 == {"restored": [], "removed": []}
 
 
 def test_semantic_dedup_cluster_cap_excludes_degenerate_mass(spark):
