@@ -255,6 +255,52 @@ def vacuum_merge_table(
     return removed
 
 
+def merge_table_stats(
+    target: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
+) -> dict:
+    """Operational stats for a merge gold table — the observability twin of
+    vacuum_merge_table (and the merge-table analog of
+    similarity.ivf_cell_file_counts): committed bucket/version/file counts
+    plus the DEBRIS a crash left behind (unreferenced store versions,
+    staging trees). ``debris_versions`` or ``staging_dirs`` > 0 is the
+    signal to schedule a vacuum; ``live_files`` growing much faster than
+    ``committed_buckets`` signals bucket-version churn. Pure bookkeeping
+    I/O through the pluggable MergeFS — no data files are read."""
+    import os
+
+    manifest = _load_manifest(target, fs)
+    stats = {
+        "committed_buckets": 0,
+        "live_files": 0,
+        "debris_versions": 0,
+        "staging_dirs": 0,
+    }
+    if manifest is None:
+        return stats
+    referenced = {os.path.normpath(rel) for rel in manifest["buckets"].values()}
+    stats["committed_buckets"] = len(referenced)
+    staging = os.path.join(target, ".staging")
+    if fs.isdir(staging):
+        stats["staging_dirs"] = len(fs.listdir(staging))
+    store = os.path.join(target, "store")
+    if fs.isdir(store):
+        for b in fs.listdir(store):
+            bdir = os.path.join(store, b)
+            if not fs.isdir(bdir):
+                continue
+            for ver in fs.listdir(bdir):
+                rel = os.path.normpath(os.path.join("store", b, ver))
+                if rel in referenced:
+                    stats["live_files"] += sum(
+                        1
+                        for f in fs.listdir(os.path.join(target, rel))
+                        if f.endswith(".parquet")
+                    )
+                else:
+                    stats["debris_versions"] += 1
+    return stats
+
+
 def merge_micro_batch(
     batch: DataFrame,
     target: str,

@@ -511,3 +511,48 @@ def test_merge_crash_at_every_mutating_op_never_tears(spark, tmp_path):
     strm.merge_micro_batch(_ev(spark, update), target, n_buckets=2, fs=mfs.NonAtomicRenameFS())
     final = {r.user_id: r.event_id for r in strm.read_merged(spark, target).collect()}
     assert final == {i: 100 + i for i in range(6)}
+
+
+def test_merge_table_stats_reports_debris_until_vacuum(spark, tmp_path):
+    """merge_table_stats: committed counts on a healthy table; a crashed
+    commit surfaces as debris_versions/staging_dirs > 0; vacuum returns the
+    table to a zero-debris report with committed state unchanged."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    strm.merge_micro_batch(
+        _ev(spark, [(i, 1000 + i, i, "seed", float(i)) for i in range(8)]),
+        target, n_buckets=4,
+    )
+    healthy = strm.merge_table_stats(target)
+    assert healthy["committed_buckets"] == 4
+    assert healthy["live_files"] >= 4
+    assert healthy["debris_versions"] == 0 and healthy["staging_dirs"] == 0
+
+    class Boom(RuntimeError):
+        pass
+
+    def die_after_first(i, n):
+        if i == 0:
+            raise Boom()
+
+    strm._after_bucket_move_hook = die_after_first
+    try:
+        import pytest
+
+        with pytest.raises(Boom):
+            strm.merge_micro_batch(
+                _ev(spark, [(100 + i, 2000 + i, i, "update", -1.0) for i in range(8)]),
+                target, n_buckets=4,
+            )
+    finally:
+        strm._after_bucket_move_hook = None
+
+    crashed = strm.merge_table_stats(target)
+    assert crashed["debris_versions"] + crashed["staging_dirs"] > 0
+    assert crashed["committed_buckets"] == 4  # committed state untouched
+
+    strm.vacuum_merge_table(target)
+    clean = strm.merge_table_stats(target)
+    assert clean["debris_versions"] == 0 and clean["staging_dirs"] == 0
+    assert clean["committed_buckets"] == 4
