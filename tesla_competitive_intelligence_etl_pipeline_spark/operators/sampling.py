@@ -66,8 +66,32 @@ def split_assign(
 ) -> DataFrame:
     """Train/val/test assignment by stable bucket mod 100: reproducible,
     leakage-free (a key always lands in the same split, across runs AND
-    across engines), no shuffle."""
-    b = stable_bucket(F.col(key_col), 100)
+    across engines), no shuffle.
+
+    NOTE: keying on a per-DOCUMENT id is only leakage-free at the document
+    level — near-identical documents get independent buckets and can
+    straddle train and eval, silently inflating held-out metrics. When the
+    corpus has duplicates, split on a GROUP key instead
+    (leakage_safe_split)."""
+    return leakage_safe_split(df, F.col(key_col), val_pct, test_pct)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_key: Column,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Group-aware train/val/test assignment: the stable bucket is computed
+    on a GROUP key expression — a content fingerprint
+    (text.fingerprint_md5) for exact duplicates, or a near-dup cluster id
+    (dedup.near_dup_clusters / semantic_dedup clusters) — so EVERY member
+    of a duplicate group lands in the same split by construction. This is
+    the duplication-contamination guard: deduplication alone does not fix
+    eval leakage when near-identical documents survive on both sides of a
+    split; tying the split to the group key does. Map-side expression, no
+    shuffle beyond whatever produced the group key."""
+    b = stable_bucket(group_key, 100)
     return df.withColumn(
         "split",
         F.when(b < val_pct, "val")

@@ -1371,6 +1371,44 @@ def xtra_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_split_leakage_safe",
+    f"""
+    WITH g AS (
+      SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents
+    ),
+    s AS (
+      SELECT doc_id, fp,
+             CASE WHEN {_bucket_sql('fp', 100)} < 5 THEN 'val'
+                  WHEN {_bucket_sql('fp', 100)} < 10 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM g
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups
+    FROM s GROUP BY split
+    """,
+)
+def x_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (sampling.leakage_safe_split): the split bucket is
+    computed on the CONTENT FINGERPRINT, not the doc id, so exact
+    duplicates land on the same side of train/val/test by construction —
+    the duplication-contamination guard for eval sets. Per-split doc and
+    group counts; the straddle-free invariant (no group in two splits) is
+    structural and pinned in tests with planted duplicates, including the
+    near-dup-cluster variant that doc-keyed splits fail."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    g = docs.withColumn("fp", tx.fingerprint_md5(F.col("text")))
+    return (
+        sampling.leakage_safe_split(g, F.col("fp"), val_pct=5, test_pct=5)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_groups"),
+        )
+    )
+
+
 # ===========================================================================
 # X-9f: streaming exact dedup (idempotent at-least-once ingestion)
 # ===========================================================================

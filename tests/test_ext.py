@@ -1100,3 +1100,38 @@ def test_semantic_dedup_cluster_cap_excludes_degenerate_mass(spark):
         df, k=3, max_cluster_size=10, max_iters=3
     ).collect()
     assert len(over) == 1 and over[0].cluster_size == 40
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark):
+    """Group-aware splits (sampling.leakage_safe_split): with 100 planted
+    near-dup pairs, a doc-id-keyed split puts SOME pair on both sides of
+    train/eval (the contamination this operator exists to prevent), while
+    keying on the near-dup cluster id puts every pair on one side."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import sampling
+
+    rows = []
+    for i in range(100):
+        base = " ".join(f"w{i}_{j}" for j in range(30))
+        rows.append((i, base))
+        rows.append((1000 + i, base + " tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the failure mode: doc-keyed split straddles at least one pair
+    doc_split = {
+        r.doc_id: r.split
+        for r in sampling.split_assign(docs, "doc_id", 20, 20).collect()
+    }
+    assert any(doc_split[i] != doc_split[1000 + i] for i in range(100))
+
+    # the guard: cluster-keyed split never straddles a pair
+    clusters = dd.near_dup_clusters(docs, threshold=0.5)
+    with_grp = docs.join(clusters, "doc_id")
+    grp_split = {
+        r.doc_id: r.split
+        for r in sampling.leakage_safe_split(
+            with_grp, F.col("cluster_id"), 20, 20
+        ).collect()
+    }
+    assert all(grp_split[i] == grp_split[1000 + i] for i in range(100))
+    # and all three splits are actually populated at these rates
+    assert {"train", "val", "test"} <= set(grp_split.values())
