@@ -1135,3 +1135,48 @@ def test_leakage_safe_split_keeps_dup_groups_together(spark):
     assert all(grp_split[i] == grp_split[1000 + i] for i in range(100))
     # and all three splits are actually populated at these rates
     assert {"train", "val", "test"} <= set(grp_split.values())
+
+
+def test_compact_crash_at_every_op_recovers_losslessly(spark, sf_dir, tmp_path):
+    """Exhaustive crash sweep for the compaction swap under S3 semantics:
+    inject a crash after EVERY mutating filesystem op (marker puts, each
+    copied file, each delete) across the whole multi-cell compaction, run
+    recovery with a fresh filesystem (simulating restart), and require the
+    index rows bit-identical to the pristine index at every crash point —
+    the compaction twin of the merge's crash sweep."""
+    import shutil
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    pristine = str(tmp_path / "pristine")
+    sim.build_ivf_index(emb.filter(F.col("vec_id") < 100), pristine)
+    for lo in (100, 120):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20))
+        sim.ivf_index_append(spark, pristine, batch.select("vec_id", "embedding"))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(pristine + "/vectors").collect()
+    )
+
+    # how many mutating fs ops does a full compaction take?
+    probe = str(tmp_path / "probe")
+    shutil.copytree(pristine, probe)
+    probe_fs = mfs.NonAtomicRenameFS()
+    assert sim.compact_ivf_index(spark, probe, max_files_per_cell=1, fs=probe_fs)
+    total_ops = probe_fs.ops
+    assert total_ops >= 6  # several cells x (put + copies + deletes)
+
+    for crash_at in range(total_ops):
+        path = str(tmp_path / f"run{crash_at}")
+        shutil.copytree(pristine, path)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            sim.compact_ivf_index(spark, path, max_files_per_cell=1, fs=fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            pass
+        sim.recover_ivf_index(path)  # restart with a healthy filesystem
+        after = sorted(
+            tuple(r) for r in spark.read.parquet(path + "/vectors").collect()
+        )
+        assert after == before, f"rows diverged after crash at op {crash_at}"
+        shutil.rmtree(path)
