@@ -1022,9 +1022,14 @@ def semantic_dedup(
     if max_cluster_size is not None:
         # the capped path reads slim THREE times (size census + both pair
         # sides); an eager localCheckpoint materializes the scan +
-        # assignment + norm once (blocks released by the ContextCleaner
-        # when the plan is dropped) instead of re-running them per consumer
-        # (code review r5)
+        # assignment + norm once instead of re-running them per consumer
+        # (code review r5). Blocks live until the checkpointed RDD is
+        # GC'd (the returned plan holds a reference). Trade-off shared
+        # with the codebase's other localCheckpoint sites (CC loops,
+        # indexed dedup): lineage is TRUNCATED, so losing an executor's
+        # blocks mid-query fails the query instead of recomputing — on a
+        # decommissioning-prone cluster prefer reliable checkpointing or
+        # replicated persist for this step.
         slim = slim.localCheckpoint(eager=True)
         over = (
             slim.groupBy("cluster")
@@ -1055,8 +1060,11 @@ def semantic_dedup(
         # 0/0 = NaN, and Spark orders NaN ABOVE every number, so a bare
         # `>= threshold` would declare a zero vector a near-dup of its whole
         # cluster and silently drop unrelated rows. A degenerate vector is
-        # never a duplicate of anything; the DuckDB twin agrees for free
-        # (0.0/0.0 is NULL there, and NULL >= t filters out).
+        # never a duplicate of anything. The DuckDB twin carries its OWN
+        # explicit `NOT isnan` guard (plans/oracle_vec.semantic_dedup_sql):
+        # 0/0 is NULL on DuckDB 1.0 but NaN under newer
+        # ieee_floating_point_ops defaults, so neither side relies on
+        # division semantics — do not remove either guard.
         .filter(~F.isnan(cos) & (cos >= threshold))
         .select(F.col("__b").alias(id_col))
         .distinct()

@@ -381,6 +381,20 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
             full = os.path.join(vectors, entry)
             fs.rmtree(full)
             out["removed"].append(full)
+        elif entry.startswith(".retired_") and "__" in entry:
+            # legacy debris from the short-lived pre-marker rename-aside
+            # protocol (code review r5): restore if the live cell is gone,
+            # otherwise it is a superseded copy — best-effort, matching the
+            # old recovery semantics so an index crashed under that scheme
+            # is not silently left incomplete
+            full = os.path.join(vectors, entry)
+            live = os.path.join(vectors, entry.split("__", 1)[1])
+            if fs.isdir(live):
+                fs.rmtree(full)
+                out["removed"].append(full)
+            else:
+                fs.rename(full, live)
+                out["restored"].append(live)
     return out
 
 

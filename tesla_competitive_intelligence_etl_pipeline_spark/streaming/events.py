@@ -220,6 +220,31 @@ def read_merged(
     return spark.read.parquet(*paths)
 
 
+def _referenced_rels(manifest: dict) -> set[str]:
+    import os
+
+    return {os.path.normpath(rel) for rel in manifest["buckets"].values()}
+
+
+def _store_versions(target: str, fs: merge_fs.MergeFS, referenced: set[str]):
+    """Yield (rel_path, is_referenced) for every ``store/<bucket>/<version>``
+    dir — the ONE definition of what counts as committed vs debris, shared
+    by vacuum_merge_table and merge_table_stats (code review r5: the two
+    previously duplicated this walk and could silently diverge)."""
+    import os
+
+    store = os.path.join(target, "store")
+    if not fs.isdir(store):
+        return
+    for b in fs.listdir(store):
+        bdir = os.path.join(store, b)
+        if not fs.isdir(bdir):
+            continue
+        for ver in fs.listdir(bdir):
+            rel = os.path.normpath(os.path.join("store", b, ver))
+            yield rel, rel in referenced
+
+
 def vacuum_merge_table(
     target: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
 ) -> list[str]:
@@ -228,30 +253,24 @@ def vacuum_merge_table(
     ``store`` versions (debris of batches that crashed between phase 1 and
     the manifest swap; the crash-safety contract is that such debris is
     invisible, and this reclaims its disk). No-op when the table has no
-    committed manifest yet (a first batch may be mid-flight). Single-writer
+    committed manifest yet (a first batch may be mid-flight — note
+    merge_table_stats DOES still report such pre-first-commit state, so the
+    operator can see it; vacuum just refuses to race it). Single-writer
     contract, same as the merge itself. Returns the removed paths."""
     import os
 
     manifest = _load_manifest(target, fs)
     if manifest is None:
         return []
-    referenced = {os.path.normpath(rel) for rel in manifest["buckets"].values()}
     removed: list[str] = []
     staging = os.path.join(target, ".staging")
     if fs.isdir(staging):
         fs.rmtree(staging)
         removed.append(staging)
-    store = os.path.join(target, "store")
-    if fs.isdir(store):
-        for b in fs.listdir(store):
-            bdir = os.path.join(store, b)
-            if not fs.isdir(bdir):
-                continue
-            for ver in fs.listdir(bdir):
-                rel = os.path.normpath(os.path.join("store", b, ver))
-                if rel not in referenced:
-                    fs.rmtree(os.path.join(target, rel))
-                    removed.append(os.path.join(target, rel))
+    for rel, is_ref in _store_versions(target, fs, _referenced_rels(manifest)):
+        if not is_ref:
+            fs.rmtree(os.path.join(target, rel))
+            removed.append(os.path.join(target, rel))
     return removed
 
 
@@ -264,40 +283,35 @@ def merge_table_stats(
     plus the DEBRIS a crash left behind (unreferenced store versions,
     staging trees). ``debris_versions`` or ``staging_dirs`` > 0 is the
     signal to schedule a vacuum; ``live_files`` growing much faster than
-    ``committed_buckets`` signals bucket-version churn. Pure bookkeeping
-    I/O through the pluggable MergeFS — no data files are read."""
+    ``committed_buckets`` signals bucket-version churn. A target with NO
+    committed manifest still gets its staging/store contents reported as
+    debris (code review r5: a first commit that crashed pre-manifest left
+    real disk that an all-zero report would hide — vacuum deliberately
+    won't touch that state, but the operator must be able to SEE it). Pure
+    bookkeeping I/O through the pluggable MergeFS — no data files are
+    read."""
     import os
 
     manifest = _load_manifest(target, fs)
+    referenced = _referenced_rels(manifest) if manifest is not None else set()
     stats = {
-        "committed_buckets": 0,
+        "committed_buckets": len(referenced),
         "live_files": 0,
         "debris_versions": 0,
         "staging_dirs": 0,
     }
-    if manifest is None:
-        return stats
-    referenced = {os.path.normpath(rel) for rel in manifest["buckets"].values()}
-    stats["committed_buckets"] = len(referenced)
     staging = os.path.join(target, ".staging")
     if fs.isdir(staging):
         stats["staging_dirs"] = len(fs.listdir(staging))
-    store = os.path.join(target, "store")
-    if fs.isdir(store):
-        for b in fs.listdir(store):
-            bdir = os.path.join(store, b)
-            if not fs.isdir(bdir):
-                continue
-            for ver in fs.listdir(bdir):
-                rel = os.path.normpath(os.path.join("store", b, ver))
-                if rel in referenced:
-                    stats["live_files"] += sum(
-                        1
-                        for f in fs.listdir(os.path.join(target, rel))
-                        if f.endswith(".parquet")
-                    )
-                else:
-                    stats["debris_versions"] += 1
+    for rel, is_ref in _store_versions(target, fs, referenced):
+        if is_ref:
+            stats["live_files"] += sum(
+                1
+                for f in fs.listdir(os.path.join(target, rel))
+                if f.endswith(".parquet")
+            )
+        else:
+            stats["debris_versions"] += 1
     return stats
 
 

@@ -145,6 +145,13 @@ class NonAtomicRenameFS(LocalFS):
         self._tick()  # the PUT either happens entirely or not at all
         super().put_atomic(path, data)
 
+    def rmtree(self, path: str) -> None:
+        # deletes are mutating ops too — crash-sweep tests must be able to
+        # die right before a remove (e.g. "marker committed, live dir still
+        # fully intact"; code review r5)
+        self._tick()
+        super().rmtree(path)
+
     def rename(self, src: str, dst: str) -> None:
         # S3 "move" = per-object copy, then per-object delete of the source
         if os.path.isdir(src):

@@ -1180,3 +1180,31 @@ def test_compact_crash_at_every_op_recovers_losslessly(spark, sf_dir, tmp_path):
         )
         assert after == before, f"rows diverged after crash at op {crash_at}"
         shutil.rmtree(path)
+
+
+def test_recover_ivf_index_heals_legacy_retired_dirs(spark, sf_dir, tmp_path):
+    """Indexes crashed under the short-lived pre-marker rename-aside scheme
+    left data in .retired_<tag>__<cell>; recovery must still restore a
+    missing cell from them (and drop superseded copies) instead of leaving
+    the index silently incomplete."""
+    import os
+    import shutil
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path)
+    vectors = path + "/vectors"
+    before = sorted(tuple(r) for r in spark.read.parquet(vectors).collect())
+    cell = sorted(c for c in os.listdir(vectors) if c.startswith("label="))[0]
+    cell_dir = os.path.join(vectors, cell)
+
+    shutil.move(cell_dir, os.path.join(vectors, f".retired_old__{cell}"))
+    out = sim.recover_ivf_index(path)
+    assert out["restored"] == [cell_dir]
+    assert sorted(tuple(r) for r in spark.read.parquet(vectors).collect()) == before
+
+    # superseded legacy copy (live cell present) is debris
+    shutil.copytree(cell_dir, os.path.join(vectors, f".retired_dup__{cell}"))
+    out2 = sim.recover_ivf_index(path)
+    assert os.path.join(vectors, f".retired_dup__{cell}") in out2["removed"]
+    assert sorted(tuple(r) for r in spark.read.parquet(vectors).collect()) == before

@@ -556,3 +556,31 @@ def test_merge_table_stats_reports_debris_until_vacuum(spark, tmp_path):
     clean = strm.merge_table_stats(target)
     assert clean["debris_versions"] == 0 and clean["staging_dirs"] == 0
     assert clean["committed_buckets"] == 4
+
+
+def test_merge_table_stats_surfaces_precommit_debris(spark, tmp_path):
+    """A first commit that crashes BEFORE the manifest put leaves staging
+    trees / store versions but no manifest; the stats report must surface
+    them as debris rather than returning the all-zero report of a clean
+    empty table (vacuum deliberately won't touch a manifest-less target,
+    so stats is the only way an operator sees this state)."""
+    import os
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    target = str(tmp_path / "gold")
+    # crash the FIRST commit right after the first bucket move, before the
+    # manifest put — fail_after_ops chosen past the staging writes' moves
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=2)
+    import pytest
+
+    with pytest.raises(mfs.NonAtomicRenameFS.InjectedCrash):
+        strm.merge_micro_batch(
+            _ev(spark, [(i, 1000 + i, i, "seed", float(i)) for i in range(8)]),
+            target, n_buckets=4, fs=fs,
+        )
+    assert not os.path.exists(target + "/_MANIFEST.json")
+    stats = strm.merge_table_stats(target)
+    assert stats["committed_buckets"] == 0
+    assert stats["debris_versions"] + stats["staging_dirs"] > 0  # visible!
