@@ -1096,3 +1096,104 @@ def semantic_oversized_clusters(
         .agg(F.count("*").alias("cluster_size"))
         .filter(F.col("cluster_size") > max_cluster_size)
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable MinHash-LSH (md5 hash family): the oracle-checkable twin
+# of minhash_lsh_pairs. xxhash64 exists only in Spark, which is why the
+# production LSH entries are rows-only in the correctness gate; this variant
+# derives shingle hashes, the affine min-hash family, AND band buckets from
+# md5 + signed-64-bit wrap arithmetic — both reproducible in DuckDB — so the
+# ENTIRE pipeline (signatures, banding, candidate set, exact-Jaccard
+# verification) is hash-checked end-to-end (plans/oracle_vec.py
+# minhash_lsh_portable_sql).
+# ---------------------------------------------------------------------------
+
+
+def _md5_long60(col: Column) -> Column:
+    """First 15 hex digits of md5 as a 60-bit non-negative long — fits
+    signed 64-bit in every engine (16 digits could overflow the cast)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hashed_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles as md5-derived 60-bit hashes. Slower
+    than hashed_shingles (builds the n-gram STRINGS, one md5 each, vs the
+    xxhash64 token-combine) — the price of engine portability; production
+    corpora keep the xxhash64 path."""
+    return F.transform(shingles(text_col, n), _md5_long60)
+
+
+def minhash_lsh_pairs_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs with the SAME plan shape, banding scheme, and
+    exact-Jaccard verification as minhash_lsh_pairs, but over the portable
+    md5 hash family (portable_hashed_shingles; band bucket = md5 of the
+    decimal-joined signature slice). Returns (doc_a, doc_b, jaccard),
+    doc_a < doc_b. The two variants differ only in WHICH candidates the
+    random family proposes — both verify candidates with exact Jaccard, so
+    neither reports a false pair; this one's candidates are reproducible in
+    DuckDB, making the registry entry hash-checked rather than rows-only."""
+    rows_per_band = num_hashes // bands
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # eager localCheckpoint (not persist): the signature table feeds the
+    # band explode AND both sides of the verification join; blocks are
+    # released when the returned plan is GC'd — no caller-must-unpersist
+    # contract (same trade-offs as cross_corpus_neardup_indexed)
+    sigs = (
+        docs.repartition(n_part)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            portable_hashed_shingles(F.col(text_col)).alias("sh"),
+        )
+        .withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes))
+        .localCheckpoint(eager=True)
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _md5_long60(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    candidates = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

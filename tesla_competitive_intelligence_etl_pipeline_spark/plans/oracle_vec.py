@@ -40,6 +40,108 @@ from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity impo
 # stable_bucket's DuckDB twin (documented in operators/sampling.py)
 _BUCKET = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {n}"
 
+# DuckDB twin of text.normalized_text (kept local — registry_ext imports
+# THIS module, so importing its copy back would be circular)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^\\w\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+# the minhash affine family's constants — mirrored from
+# operators/dedup._MINHASH_A / minhash_int_signature
+_MINHASH_A = [
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+]
+_T64 = 1 << 64
+_H63 = 1 << 63
+
+
+def _md5_long60_sql(expr: str) -> str:
+    """DuckDB twin of dedup._md5_long60 (60-bit md5 prefix as BIGINT)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_lsh_portable_sql(
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> str:
+    """Oracle for x2_minhash_lsh_portable: the FULL MinHash-LSH pipeline in
+    SQL — md5-derived 60-bit shingle hashes, the same affine min-hash family
+    (signed-64 wrap arithmetic done in HUGEINT mod 2^64, bit-identical to
+    Spark's long overflow), md5 band buckets, the band self-join candidate
+    set, and exact-Jaccard verification. This is what upgrades the LSH
+    pair-finding class from rows-only: the dedup.minhash_lsh_pairs_portable
+    variant uses only engine-portable hashes, so DuckDB re-derives the
+    identical candidate set and pair list."""
+    rows_per_band = num_hashes // bands
+    assert shingle_n == 3, "SQL builder is written for trigram shingles"
+
+    mins = []
+    for j in range(num_hashes):
+        a = _MINHASH_A[j % len(_MINHASH_A)] | 1
+        b = (j * 0x9E3779B97F4A7C15 + 0x85EBCA77C2B2AE63) % _T64
+        mins.append(
+            f"list_min(list_transform("
+            f"list_transform(sh, x -> (CAST({a} AS HUGEINT) * x + {b} + {j}) % {_T64}), "
+            f"u -> CAST(CASE WHEN u >= {_H63} THEN u - {_T64} ELSE u END AS BIGINT)))"
+        )
+    sig_list = "[" + ", ".join(mins) + "]"
+
+    band_ids = "[" + ", ".join(str(b) for b in range(bands)) + "]"
+    buckets = []
+    for b in range(bands):
+        joined = ", ".join(
+            f"CAST(sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        buckets.append(_md5_long60_sql(f"concat_ws('|', {joined})"))
+    bucket_list = "[" + ", ".join(buckets) + "]"
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL.format(c="text")}, '\\s+') AS t
+  FROM documents
+),
+shs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END),
+           g -> {_md5_long60_sql("g")}) AS sh
+  FROM d
+),
+sigs AS (SELECT doc_id, sh, {sig_list} AS sig FROM shs),
+banded AS (
+  SELECT doc_id, unnest({band_ids}) AS band, unnest({bucket_list}) AS bucket
+  FROM sigs
+),
+cand AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l
+  JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+  FROM (
+    SELECT c.doc_a, c.doc_b, a.sh AS sa, b.sh AS sb
+    FROM cand c
+    JOIN shs a ON a.doc_id = c.doc_a
+    JOIN shs b ON b.doc_id = c.doc_b)
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold!r}"""
+
 
 def _dot(a: str, b: str, dim: int) -> str:
     return (

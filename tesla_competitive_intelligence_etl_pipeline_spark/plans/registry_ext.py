@@ -84,6 +84,22 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=256)
 
 
+@register(
+    "x2_minhash_lsh_portable",
+    oracle_vec.minhash_lsh_portable_sql(threshold=0.5, num_hashes=32, bands=8),
+)
+def x2_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (hash-checked, NEW r5): the engine-portable MinHash-LSH twin —
+    md5-derived shingle hashes + the same affine family in signed-64 wrap
+    arithmetic + md5 band buckets, all reproducible in DuckDB, so the FULL
+    pipeline (signatures, banding, candidate set, exact-Jaccard verify) is
+    oracle-verified end-to-end instead of rows-only. Production corpora
+    keep x2_minhash_lsh (xxhash64 is faster map-side); candidates differ
+    between the two random families but both verify with exact Jaccard."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs_portable(docs, threshold=0.5)
+
+
 _NGRAM_DF_CAP = 50
 
 

@@ -1208,3 +1208,15 @@ def test_recover_ivf_index_heals_legacy_retired_dirs(spark, sf_dir, tmp_path):
     out2 = sim.recover_ivf_index(path)
     assert os.path.join(vectors, f".retired_dup__{cell}") in out2["removed"]
     assert sorted(tuple(r) for r in spark.read.parquet(vectors).collect()) == before
+
+
+def test_minhash_lsh_portable_finds_planted_near_dups(near_dup_docs):
+    """The engine-portable (md5-family) LSH variant must behave like the
+    xxhash64 one on planted near-dups: full recall at 0.5 on the planted
+    pairs, and exact-Jaccard verification keeps every reported pair above
+    threshold."""
+    pairs = dd.minhash_lsh_pairs_portable(near_dup_docs, threshold=0.5)
+    rows = pairs.collect()
+    found = {(r.doc_a, r.doc_b) for r in rows}
+    assert {(2 * i, 2 * i + 1) for i in range(5)} <= found
+    assert all(r.jaccard >= 0.5 for r in rows)
