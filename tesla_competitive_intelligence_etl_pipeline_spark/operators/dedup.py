@@ -1197,3 +1197,89 @@ def minhash_lsh_pairs_portable(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def simhash60_portable(text_col: Column) -> Column:
+    """60-bit SimHash over md5-derived token hashes — the engine-portable
+    twin of simhash64 (same one-pass sign-count accumulator). 60 bits keep
+    every mask, signature, and band chunk POSITIVE in signed 64-bit, so
+    shifts/AND/bit_count behave identically in every engine — no
+    sign-bit-in-top-band subtlety like the 64-bit variant."""
+    toks = F.array_distinct(tokens(normalized_text(text_col)))
+    hashes = F.transform(toks, _md5_long60)
+    masks = F.lit([1 << i for i in range(60)]).cast("array<long>")
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(masks, counts, lambda m, c: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc.bitwiseOR(m),
+    )
+
+
+def simhash_pairs_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with the portable 60-bit signature (15-bit
+    band chunks): every stage — token hashes, bit votes, banding, hamming —
+    is reproducible in DuckDB, so the registry entry is hash-checked
+    end-to-end (plans/oracle_vec.simhash_portable_sql), unlike the
+    xxhash64-based simhash_pairs. Pigeonhole: any pair within distance 3
+    shares a chunk across 4 bands; wider distances still mostly collide."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        docs.repartition(n_part)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            simhash60_portable(F.col(text_col)).alias("sig"),
+        )
+        # eager localCheckpoint: feeds both sides of the band self-join;
+        # blocks released when the returned plan is GC'd
+        .localCheckpoint(eager=True)
+    )
+    chunk_bits = 60 // bands
+    mask = (1 << chunk_bits) - 1
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.chunk")
+    return (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

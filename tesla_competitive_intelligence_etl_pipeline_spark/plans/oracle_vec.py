@@ -270,6 +270,55 @@ GROUP BY cluster ORDER BY cluster"""
     )
 
 
+def simhash_portable_sql(
+    max_hamming: int = 8, bands: int = 4, id_filter: str = "doc_id < 200"
+) -> str:
+    """Oracle for x2_simhash_portable: the full 60-bit SimHash pipeline in
+    SQL — md5-derived token hashes, per-bit sign votes, 15-bit band chunks,
+    banded self-join, bit_count(xor) hamming filter — mirroring
+    dedup.simhash_pairs_portable. 60 bits keep everything positive in
+    signed 64-bit, so shifts and masks agree across engines."""
+    chunk_bits = 60 // bands
+    mask = (1 << chunk_bits) - 1
+    band_ids = "[" + ", ".join(str(b) for b in range(bands)) + "]"
+    chunks = "[" + ", ".join(
+        f"(sig >> {b * chunk_bits}) & {mask}" for b in range(bands)
+    ) + "]"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(string_split_regex({_NORM_SQL.format(c="text")}, '\\s+')),
+           t -> {_md5_long60_sql("t")}) AS hs
+  FROM documents WHERE {id_filter}
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM (SELECT doc_id, unnest(hs) AS h FROM d),
+       (SELECT unnest(range(0, 60)) AS i)
+  GROUP BY doc_id, i
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, sig, unnest({band_ids}) AS band, unnest({chunks}) AS chunk
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         CAST(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming
+  FROM banded l
+  JOIN banded r
+    ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
 def semantic_dedup_sql(
     k: int = 8,
     iters: int = 5,

@@ -261,6 +261,17 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(docs, max_hamming=8)
 
 
+@register("x2_simhash_portable", oracle_vec.simhash_portable_sql(max_hamming=8))
+def x2_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2c (hash-checked, NEW r5): the engine-portable SimHash twin —
+    60-bit signatures over md5-derived token hashes, so signatures,
+    banding, candidates, and hamming distances are all re-derived in DuckDB
+    (plans/oracle_vec.py) instead of rows-only. Production keeps
+    x2_simhash's xxhash64 path for speed."""
+    docs = src.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.simhash_pairs_portable(docs, max_hamming=8)
+
+
 # ===========================================================================
 # X-3: similarity search
 # ===========================================================================

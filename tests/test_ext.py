@@ -1220,3 +1220,22 @@ def test_minhash_lsh_portable_finds_planted_near_dups(near_dup_docs):
     found = {(r.doc_a, r.doc_b) for r in rows}
     assert {(2 * i, 2 * i + 1) for i in range(5)} <= found
     assert all(r.jaccard >= 0.5 for r in rows)
+
+
+def test_simhash_portable_on_planted_dups(near_dup_docs):
+    """Portable 60-bit SimHash: planted near-dup pairs are found within the
+    banded hamming search, like the xxhash64 variant."""
+    pairs = dd.simhash_pairs_portable(near_dup_docs, max_hamming=16)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(5)}
+    assert len(planted & found) >= 4  # banding guarantees <= bands-1 exactly
+    sigs = {
+        r.doc_id: r.sig
+        for r in near_dup_docs.select(
+            "doc_id", dd.simhash60_portable(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert all(0 <= s < (1 << 60) for s in sigs.values())  # 60-bit, positive
+    for i in range(5):
+        hamming = bin(sigs[2 * i] ^ sigs[2 * i + 1]).count("1")
+        assert hamming <= 20, f"pair {i} hamming {hamming}"
