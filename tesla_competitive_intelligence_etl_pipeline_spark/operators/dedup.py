@@ -1283,3 +1283,21 @@ def simhash_pairs_portable(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dedup_canonical_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """near_dedup_canonical's drop-smaller-id-partner policy over the
+    engine-portable pair set (minhash_lsh_pairs_portable), so the REMOVAL
+    operator — not just the pair list — is oracle-checked end-to-end
+    (plans/oracle_vec.minhash_canonical_portable_sql). Survivors = docs
+    that are nobody's higher-id near-dup."""
+    pairs = minhash_lsh_pairs_portable(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, on=id_col, how="left_anti")

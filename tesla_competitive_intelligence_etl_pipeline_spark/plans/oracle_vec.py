@@ -270,6 +270,19 @@ GROUP BY cluster ORDER BY cluster"""
     )
 
 
+def minhash_canonical_portable_sql(
+    threshold: float = 0.5, num_hashes: int = 32, bands: int = 8
+) -> str:
+    """Oracle for x2_near_dedup_canonical_portable: survivors of the
+    drop-smaller-id-partner policy over the portable pair set — reuses the
+    full portable-LSH pipeline SQL and anti-joins the doc_b side."""
+    pairs = minhash_lsh_portable_sql(threshold, num_hashes, bands)
+    return f"""
+WITH p AS ({pairs})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM p)"""
+
+
 def simhash_portable_sql(
     max_hamming: int = 8, bands: int = 4, id_filter: str = "doc_id < 200"
 ) -> str:

@@ -100,6 +100,18 @@ def x2_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs_portable(docs, threshold=0.5)
 
 
+@register(
+    "x2_near_dedup_canonical_portable",
+    oracle_vec.minhash_canonical_portable_sql(threshold=0.5),
+)
+def x2_near_dedup_canonical_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 removal policy, hash-checked (NEW r5): drop-smaller-id-partner
+    dedup over the PORTABLE pair set, so the removal operator itself — not
+    just the pair list — is oracle-verified. Returns surviving doc_ids."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dd.near_dedup_canonical_portable(docs, threshold=0.5).select("doc_id")
+
+
 _NGRAM_DF_CAP = 50
 
 

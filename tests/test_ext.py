@@ -1239,3 +1239,16 @@ def test_simhash_portable_on_planted_dups(near_dup_docs):
     for i in range(5):
         hamming = bin(sigs[2 * i] ^ sigs[2 * i + 1]).count("1")
         assert hamming <= 20, f"pair {i} hamming {hamming}"
+
+
+def test_near_dedup_canonical_portable_drops_higher_id_partner(near_dup_docs):
+    """Portable canonical dedup: same policy outcome as the xxhash64
+    variant on planted pairs — lower id survives, higher id dropped,
+    unrelated docs kept."""
+    survivors = {
+        r.doc_id
+        for r in dd.near_dedup_canonical_portable(near_dup_docs, threshold=0.5).collect()
+    }
+    for i in range(5):
+        assert 2 * i in survivors and 2 * i + 1 not in survivors
+    assert {i + 10 for i in range(10, 20)} <= survivors
