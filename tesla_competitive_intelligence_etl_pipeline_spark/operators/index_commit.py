@@ -1,0 +1,131 @@
+"""Crash-safe staged APPEND commit for materialized index tables (VERDICT r5
+item 1).
+
+``ivf_index_append`` / ``pq_index_append`` previously wrote
+``mode("append")`` straight into the live table: a crash during Spark's job
+commit can leave a SUBSET of the batch's files visible to readers — a torn
+append — and on S3 the default file committer makes that window wide. That
+was inconsistent with the standard the repo set for itself: the streaming
+merge and ``compact_ivf_index`` both stage then commit atomically through a
+``MergeFS`` marker.
+
+This module gives appends the same discipline, shared by both index kinds:
+
+1. Spark writes the batch to a dot-prefixed STAGING dir inside the table
+   (``.append_<tag>/``) — invisible to Spark's directory listing, so readers
+   never see it.
+2. ``commit_staged_append`` PUTs an atomic ``.appendcommit_<tag>.json``
+   marker recording every staged parquet file (and its partition subdir).
+   THE commit point: before the marker, nothing changed for readers and the
+   batch is debris; after it, the append WILL complete (or be rolled
+   forward by recovery).
+3. Each staged file is moved into the live table under the deterministic
+   name ``<tag>-<original>`` (tag-prefixed so a re-run lands on the same
+   target and a reader can never collide two appends), then staging and the
+   marker are dropped.
+
+Crash model — identical to ``compact_ivf_index``'s swap: ``put_atomic`` is
+the only atomicity requirement (true of an S3 object PUT); per-file moves
+may be copy+delete and a single-object copy is atomic server-side (an S3
+COPY either materializes the destination object or doesn't), so after a
+crash each (staged file, live file) pair is in exactly one of three states:
+src only (redo the move), src+dst (copy done, delete pending — drop src),
+dst only (move complete). ``recover_appends`` rolls every marked append
+forward from that evidence and deletes marker-less staging dirs as
+pre-commit debris. Idempotent at every point; proven by the
+crash-at-every-op sweeps in tests/test_index_append_crash.py.
+
+Single-writer contract: like compaction, concurrent appenders to the SAME
+table must be externally serialized (see streaming.fs writer-lease support).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+MARKER_PREFIX = ".appendcommit_"
+STAGING_PREFIX = ".append_"
+
+
+def new_staging(table_dir: str) -> tuple[str, str]:
+    """Pick a fresh append tag and its staging path inside ``table_dir``.
+    The caller has Spark write the batch THERE (dot-prefixed => readers of
+    the live table cannot see it), then calls commit_staged_append."""
+    tag = uuid.uuid4().hex[:8]
+    return tag, os.path.join(table_dir, STAGING_PREFIX + tag)
+
+
+def _staged_files(fs, staging: str) -> list[list[str]]:
+    """[(partition_subdir or "", filename)] for every parquet file under the
+    staging dir — flat tables have one level, partitionBy output two (the
+    index tables never nest partitions deeper)."""
+    out: list[list[str]] = []
+    for entry in sorted(fs.listdir(staging)):
+        full = os.path.join(staging, entry)
+        if fs.isdir(full):
+            if entry.startswith((".", "_")):
+                continue
+            for f in sorted(fs.listdir(full)):
+                if f.endswith(".parquet"):
+                    out.append([entry, f])
+        elif entry.endswith(".parquet"):
+            out.append(["", entry])
+    return out
+
+
+def commit_staged_append(fs, table_dir: str, tag: str) -> int:
+    """Commit a staged batch: atomic marker PUT, then roll the files into
+    the live table. Returns the number of data files landed. A crash at any
+    point after the marker is healed by recover_appends (roll-forward); a
+    crash before it leaves the live table byte-identical."""
+    staging = os.path.join(table_dir, STAGING_PREFIX + tag)
+    files = _staged_files(fs, staging)
+    marker = os.path.join(table_dir, f"{MARKER_PREFIX}{tag}.json")
+    fs.put_atomic(
+        marker, json.dumps({"tag": tag, "files": files}).encode()
+    )  # commit point
+    _roll_forward(fs, table_dir, tag, files)
+    return len(files)
+
+
+def _roll_forward(fs, table_dir: str, tag: str, files: list[list[str]]) -> None:
+    """Land every marked file in the live table, tolerating any prior
+    partial progress (see module docstring for the three per-file states)."""
+    staging = os.path.join(table_dir, STAGING_PREFIX + tag)
+    for sub, f in files:
+        src = os.path.join(staging, sub, f) if sub else os.path.join(staging, f)
+        dst_dir = os.path.join(table_dir, sub) if sub else table_dir
+        dst = os.path.join(dst_dir, f"{tag}-{f}")
+        if fs.exists(dst):
+            fs.rmtree(src)  # copy finished earlier; delete may be pending
+        else:
+            fs.rename(src, dst)
+    fs.rmtree(staging)
+    fs.rmtree(os.path.join(table_dir, f"{MARKER_PREFIX}{tag}.json"))
+
+
+def recover_appends(fs, table_dir: str) -> dict[str, list[str]]:
+    """Heal a table after a crashed append: roll FORWARD every append whose
+    marker committed; drop marker-less ``.append_*`` staging as pre-commit
+    debris. Safe to run any time (idempotent, no-op on a clean table).
+    Returns {"completed": [tags], "removed": [staging dirs]}."""
+    out: dict[str, list[str]] = {"completed": [], "removed": []}
+    if not fs.isdir(table_dir):
+        return out
+    entries = sorted(fs.listdir(table_dir))
+    marked: set[str] = set()
+    for entry in entries:
+        if entry.startswith(MARKER_PREFIX) and entry.endswith(".json"):
+            meta = json.loads(
+                fs.read_bytes(os.path.join(table_dir, entry)).decode()
+            )
+            marked.add(meta["tag"])
+            _roll_forward(fs, table_dir, meta["tag"], meta["files"])
+            out["completed"].append(meta["tag"])
+    for entry in entries:
+        if entry.startswith(STAGING_PREFIX) and entry[len(STAGING_PREFIX):] not in marked:
+            fs.rmtree(os.path.join(table_dir, entry))
+            out["removed"].append(entry)
+    return out

@@ -259,6 +259,7 @@ def ivf_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    fs=None,
 ) -> int:
     """Incremental index maintenance — the continual-ingest path: assign each
     NEW vector to the nearest existing centroid (max cosine, the same metric
@@ -268,6 +269,13 @@ def ivf_index_append(
     assignment over the new batch plus the append write, so maintaining the
     index at 100 TB costs O(batch), not O(corpus).
 
+    Crash-safe (VERDICT r5 item 1): the batch is staged in a dot-prefixed
+    dir inside vectors/ and committed through the atomic-marker protocol of
+    operators/index_commit — the same standard compact_ivf_index set. A
+    crash before the marker leaves the live table byte-identical (staging is
+    invisible debris, reclaimed by recover_ivf_index); after it, recovery
+    rolls the whole batch forward. Readers never see a torn append.
+
     Appended rows carry exactly (id_col, vec_col, cell_col) — the schema
     build_ivf_index wrote. Returns the number of rows appended, observed on
     the SAME evaluation as the write (code review r5: the earlier
@@ -276,6 +284,11 @@ def ivf_index_append(
     periodically re-trains cells if drift accumulates (the standard
     re-index cadence trade-off)."""
     from pyspark.sql import Observation
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
     cents_rows = spark.read.parquet(path + "/centroids").orderBy(cell_col).collect()
     cells = [r[cell_col] for r in cents_rows]
     cents = [[float(v) for v in r["centroid"]] for r in cents_rows]
@@ -293,7 +306,9 @@ def ivf_index_append(
         F.col(vec_col),
         F.get(F.lit(cells), F.array_max(pairs).getField("j")).alias(cell_col),
     ).observe(obs, F.count(F.lit(1)).alias("n"))
-    assigned.write.mode("append").partitionBy(cell_col).parquet(path + "/vectors")
+    tag, staging = index_commit.new_staging(path + "/vectors")
+    assigned.write.partitionBy(cell_col).parquet(staging)
+    index_commit.commit_staged_append(fs, path + "/vectors", tag)
     return int(obs.get["n"])
 
 
@@ -338,6 +353,9 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
       complete), so the live dir is whole: drop the staging remnant.
     - ``.compact_*`` staging without any marker -> pre-commit debris, drop.
 
+    Also heals crashed ivf_index_append runs (marker-rolled forward /
+    marker-less staging dropped) via index_commit.recover_appends.
+
     Idempotent: re-running after a crash mid-recovery lands in the same
     branch. Runs automatically at the start of compact_ivf_index; call
     directly after a crash to restore search completeness. Returns
@@ -345,6 +363,7 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
     import json
     import os
 
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
@@ -352,6 +371,9 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
     out: dict[str, list[str]] = {"restored": [], "removed": []}
     if not fs.isdir(vectors):
         return out
+    appends = index_commit.recover_appends(fs, vectors)
+    out["restored"].extend(appends["completed"])
+    out["removed"].extend(appends["removed"])
     entries = sorted(fs.listdir(vectors))
     referenced_staging: set[str] = set()
     for entry in entries:

@@ -1,0 +1,161 @@
+"""Crash-at-every-op sweeps for the STAGED index appends (VERDICT r5 item 1).
+
+ivf_index_append / pq_index_append commit through the atomic-marker protocol
+in operators/index_commit — the same standard compact_ivf_index set. These
+sweeps inject a crash after EVERY mutating filesystem op of the commit
+(marker PUT, each per-file copy, each delete) under simulated S3 semantics
+(NonAtomicRenameFS: rename = copy+delete, put_atomic all-or-nothing), run
+recovery with a healthy filesystem (simulating restart), and require the
+table to be EXACTLY pre-append or EXACTLY post-append at every crash point —
+never a torn batch — and, when rolled back, that a retry lands the batch.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import similarity as sim
+from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+
+def _rows(spark, path):
+    return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+
+def test_ivf_append_crash_at_every_op_never_tears(spark, sf_dir, tmp_path):
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 140)
+    base = emb.filter(F.col("vec_id") < 100)
+    batch = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+
+    pristine = str(tmp_path / "pristine")
+    sim.build_ivf_index(base, pristine)
+    before = _rows(spark, pristine + "/vectors")
+
+    # reference post-append content + a probe run to count mutating fs ops
+    probe = str(tmp_path / "probe")
+    shutil.copytree(pristine, probe)
+    probe_fs = mfs.NonAtomicRenameFS()
+    assert sim.ivf_index_append(spark, probe, batch, fs=probe_fs) == 40
+    after = _rows(spark, probe + "/vectors")
+    assert len(after) == len(before) + 40
+    total_ops = probe_fs.ops
+    assert total_ops >= 4  # marker put + >=1 cell x (copy + delete) + cleanup
+
+    outcomes = set()
+    for crash_at in range(total_ops):
+        path = str(tmp_path / f"run{crash_at}")
+        shutil.copytree(pristine, path)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            sim.ivf_index_append(spark, path, batch, fs=fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            pass
+        sim.recover_ivf_index(path)  # restart with a healthy filesystem
+        got = _rows(spark, path + "/vectors")
+        assert got in (before, after), f"torn append at crash op {crash_at}"
+        outcomes.add("rolled_back" if got == before else "rolled_forward")
+        if got == before:
+            # pre-marker crash: the batch is simply not there — a retry
+            # must land it cleanly on the healed table
+            assert sim.ivf_index_append(spark, path, batch) == 40
+            assert _rows(spark, path + "/vectors") == after
+        shutil.rmtree(path)
+    # the sweep must actually exercise both sides of the commit point
+    assert outcomes == {"rolled_back", "rolled_forward"}
+
+    # indexed search over a crashed+healed append is bit-identical to the
+    # never-crashed index (VERDICT r5 done-criterion)
+    healed = str(tmp_path / "healed")
+    shutil.copytree(pristine, healed)
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=total_ops - 1)
+    try:
+        sim.ivf_index_append(spark, healed, batch, fs=fs)
+    except mfs.NonAtomicRenameFS.InjectedCrash:
+        pass
+    sim.recover_ivf_index(healed)
+    want = [tuple(r) for r in sim.ivf_topk_indexed(spark, probe, 0, k=10).collect()]
+    got = [tuple(r) for r in sim.ivf_topk_indexed(spark, healed, 0, k=10).collect()]
+    assert got == want
+
+
+def test_pq_append_crash_at_every_op_never_tears(spark, sf_dir, tmp_path):
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 140)
+    base = emb.filter(F.col("vec_id") < 100)
+    batch = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+
+    pristine = str(tmp_path / "pristine")
+    clustering.pq_build_index(
+        base, pristine, m=4, k=8, max_iters=2, round_decimals=6
+    )
+    before = _rows(spark, pristine + "/codes")
+
+    probe = str(tmp_path / "probe")
+    shutil.copytree(pristine, probe)
+    probe_fs = mfs.NonAtomicRenameFS()
+    assert clustering.pq_index_append(spark, probe, batch, fs=probe_fs) == 40
+    after = _rows(spark, probe + "/codes")
+    assert len(after) == len(before) + 40
+    total_ops = probe_fs.ops
+    assert total_ops >= 4
+
+    outcomes = set()
+    for crash_at in range(total_ops):
+        path = str(tmp_path / f"run{crash_at}")
+        shutil.copytree(pristine, path)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            clustering.pq_index_append(spark, path, batch, fs=fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            pass
+        clustering.recover_pq_index(path)
+        got = _rows(spark, path + "/codes")
+        assert got in (before, after), f"torn append at crash op {crash_at}"
+        outcomes.add("rolled_back" if got == before else "rolled_forward")
+        if got == before:
+            assert clustering.pq_index_append(spark, path, batch) == 40
+            assert _rows(spark, path + "/codes") == after
+        shutil.rmtree(path)
+    assert outcomes == {"rolled_back", "rolled_forward"}
+
+    # search parity across crashed+healed vs never-crashed
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    healed = str(tmp_path / "healed")
+    shutil.copytree(pristine, healed)
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=total_ops - 1)
+    try:
+        clustering.pq_index_append(spark, healed, batch, fs=fs)
+    except mfs.NonAtomicRenameFS.InjectedCrash:
+        pass
+    clustering.recover_pq_index(healed)
+    want = [tuple(r) for r in clustering.pq_topk_indexed(spark, probe, query, k=10).collect()]
+    got = [tuple(r) for r in clustering.pq_topk_indexed(spark, healed, query, k=10).collect()]
+    assert got == want
+
+
+def test_append_staging_invisible_to_readers(spark, sf_dir, tmp_path):
+    """Pre-commit staging (and a committed-marker state before roll-forward)
+    must be invisible to a concurrent reader of the live table: dot-prefixed
+    dirs are excluded from Spark's listing, and files land only tag-renamed
+    after the marker."""
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    base = emb.filter(F.col("vec_id") < 100)
+    batch = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, path)
+    before = _rows(spark, path + "/vectors")
+
+    # crash right before the marker PUT: staging fully written, zero commits
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=0)
+    try:
+        sim.ivf_index_append(spark, path, batch, fs=fs)
+    except mfs.NonAtomicRenameFS.InjectedCrash:
+        pass
+    # a reader sees the pre-append table exactly, debris and all
+    assert _rows(spark, path + "/vectors") == before
+    out = sim.recover_ivf_index(path)
+    assert out["removed"]  # the stranded staging dir was reclaimed
+    assert _rows(spark, path + "/vectors") == before
