@@ -329,6 +329,7 @@ def pq_index_append(
     id_col: str = "vec_id",
     codebooks: list[list[list[float]]] | None = None,
     fs=None,
+    lease_owner: str | None = None,
 ) -> int:
     """Incremental PQ index maintenance — the continual-ingest twin of
     ivf_index_append: encode ONLY the new batch against the STORED codebooks
@@ -353,11 +354,16 @@ def pq_index_append(
     if codebooks is None:
         codebooks = pq_load_codebooks(spark, path)
     obs = Observation()
-    tag, staging = index_commit.new_staging(path + "/codes")
-    pq_encode(new_vectors, codebooks, vec_col=vec_col).select(
-        F.col(id_col), "pq_code"
-    ).observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(staging)
-    index_commit.commit_staged_append(fs, path + "/codes", tag)
+    # single-writer contract enforced on the index root (r5 item 7)
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    try:
+        tag, staging = index_commit.new_staging(path + "/codes")
+        pq_encode(new_vectors, codebooks, vec_col=vec_col).select(
+            F.col(id_col), "pq_code"
+        ).observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(staging)
+        index_commit.commit_staged_append(fs, path + "/codes", tag)
+    finally:
+        mfs.release_writer_lease(fs, path, token)
     return int(obs.get["n"])
 
 

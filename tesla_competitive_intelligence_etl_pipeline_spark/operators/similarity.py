@@ -260,6 +260,7 @@ def ivf_index_append(
     vec_col: str = "embedding",
     cell_col: str = "label",
     fs=None,
+    lease_owner: str | None = None,
 ) -> int:
     """Incremental index maintenance — the continual-ingest path: assign each
     NEW vector to the nearest existing centroid (max cosine, the same metric
@@ -306,9 +307,15 @@ def ivf_index_append(
         F.col(vec_col),
         F.get(F.lit(cells), F.array_max(pairs).getField("j")).alias(cell_col),
     ).observe(obs, F.count(F.lit(1)).alias("n"))
-    tag, staging = index_commit.new_staging(path + "/vectors")
-    assigned.write.partitionBy(cell_col).parquet(staging)
-    index_commit.commit_staged_append(fs, path + "/vectors", tag)
+    # single-writer contract enforced: appends, compaction and recovery on
+    # this index serialize on the index root's writer lease (r5 item 7)
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    try:
+        tag, staging = index_commit.new_staging(path + "/vectors")
+        assigned.write.partitionBy(cell_col).parquet(staging)
+        index_commit.commit_staged_append(fs, path + "/vectors", tag)
+    finally:
+        mfs.release_writer_lease(fs, path, token)
     return int(obs.get["n"])
 
 
@@ -426,6 +433,7 @@ def compact_ivf_index(
     max_files_per_cell: int = 8,
     target_files_per_cell: int = 1,
     fs=None,
+    lease_owner: str | None = None,
 ) -> dict[str, int]:
     """Small-file compaction for a continuously-appended IVF index (VERDICT
     r4 item 4): every ivf_index_append leaves one-plus parquet files per
@@ -449,9 +457,11 @@ def compact_ivf_index(
     ``recover_ivf_index`` (run automatically here first): before the
     marker nothing changed; after it, the marker's file list decides
     whether staging (complete) or live (complete once staging starts
-    disappearing) is authoritative. Same single-writer/maintenance-window
-    contract as vacuum_merge_table — run it where a deployment runs
-    OPTIMIZE, not concurrently with queries. Returns
+    disappearing) is authoritative. The single-writer contract (shared with
+    ivf_index_append) is ENFORCED via the index root's writer lease — an
+    overlapping append or second compaction raises ConcurrentWriterError
+    instead of corrupting (r5 item 7); run compaction where a deployment
+    runs OPTIMIZE, not concurrently with other maintenance. Returns
     {cell: new_file_count} for the rewritten cells."""
     import json
     import os
@@ -460,41 +470,45 @@ def compact_ivf_index(
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
-    recover_ivf_index(path, fs)  # self-heal debris of any crashed prior run
-    vectors = path + "/vectors"
-    rewritten: dict[str, int] = {}
-    for cell, n_files in sorted(ivf_cell_file_counts(path, fs).items()):
-        if n_files <= max_files_per_cell:
-            continue
-        cell_dir = os.path.join(vectors, cell)
-        tag = _uuid.uuid4().hex[:8]
-        staging_rel = f".compact_{tag}"
-        staging = os.path.join(vectors, staging_rel)
-        # the cell dir's files carry the non-partition columns only; the
-        # partition value is re-derived from the dir name on read, so the
-        # rewrite round-trips exactly
-        spark.read.parquet(cell_dir).coalesce(target_files_per_cell).write.parquet(
-            staging
-        )
-        staged_files = sorted(
-            f for f in fs.listdir(staging) if f.endswith(".parquet")
-        )
-        marker = os.path.join(vectors, f".swap_{tag}.json")
-        fs.put_atomic(
-            marker,
-            json.dumps(
-                {"cell": cell, "staging": staging_rel, "files": staged_files}
-            ).encode(),
-        )  # commit point: from here the swap WILL complete (or be redone)
-        fs.rmtree(cell_dir)
-        fs.rename(staging, cell_dir)
-        # drop Spark's _SUCCESS marker from the swapped-in dir (harmless,
-        # but keep the layout identical to partitionBy output)
-        success = os.path.join(cell_dir, "_SUCCESS")
-        if fs.exists(success):
-            fs.rmtree(success)
-        fs.rmtree(marker)
-        rewritten[cell] = sum(
-            1 for f in fs.listdir(cell_dir) if f.endswith(".parquet")
-        )
-    return rewritten
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    try:
+        recover_ivf_index(path, fs)  # self-heal debris of any crashed prior run
+        vectors = path + "/vectors"
+        rewritten: dict[str, int] = {}
+        for cell, n_files in sorted(ivf_cell_file_counts(path, fs).items()):
+            if n_files <= max_files_per_cell:
+                continue
+            cell_dir = os.path.join(vectors, cell)
+            tag = _uuid.uuid4().hex[:8]
+            staging_rel = f".compact_{tag}"
+            staging = os.path.join(vectors, staging_rel)
+            # the cell dir's files carry the non-partition columns only; the
+            # partition value is re-derived from the dir name on read, so the
+            # rewrite round-trips exactly
+            spark.read.parquet(cell_dir).coalesce(target_files_per_cell).write.parquet(
+                staging
+            )
+            staged_files = sorted(
+                f for f in fs.listdir(staging) if f.endswith(".parquet")
+            )
+            marker = os.path.join(vectors, f".swap_{tag}.json")
+            fs.put_atomic(
+                marker,
+                json.dumps(
+                    {"cell": cell, "staging": staging_rel, "files": staged_files}
+                ).encode(),
+            )  # commit point: from here the swap WILL complete (or be redone)
+            fs.rmtree(cell_dir)
+            fs.rename(staging, cell_dir)
+            # drop Spark's _SUCCESS marker from the swapped-in dir (harmless,
+            # but keep the layout identical to partitionBy output)
+            success = os.path.join(cell_dir, "_SUCCESS")
+            if fs.exists(success):
+                fs.rmtree(success)
+            fs.rmtree(marker)
+            rewritten[cell] = sum(
+                1 for f in fs.listdir(cell_dir) if f.endswith(".parquet")
+            )
+        return rewritten
+    finally:
+        mfs.release_writer_lease(fs, path, token)

@@ -32,8 +32,10 @@ upsert at /root/reference/load.py:128-154.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
 
 
@@ -41,8 +43,9 @@ class MergeFS:
     """Minimal filesystem contract for the merge table's bookkeeping.
 
     Atomicity contract: ``put_atomic`` is all-or-nothing per call;
-    ``rename`` need not be atomic (see module docstring). Everything else
-    is plain metadata I/O.
+    ``put_if_absent`` is an atomic create-if-not-exists (the mutual-
+    exclusion primitive behind the writer lease); ``rename`` need not be
+    atomic (see module docstring). Everything else is plain metadata I/O.
     """
 
     def exists(self, path: str) -> bool:
@@ -59,6 +62,13 @@ class MergeFS:
 
     def put_atomic(self, path: str, data: bytes) -> None:
         """All-or-nothing full-object write (the commit primitive)."""
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomically create ``path`` with ``data`` IFF it does not exist;
+        returns False (writing nothing) when it does. Local: O_CREAT|O_EXCL.
+        S3: a conditional PUT with ``If-None-Match: *`` (supported by S3
+        proper and most S3-compatible stores). HDFS: create-no-overwrite."""
         raise NotImplementedError
 
     def rename(self, src: str, dst: str) -> None:
@@ -96,6 +106,16 @@ class LocalFS(MergeFS):
         with open(tmp, "wb") as fh:
             fh.write(data)
         os.replace(tmp, path)
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        return True
 
     def rename(self, src: str, dst: str) -> None:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -145,6 +165,11 @@ class NonAtomicRenameFS(LocalFS):
         self._tick()  # the PUT either happens entirely or not at all
         super().put_atomic(path, data)
 
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        # S3 conditional PUT (If-None-Match: *): lands entirely or not at all
+        self._tick()
+        return super().put_if_absent(path, data)
+
     def rmtree(self, path: str) -> None:
         # deletes are mutating ops too — crash-sweep tests must be able to
         # die right before a remove (e.g. "marker committed, live dir still
@@ -173,3 +198,100 @@ class NonAtomicRenameFS(LocalFS):
 
 
 LOCAL_FS = LocalFS()
+
+
+# ---------------------------------------------------------------------------
+# Writer lease (VERDICT r5 item 7): ENFORCE the single-writer contract that
+# merge_micro_batch / vacuum_merge_table / compact_ivf_index / the index
+# appends previously only documented — a second concurrent writer now fails
+# loudly (ConcurrentWriterError) instead of corrupting shared state.
+# ---------------------------------------------------------------------------
+
+LEASE_NAME = ".writer_lease.json"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer holds a live lease on this table. Wait for it, or —
+    after confirming it is dead — break_writer_lease / let the TTL expire."""
+
+
+def acquire_writer_lease(
+    fs: MergeFS,
+    table_dir: str,
+    owner: str | None = None,
+    ttl_sec: float = 3600.0,
+    _now: float | None = None,
+) -> str:
+    """Take the table's writer lease or raise ConcurrentWriterError.
+
+    Mechanism: one atomic create-if-absent of ``<table>/.writer_lease.json``
+    (``put_if_absent`` — O_EXCL locally, conditional PUT on S3) recording
+    {owner, acquired_unix, ttl_sec}. Semantics:
+
+    - absent lease -> acquired.
+    - live lease, SAME owner -> re-acquired (refreshed): a restarted job
+      with a stable owner id resumes its own table without waiting out the
+      TTL. Callers that pass no owner get a fresh uuid — two anonymous
+      writers always conflict.
+    - live lease, other owner -> ConcurrentWriterError (the loud failure).
+    - EXPIRED lease (age > its recorded ttl) -> reclaimed: the holder died
+      without releasing (the documented crash outcome). Reclaim is
+      delete + conditional re-create, so of N concurrent reclaimers the
+      conditional PUT admits one per deletion; the residual
+      delete-after-other's-create race is inherent to TTL leases without a
+      CAS token — the TTL must therefore exceed the longest real
+      maintenance run, exactly as for S3/DynamoDB-style lock TTLs.
+
+    This is an operational guard for the realistic failure (overlapping
+    cron maintenance, a retried job racing its predecessor), not a fencing
+    token protocol: a paused-then-resumed writer whose lease expired mid-run
+    is out of scope (same caveat every TTL lease carries).
+
+    Returns the owner token to pass to release_writer_lease."""
+    now = time.time() if _now is None else _now
+    owner = owner or uuid.uuid4().hex
+    path = os.path.join(table_dir, LEASE_NAME)
+    record = json.dumps(
+        {"owner": owner, "acquired_unix": now, "ttl_sec": ttl_sec}
+    ).encode()
+    for _ in range(2):
+        if fs.put_if_absent(path, record):
+            return owner
+        try:
+            cur = json.loads(fs.read_bytes(path).decode())
+        except FileNotFoundError:
+            continue  # released between the create attempt and the read
+        if cur.get("owner") == owner:
+            fs.put_atomic(path, record)  # reentrant refresh, same writer id
+            return owner
+        age = now - float(cur.get("acquired_unix", 0.0))
+        if age <= float(cur.get("ttl_sec", ttl_sec)):
+            raise ConcurrentWriterError(
+                f"writer '{cur.get('owner')}' holds the lease on {table_dir} "
+                f"(age {age:.0f}s of ttl {cur.get('ttl_sec')}s); a concurrent "
+                "write would corrupt the table. Wait, or break_writer_lease "
+                "after confirming that writer is dead."
+            )
+        fs.rmtree(path)  # expired -> reclaim, then retry the atomic create
+    raise ConcurrentWriterError(
+        f"lost the reclaim race for the expired lease on {table_dir}; retry"
+    )
+
+
+def release_writer_lease(fs: MergeFS, table_dir: str, owner: str) -> None:
+    """Release the lease IF still held by ``owner`` (a TTL-reclaimed lease
+    belongs to someone else now — never delete theirs). No-op when absent."""
+    path = os.path.join(table_dir, LEASE_NAME)
+    try:
+        cur = json.loads(fs.read_bytes(path).decode())
+    except FileNotFoundError:
+        return
+    if cur.get("owner") == owner:
+        fs.rmtree(path)
+
+
+def break_writer_lease(fs: MergeFS, table_dir: str) -> None:
+    """Operator intervention: force-drop the lease after confirming the
+    holding writer is dead (e.g. its cluster job is gone). The crash-restart
+    analog of waiting out the TTL."""
+    fs.rmtree(os.path.join(table_dir, LEASE_NAME))

@@ -53,7 +53,9 @@ def test_ivf_append_crash_at_every_op_never_tears(spark, sf_dir, tmp_path):
         try:
             sim.ivf_index_append(spark, path, batch, fs=fs)
         except mfs.NonAtomicRenameFS.InjectedCrash:
-            pass
+            # a crashed writer strands its lease by design; the restart
+            # breaks it after confirming the writer is dead
+            mfs.break_writer_lease(mfs.LOCAL_FS, path)
         sim.recover_ivf_index(path)  # restart with a healthy filesystem
         got = _rows(spark, path + "/vectors")
         assert got in (before, after), f"torn append at crash op {crash_at}"
@@ -110,7 +112,7 @@ def test_pq_append_crash_at_every_op_never_tears(spark, sf_dir, tmp_path):
         try:
             clustering.pq_index_append(spark, path, batch, fs=fs)
         except mfs.NonAtomicRenameFS.InjectedCrash:
-            pass
+            mfs.break_writer_lease(mfs.LOCAL_FS, path)
         clustering.recover_pq_index(path)
         got = _rows(spark, path + "/codes")
         assert got in (before, after), f"torn append at crash op {crash_at}"
@@ -148,12 +150,13 @@ def test_append_staging_invisible_to_readers(spark, sf_dir, tmp_path):
     sim.build_ivf_index(base, path)
     before = _rows(spark, path + "/vectors")
 
-    # crash right before the marker PUT: staging fully written, zero commits
-    fs = mfs.NonAtomicRenameFS(fail_after_ops=0)
+    # crash right before the marker PUT (op 1 is the writer-lease acquire,
+    # op 2 the marker): staging fully written, zero commits
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=1)
     try:
         sim.ivf_index_append(spark, path, batch, fs=fs)
     except mfs.NonAtomicRenameFS.InjectedCrash:
-        pass
+        mfs.break_writer_lease(mfs.LOCAL_FS, path)
     # a reader sees the pre-append table exactly, debris and all
     assert _rows(spark, path + "/vectors") == before
     out = sim.recover_ivf_index(path)

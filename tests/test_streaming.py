@@ -480,6 +480,10 @@ def test_merge_crash_at_every_mutating_op_never_tears(spark, tmp_path):
             landed = True
         except mfs.NonAtomicRenameFS.InjectedCrash:
             landed = False
+            # a crashed writer strands its lease by design; the restart
+            # breaks it after confirming the writer is dead (the TTL's
+            # operator-intervention twin)
+            mfs.break_writer_lease(mfs.LOCAL_FS, target)
         state = sorted(
             (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
         )

@@ -1,0 +1,159 @@
+"""Writer-lease enforcement of the single-writer contract (VERDICT r5
+item 7): merge_micro_batch / vacuum_merge_table / compact_ivf_index /
+ivf_index_append / pq_index_append take the table's lease, so a concurrent
+second writer FAILS LOUDLY (ConcurrentWriterError) instead of corrupting —
+and a lease stranded by a dead writer is reclaimable (TTL expiry or
+operator break)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import similarity as sim
+from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+
+# ---------------------------------------------------------------------------
+# lease primitive
+# ---------------------------------------------------------------------------
+
+
+def test_put_if_absent_is_create_once(tmp_path):
+    fs = mfs.LOCAL_FS
+    p = str(tmp_path / "t" / "once.json")
+    assert fs.put_if_absent(p, b"first")
+    assert not fs.put_if_absent(p, b"second")  # loses, writes nothing
+    assert fs.read_bytes(p) == b"first"
+
+
+def test_lease_mutual_exclusion_and_release(tmp_path):
+    fs = mfs.LOCAL_FS
+    table = str(tmp_path / "tbl")
+    a = mfs.acquire_writer_lease(fs, table, owner="writer-a")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        mfs.acquire_writer_lease(fs, table, owner="writer-b")
+    # reentrant: the SAME owner (a restarted job with a stable id) re-enters
+    assert mfs.acquire_writer_lease(fs, table, owner="writer-a") == "writer-a"
+    mfs.release_writer_lease(fs, table, a)
+    # now free for anyone
+    b = mfs.acquire_writer_lease(fs, table, owner="writer-b")
+    # releasing with a token that no longer holds it must NOT steal b's lease
+    mfs.release_writer_lease(fs, table, "writer-a")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        mfs.acquire_writer_lease(fs, table, owner="writer-c")
+    mfs.release_writer_lease(fs, table, b)
+
+
+def test_lease_ttl_expiry_reclaim_and_break(tmp_path):
+    fs = mfs.LOCAL_FS
+    table = str(tmp_path / "tbl")
+    mfs.acquire_writer_lease(fs, table, owner="dead-writer", ttl_sec=3600)
+    # still live -> refused
+    with pytest.raises(mfs.ConcurrentWriterError):
+        mfs.acquire_writer_lease(fs, table, owner="next")
+    # 2h later the lease is expired -> reclaimed by the next writer
+    later = time.time() + 7200
+    got = mfs.acquire_writer_lease(fs, table, owner="next", _now=later)
+    assert got == "next"
+    rec = json.loads(fs.read_bytes(os.path.join(table, mfs.LEASE_NAME)).decode())
+    assert rec["owner"] == "next"
+    # operator intervention: break, then anyone acquires immediately
+    mfs.break_writer_lease(fs, table)
+    assert mfs.acquire_writer_lease(fs, table, owner="third") == "third"
+
+
+# ---------------------------------------------------------------------------
+# enforcement in the writers
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s long, user_id long, event_type string, value double"
+    )
+    return df.select(
+        "event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id", "event_type", "value",
+    )
+
+
+def test_merge_and_vacuum_refuse_concurrent_writer(spark, tmp_path):
+    target = str(tmp_path / "gold")
+    seed = [(i, 1000 + i, i, "seed", float(i)) for i in range(4)]
+    strm.merge_micro_batch(_ev(spark, seed), target, n_buckets=2)
+    committed = sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    )
+
+    # writer A is mid-run (holds the lease); a second merge and a vacuum
+    # must both refuse, leaving the committed state untouched
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, target, owner="writer-a")
+    update = [(100, 2000, 0, "update", -1.0)]
+    with pytest.raises(mfs.ConcurrentWriterError):
+        strm.merge_micro_batch(_ev(spark, update), target, n_buckets=2)
+    with pytest.raises(mfs.ConcurrentWriterError):
+        strm.vacuum_merge_table(target)
+    assert sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    ) == committed
+
+    # writer A finishes -> the queued work proceeds
+    mfs.release_writer_lease(mfs.LOCAL_FS, target, "writer-a")
+    strm.merge_micro_batch(_ev(spark, update), target, n_buckets=2)
+    state = {r.user_id: r.event_id for r in strm.read_merged(spark, target).collect()}
+    assert state[0] == 100
+    # and the lease is released again afterwards
+    assert not os.path.exists(os.path.join(target, mfs.LEASE_NAME))
+
+
+def test_ivf_maintenance_refuses_concurrent_writer(spark, sf_dir, tmp_path):
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb.filter(F.col("vec_id") < 100), path)
+    batch = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path + "/vectors").collect()
+    )
+
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, path, owner="writer-a")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        sim.ivf_index_append(spark, path, batch)
+    with pytest.raises(mfs.ConcurrentWriterError):
+        sim.compact_ivf_index(spark, path, max_files_per_cell=0)
+    # refused writers changed nothing
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path + "/vectors").collect()
+    ) == before
+
+    mfs.release_writer_lease(mfs.LOCAL_FS, path, "writer-a")
+    assert sim.ivf_index_append(spark, path, batch) == 20
+    assert not os.path.exists(os.path.join(path, mfs.LEASE_NAME))
+
+
+def test_pq_append_refuses_concurrent_writer(spark, sf_dir, tmp_path):
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    path = str(tmp_path / "pq")
+    clustering.pq_build_index(
+        emb.filter(F.col("vec_id") < 100), path, m=4, k=8, max_iters=1,
+        round_decimals=6,
+    )
+    batch = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+    before = sorted(tuple(r) for r in spark.read.parquet(path + "/codes").collect())
+
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, path, owner="writer-a")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        clustering.pq_index_append(spark, path, batch)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path + "/codes").collect()
+    ) == before
+    mfs.release_writer_lease(mfs.LOCAL_FS, path, "writer-a")
+    assert clustering.pq_index_append(spark, path, batch) == 20
+    assert not os.path.exists(os.path.join(path, mfs.LEASE_NAME))
