@@ -283,6 +283,38 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_b FROM p)"""
 
 
+def minhash_cluster_portable_sql(
+    threshold: float = 0.5, num_hashes: int = 32, bands: int = 8
+) -> str:
+    """Oracle for x2_cluster_dedup_portable (VERDICT r5 item 3): transitive
+    near-dup CLUSTERS over the portable pair set. DuckDB re-derives the full
+    portable-LSH pair graph, then computes connected components with a
+    recursive reachability CTE (symmetrized edges; the recursion's UNION
+    dedups rows so it terminates at the transitive closure); each doc's
+    cluster id is the smallest reachable doc id, singletons label
+    themselves — exactly dedup.connected_components' min-label fixpoint.
+    Closure size is bounded by sum over components of |C|^2, fine at oracle
+    scale; the Spark side uses the O(rounds·|E|) propagation loop instead."""
+    pairs = minhash_lsh_portable_sql(threshold, num_hashes, bands)
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.r), d.doc_id)) AS cluster_id
+FROM documents d
+LEFT JOIN reach r ON r.id = d.doc_id
+GROUP BY d.doc_id"""
+
+
 def simhash_portable_sql(
     max_hamming: int = 8, bands: int = 4, id_filter: str = "doc_id < 200"
 ) -> str:

@@ -222,6 +222,47 @@ def test_connected_components_plain_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 8}
 
 
+def test_reliable_checkpoint_escape_hatch(spark, tmp_path):
+    """VERDICT r5 item 5: the iterative operators' lineage truncation can be
+    flipped from executor-local blocks to a RELIABLE checkpoint (survives
+    executor decommissioning). reliable=True must (a) produce identical
+    results, (b) actually write checkpoint data to the configured dir, and
+    (c) fail immediately with instructions when no checkpoint dir is set."""
+    import os
+
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 8]], "id long")
+    want = {r.id: r.comp for r in dd.connected_components(edges, verts).collect()}
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        dd.connected_components(edges, verts, reliable=True)
+
+    # leaving the dir set for the rest of the session is harmless: every
+    # other call uses reliable=False, which localCheckpoints regardless
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    got = {
+        r.id: r.comp
+        for r in dd.connected_components(edges, verts, reliable=True).collect()
+    }
+    assert got == want
+    # real checkpoint files were written (rdd-* dirs under the ckpt dir)
+    walked = [f for _, _, fl in os.walk(ckpt) for f in fl]
+    assert walked, "reliable=True wrote no checkpoint data"
+    # the star variant accepts the flag too
+    star = {
+        r.id: r.comp
+        for r in dd.connected_components_star(edges, verts, reliable=True).collect()
+    }
+    assert star == want
+
+
 def test_ngram_pruning_bounds_candidates_on_skewed_tokens(spark):
     """One hot token shared by every doc must not quadratically explode the
     candidate set; pruned and unpruned runs agree on real near-dups whose
@@ -701,28 +742,38 @@ from collections import Counter  # noqa: E402  (used in pq test assertion msg)
 
 
 def test_hll_sketch_rollup_merge(spark, sf_dir):
-    """x6_sketch_rollup: per-day estimates stay within HLL error of exact;
-    the total row's estimate comes from MERGING the per-day sketches and
-    must equal the estimate of one direct whole-table sketch (merge
-    associativity — the property incremental rollups rely on)."""
+    """HLL rollup accuracy anchor behind x6_sketch_rollup: per-day RAW
+    estimates stay within HLL error of exact (tighter than the registry
+    entry's 0.1 gate bound), and the total estimate from MERGING the
+    per-day sketches equals the estimate of one direct whole-table sketch
+    (merge associativity — the property incremental rollups rely on). The
+    registry entry itself now emits exact values + in-bound booleans (the
+    invariant-bound oracle, r5 item 4) — assert they are all true here."""
     import __spark_entry__ as entrymod
     from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as eio
 
-    rows = entrymod.queries()["x6_sketch_rollup"](spark, sf_dir).collect()
-    days = [r for r in rows if r["scope"] == "day"]
-    totals = [r for r in rows if r["scope"] == "total"]
-    assert len(totals) == 1 and len(days) >= 1
-    for r in days:
-        assert abs(r["est_users"] - r["exact_users"]) <= max(2, 0.05 * r["exact_users"]), r
-    tot = totals[0]
-    assert abs(tot["est_users"] - tot["exact_users"]) <= max(2, 0.05 * tot["exact_users"])
+    ev = eio.load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    ).localCheckpoint(eager=True)
+    for r in daily.select(
+        F.hll_sketch_estimate("sk").alias("est"), "exact_users"
+    ).collect():
+        assert abs(r["est"] - r["exact_users"]) <= max(2, 0.05 * r["exact_users"]), r
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).first()["e"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+    assert merged == direct
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(merged - exact_total) <= max(2, 0.05 * exact_total)
 
-    direct = (
-        eio.load_events(spark, sf_dir)
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
-        .first()["e"]
-    )
-    assert tot["est_users"] == direct
+    rows = entrymod.queries()["x6_sketch_rollup"](spark, sf_dir).collect()
+    assert len([r for r in rows if r["scope"] == "total"]) == 1
+    assert all(r["est_in_bound"] for r in rows), rows
 
 
 def test_ivf_index_append_incremental_maintenance(spark, sf_dir, tmp_path):
