@@ -1,0 +1,86 @@
+"""Multi-JVM validation (VERDICT r5 item 2): run the engine's riskiest
+single-JVM-assumption entries under ``local-cluster[2,4,2048]`` — two REAL
+executor JVMs with separate heaps and block managers, scheduled over RPC —
+and require value-identical results to the in-process local[N] session.
+
+What this flushes that local[N] cannot: eager localCheckpoint block
+placement across executors (CC loops / SemDeDup / indexed dedup / portable
+LSH), Python DataSource workers launched from executor JVMs
+(src_rest_datasource), streaming state-store partitioning across executors
+(x9_stream_tumbling), and serialization of every plan literal (centroids,
+hyperplanes, band tables) over the wire instead of in-process reference
+passing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.local_cluster_runner import canonical_rows
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the localCheckpoint-using dedup family + Python DataSource + streaming —
+# the set VERDICT r5 item 2 names, plus the new portable-cluster entry
+ENTRIES = [
+    "x2_cluster_dedup",
+    "x2_cluster_dedup_portable",
+    "x2_semantic_dedup",
+    "x2_cross_corpus_indexed",
+    "x2_minhash_lsh_portable",
+    "src_rest_datasource",
+    "x9_stream_tumbling",
+]
+
+
+def test_entries_value_identical_under_multi_jvm(spark, sf_dir, tmp_path):
+    out = tmp_path / "cluster_rows.json"
+    env = dict(
+        os.environ,
+        SPARK_MASTER="local-cluster[2,4,2048]",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_DRIVER_MEMORY="2g",
+        # REAL multi-JVM finding (r6): executor JVMs spawn their OWN Python
+        # workers, which — unlike local[N]'s driver-forked workers — do not
+        # inherit the driver's sys.path, so the Python DataSource
+        # (src_rest_datasource) dies with ModuleNotFoundError unless the
+        # package is importable on executors. On a cluster that's "pip
+        # install the package on workers" or spark.submit.pyFiles
+        # (DEPLOYMENT.md § Session configuration); here PYTHONPATH
+        # simulates the installed package.
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "local_cluster_runner.py"),
+         sf_dir, str(out), *ENTRIES],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    if proc.returncode != 0 and (
+        "Could not find valid SPARK_HOME" in proc.stderr
+        or "spark-class" in proc.stderr
+    ):
+        pytest.skip(f"local-cluster mode unavailable here: {proc.stderr[-500:]}")
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    payload = json.loads(out.read_text())
+    # the cluster session really had 2x4 executor cores, not a local[N]
+    assert payload["parallelism"] == 8
+
+    queries = __import__("__spark_entry__").queries()
+    for name in ENTRIES:
+        local = canonical_rows(queries[name](spark, sf_dir))
+        cluster = payload["rows"][name]
+        assert cluster == local, (
+            f"{name}: multi-JVM result diverged from local[N] "
+            f"({len(cluster)} vs {len(local)} rows)"
+        )
+        assert local, f"{name}: empty result makes the parity check vacuous"
