@@ -6,7 +6,10 @@ and prints ONE JSON line:
    "queries": {<EVERY query -> sec>}, "sf": ...}
 
 `value` stays the 16-query HEADLINE total (comparable round-over-round and
-against BASELINE.md); `queries` carries per-query wall clock for the ENTIRE
+against BASELINE.md) — since round 6 each headline query is the MEDIAN of 3
+passes (the BASELINE.md protocol; `headline_pass_totals` keeps the raw
+sums), and the artifact is stamped `contaminated: true` when loadavg at
+start exceeds 2. `queries` carries per-query wall clock for the ENTIRE
 registry — every oracle-backed query plus the rows-only approximate variants
 — so per-operator regressions are visible between rounds.
 
@@ -106,14 +109,33 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    # Load hygiene (VERDICT r4 item 6): record the box's 1-min load average
-    # around the run so round-over-round comparisons can discard contaminated
-    # runs (r4's x7_cube showed a phantom 1.3x regression from a loaded box).
+    # Load hygiene (VERDICT r4 item 6 / r5 item 6): record the box's 1-min
+    # load average around the run so round-over-round comparisons can discard
+    # contaminated runs (r4's x7_cube showed a phantom 1.3x regression from a
+    # loaded box; r5's round artifact itself was recorded at loadavg 4.5).
     load_before = round(os.getloadavg()[0], 2)
+    # A busy box inflates every number — stamp the artifact LOUDLY instead of
+    # exiting (the driver must still get its JSON line). This box idles ~1
+    # with the test JVMs parked; >2 means a concurrent heavy process.
+    contaminated = load_before > 2.0
+    if contaminated:
+        print(
+            f"bench: WARNING loadavg_before={load_before} > 2 — numbers are "
+            "lower bounds only; artifact stamped contaminated=true",
+            file=sys.stderr,
+        )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = run(name)
+    # Headline metric = per-query MEDIAN over 3 passes (the BASELINE.md
+    # re-baseline protocol, r5 item 6): one cold pass + two warm passes per
+    # query, median per query, summed. This is strictly more comparable
+    # round-over-round than the old single cold pass on a box with ~25%
+    # run-to-run noise; per-pass sums are reported alongside for audit.
+    headline_passes: list[dict[str, float]] = []
+    for _ in range(3):
+        headline_passes.append({name: run(name) for name in HEADLINE})
+    timings: dict[str, float] = {
+        name: sorted(p[name] for p in headline_passes)[1] for name in HEADLINE
+    }
     for name in queries:
         if name not in timings:
             timings[name] = run(name)
@@ -129,8 +151,13 @@ def main() -> None:
         "all_queries_total_sec": round(sum(timings.values()), 3),
         "n_queries": len(timings),
         "queries": timings,
+        "headline_protocol": "median_of_3",
+        "headline_pass_totals": [
+            round(sum(p.values()), 3) for p in headline_passes
+        ],
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        "contaminated": contaminated,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
@@ -144,10 +171,15 @@ def main() -> None:
                 "all_queries_total_sec": round(sum(timings.values()), 3),
                 "n_queries": len(timings),
                 "queries": {n: timings[n] for n in HEADLINE},
+                "headline_protocol": "median_of_3",
+                "headline_pass_totals": [
+                    round(sum(p.values()), 3) for p in headline_passes
+                ],
                 # loadavg(1m) sampled before/after: `before` >> n_cpus-idle
                 # baseline means another process contaminated the numbers
                 "loadavg_before": load_before,
                 "loadavg_after": load_after,
+                "contaminated": contaminated,
                 "detail_file": "BENCH_DETAIL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
