@@ -752,21 +752,60 @@ def write_signature_table(
     readers, like _SUCCESS): querying a signature table with different
     num_hashes/shingle_n than it was built with silently degrades recall
     (mismatched banding) or compares wrong-granularity Jaccard, so
-    cross_corpus_neardup_indexed asserts equality on read (VERDICT r4)."""
+    cross_corpus_neardup_indexed asserts equality on read (VERDICT r4).
+    The sidecar also records the hash ``family`` ('xxhash64' here): banding
+    a table of one family with the other family's buckets finds NOTHING
+    in common, the worst silent-recall failure, so queries assert it."""
     _with_shingles_and_sig(docs, text_col, id_col, num_hashes, shingle_n).write.mode(
         "overwrite"
     ).parquet(path)
-    docs.sparkSession.createDataFrame(
-        [(int(num_hashes), int(shingle_n))], "num_hashes int, shingle_n int"
+    _write_sig_params(docs.sparkSession, path, num_hashes, shingle_n, "xxhash64")
+
+
+def write_signature_table_portable(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> None:
+    """Materialize the ENGINE-PORTABLE signature table (md5-derived shingle
+    hashes, same affine min-hash family) — the indexed twin of
+    minhash_lsh_pairs_portable. Because the stored (doc_id, sh, sig) rows
+    are reproducible in DuckDB, the WHOLE incremental crawl-dedup path
+    (cross_corpus_neardup_indexed_portable) becomes hash-checkable
+    end-to-end: stored signatures, increment signatures, band buckets,
+    cross-side candidates, exact-Jaccard verdicts. Production corpora keep
+    write_signature_table (xxhash64 is faster map-side)."""
+    assert shingle_n == 3, "portable shingles are written for trigrams"
+    docs.select(
+        F.col(id_col).alias("doc_id"),
+        portable_hashed_shingles(F.col(text_col)).alias("sh"),
+    ).withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    _write_sig_params(docs.sparkSession, path, num_hashes, shingle_n, "md5")
+
+
+def _write_sig_params(
+    spark, path: str, num_hashes: int, shingle_n: int, family: str
+) -> None:
+    spark.createDataFrame(
+        [(int(num_hashes), int(shingle_n), family)],
+        "num_hashes int, shingle_n int, family string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_params")
 
 
 def _check_signature_params(
-    spark, sig_path: str, num_hashes: int, shingle_n: int
+    spark, sig_path: str, num_hashes: int, shingle_n: int, family: str = "xxhash64"
 ) -> None:
     """Raise loudly when query-time LSH parameters differ from the ones the
     signature table was built with; warn (legacy table) when the sidecar is
-    absent. Silent mismatch = silent recall loss, never acceptable."""
+    absent. Silent mismatch = silent recall loss, never acceptable. The
+    hash ``family`` is the worst case — cross-family banding shares NO
+    buckets, zero recall — so it's asserted too (legacy sidecars without
+    the field warn instead)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -790,6 +829,21 @@ def _check_signature_params(
             "mismatched parameters silently degrade recall / compare "
             "wrong-granularity Jaccard — rebuild the table or match the "
             "build parameters"
+        )
+    stored_family = stored.asDict().get("family")
+    if stored_family is None:
+        warnings.warn(
+            f"signature table at {sig_path} predates the family field; "
+            "cannot verify the hash family — cross-family banding has zero "
+            "recall",
+            stacklevel=3,
+        )
+    elif stored_family != family:
+        raise ValueError(
+            f"signature table at {sig_path} was built with the "
+            f"'{stored_family}' hash family but the query uses '{family}'; "
+            "cross-family band buckets never collide (zero recall) — use "
+            f"the matching operator or rebuild the table"
         )
 
 
@@ -861,6 +915,70 @@ def cross_corpus_neardup_indexed(
         # cap judged on the COMBINED bucket population (mirrors the tagged-
         # union operator): an oversized boilerplate bucket blows up the join
         # whichever side its members sit on
+        both = new_band.select("band", "bucket").unionAll(
+            old_band.select("band", "bucket")
+        )
+        over = (
+            both.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        new_band = new_band.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+        old_band = old_band.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+
+    candidates = (
+        new_band.join(old_band, ["band", "bucket"])  # cross-side ONLY
+        .select("doc_id", "match_id")
+        .distinct()
+    )
+    sh_new = new_sigs.select("doc_id", F.col("sh").alias("sh_a"))
+    sh_old = old_sigs.select(F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sh_new, "doc_id")
+        .join(sh_old, "match_id")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard")
+    )
+
+
+def cross_corpus_neardup_indexed_portable(
+    new_docs: DataFrame,
+    spark,
+    sig_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Incremental crawl dedup against a write_signature_table_portable
+    table — the SAME plan shape as cross_corpus_neardup_indexed (only the
+    increment is shingled, cross-side-only banding, exact-Jaccard verify,
+    combined-population bucket cap) over the md5 hash family, so DuckDB can
+    re-derive BOTH sides' signatures and the whole pair list: the
+    steady-state 100 TB ingestion path, hash-checked end-to-end
+    (plans/oracle_vec.cross_corpus_indexed_portable_sql). Raises on any
+    parameter or hash-family mismatch with the stored table."""
+    _check_signature_params(spark, sig_path, num_hashes, shingle_n, family="md5")
+    new_sigs = _truncate_lineage(
+        new_docs.select(
+            F.col(id_col).alias("doc_id"),
+            portable_hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
+        ).withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes)),
+        reliable,
+    )
+    old_sigs = spark.read.parquet(sig_path)
+
+    new_band = _band_explode_portable(new_sigs, num_hashes, bands)
+    old_band = _band_explode_portable(old_sigs, num_hashes, bands).withColumnRenamed(
+        "doc_id", "match_id"
+    )
+    if max_bucket_size is not None:
         both = new_band.select("band", "bucket").unionAll(
             old_band.select("band", "bucket")
         )
@@ -1162,39 +1280,16 @@ def portable_hashed_shingles(text_col: Column, n: int = 3) -> Column:
     return F.transform(shingles(text_col, n), _md5_long60)
 
 
-def minhash_lsh_pairs_portable(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.5,
-    num_hashes: int = 32,
-    bands: int = 8,
-    reliable: bool = False,
+def _band_explode_portable(
+    sigs: DataFrame, num_hashes: int, bands: int, *keep: str
 ) -> DataFrame:
-    """Near-duplicate pairs with the SAME plan shape, banding scheme, and
-    exact-Jaccard verification as minhash_lsh_pairs, but over the portable
-    md5 hash family (portable_hashed_shingles; band bucket = md5 of the
-    decimal-joined signature slice). Returns (doc_a, doc_b, jaccard),
-    doc_a < doc_b. The two variants differ only in WHICH candidates the
-    random family proposes — both verify candidates with exact Jaccard, so
-    neither reports a false pair; this one's candidates are reproducible in
-    DuckDB, making the registry entry hash-checked rather than rows-only."""
+    """(…keep, doc_id, band, bucket) rows with the ENGINE-PORTABLE bucket:
+    md5 of the band's decimal-joined signature slice (the md5 twin of
+    _band_explode's xxhash64 bucket) — reproducible in DuckDB, so every
+    consumer's candidate set is oracle-derivable."""
     rows_per_band = num_hashes // bands
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    # eager lineage truncation (not persist): the signature table feeds the
-    # band explode AND both sides of the verification join; blocks are
-    # released when the returned plan is GC'd — no caller-must-unpersist
-    # contract (same trade-offs as cross_corpus_neardup_indexed)
-    sigs = _truncate_lineage(
-        docs.repartition(n_part)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            portable_hashed_shingles(F.col(text_col)).alias("sh"),
-        )
-        .withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes)),
-        reliable,
-    )
-    banded = sigs.select(
+    return sigs.select(
+        *keep,
         "doc_id",
         F.explode(
             F.array(
@@ -1215,7 +1310,41 @@ def minhash_lsh_pairs_portable(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select(*keep, "doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    reliable: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs with the SAME plan shape, banding scheme, and
+    exact-Jaccard verification as minhash_lsh_pairs, but over the portable
+    md5 hash family (portable_hashed_shingles; band bucket = md5 of the
+    decimal-joined signature slice). Returns (doc_a, doc_b, jaccard),
+    doc_a < doc_b. The two variants differ only in WHICH candidates the
+    random family proposes — both verify candidates with exact Jaccard, so
+    neither reports a false pair; this one's candidates are reproducible in
+    DuckDB, making the registry entry hash-checked rather than rows-only."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # eager lineage truncation (not persist): the signature table feeds the
+    # band explode AND both sides of the verification join; blocks are
+    # released when the returned plan is GC'd — no caller-must-unpersist
+    # contract (same trade-offs as cross_corpus_neardup_indexed)
+    sigs = _truncate_lineage(
+        docs.repartition(n_part)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            portable_hashed_shingles(F.col(text_col)).alias("sh"),
+        )
+        .withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes)),
+        reliable,
+    )
+    banded = _band_explode_portable(sigs, num_hashes, bands)
     candidates = (
         banded.alias("l")
         .join(

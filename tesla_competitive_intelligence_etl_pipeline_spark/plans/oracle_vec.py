@@ -283,6 +283,91 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_b FROM p)"""
 
 
+def _portable_side_ctes(pfx: str, src_sql: str, num_hashes: int, bands: int) -> str:
+    """CTE fragment deriving ``{pfx}shs`` (doc_id, portable shingle hashes)
+    and ``{pfx}banded`` (doc_id, band, bucket) for ONE corpus side whose
+    rows come from ``src_sql`` (must yield doc_id, text) — the per-side
+    building block of the cross-corpus portable oracle, mirroring
+    dedup.portable_hashed_shingles + minhash_int_signature +
+    _band_explode_portable."""
+    rows_per_band = num_hashes // bands
+    mins = []
+    for j in range(num_hashes):
+        a = _MINHASH_A[j % len(_MINHASH_A)] | 1
+        b = (j * 0x9E3779B97F4A7C15 + 0x85EBCA77C2B2AE63) % _T64
+        mins.append(
+            f"list_min(list_transform("
+            f"list_transform(sh, x -> (CAST({a} AS HUGEINT) * x + {b} + {j}) % {_T64}), "
+            f"u -> CAST(CASE WHEN u >= {_H63} THEN u - {_T64} ELSE u END AS BIGINT)))"
+        )
+    sig_list = "[" + ", ".join(mins) + "]"
+    band_ids = "[" + ", ".join(str(b) for b in range(bands)) + "]"
+    buckets = []
+    for b in range(bands):
+        joined = ", ".join(
+            f"CAST(sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        buckets.append(_md5_long60_sql(f"concat_ws('|', {joined})"))
+    bucket_list = "[" + ", ".join(buckets) + "]"
+    return f"""
+{pfx}d AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL.format(c="text")}, '\\s+') AS t
+  FROM ({src_sql})
+),
+{pfx}shs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END),
+           g -> {_md5_long60_sql("g")}) AS sh
+  FROM {pfx}d
+),
+{pfx}sigs AS (SELECT doc_id, sh, {sig_list} AS sig FROM {pfx}shs),
+{pfx}banded AS (
+  SELECT doc_id, unnest({band_ids}) AS band, unnest({bucket_list}) AS bucket
+  FROM {pfx}sigs
+)"""
+
+
+def cross_corpus_indexed_portable_sql(
+    threshold: float = 0.5, num_hashes: int = 32, bands: int = 8
+) -> str:
+    """Oracle for x2_cross_corpus_indexed_portable: the FULL incremental
+    crawl-dedup path in SQL — DuckDB re-derives the STORED side's portable
+    signatures (what write_signature_table_portable materialized), the
+    increment's signatures, both band-bucket sets, the cross-side-only
+    candidate join, and the exact-Jaccard verdicts. Sources mirror the
+    registry entry: stored corpus = documents doc_id < 100; increment =
+    the first 50 docs re-crawled with shifted ids and a ' zz' suffix."""
+    old_src = "SELECT doc_id, text FROM documents WHERE doc_id < 100"
+    new_src = (
+        "SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text "
+        "FROM documents WHERE doc_id < 50"
+    )
+    return f"""
+WITH {_portable_side_ctes("o_", old_src, num_hashes, bands)},
+{_portable_side_ctes("n_", new_src, num_hashes, bands)},
+cand AS (
+  SELECT n.doc_id AS doc_id, o.doc_id AS match_id
+  FROM n_banded n
+  JOIN o_banded o ON n.band = o.band AND n.bucket = o.bucket
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.doc_id, c.match_id,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM cand c
+  JOIN n_shs a ON a.doc_id = c.doc_id
+  JOIN o_shs b ON b.doc_id = c.match_id
+)
+SELECT doc_id, match_id, jaccard FROM j WHERE jaccard >= {threshold!r}"""
+
+
 def minhash_cluster_portable_sql(
     threshold: float = 0.5, num_hashes: int = 32, bands: int = 8
 ) -> str:

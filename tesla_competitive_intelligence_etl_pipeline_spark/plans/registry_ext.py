@@ -265,6 +265,49 @@ def x2_cross_corpus_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIG_TABLE_PORTABLE: dict[str, str] = {}
+
+
+def _ensure_sig_table_portable(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _SIG_TABLE_PORTABLE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="lsh_sigs_md5_") + "/signatures"
+        old = (
+            src.load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 100)
+        )
+        dd.write_signature_table_portable(old, path)
+        _SIG_TABLE_PORTABLE[sf_dir] = path
+    return _SIG_TABLE_PORTABLE[sf_dir]
+
+
+@register(
+    "x2_cross_corpus_indexed_portable",
+    oracle_vec.cross_corpus_indexed_portable_sql(threshold=0.5),
+)
+def x2_cross_corpus_indexed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2g hash-checked (NEW r6): the SAME incremental crawl-dedup path as
+    x2_cross_corpus_indexed — materialized signature table, increment-only
+    shingling, cross-side banding, exact-Jaccard verify — over the
+    engine-portable md5 family, so DuckDB re-derives the stored table, the
+    increment, and the full pair list. This puts the steady-state ingestion
+    dedup (the most production-critical rows-only class) inside the
+    rows+schema+hash gate; production keeps the xxhash64 twin. The _params
+    sidecar's hash-family field makes cross-family querying (zero recall)
+    a loud error instead of a silent one."""
+    sig_path = _ensure_sig_table_portable(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return dd.cross_corpus_neardup_indexed_portable(
+        new, spark, sig_path, threshold=0.5
+    )
+
+
 @register("x2_cross_corpus_lsh", None)  # MinHash-LSH based -> rows-only
 def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2g at scale: the same cross-corpus dedup through MinHash-LSH

@@ -496,12 +496,46 @@ def test_signature_table_parameter_mismatch_raises(spark, tmp_path):
     # matching params: constructs fine
     dd.cross_corpus_neardup_indexed(docs, spark, sig_path)
 
+    # HASH-FAMILY mismatch (r6): an xxhash64 table queried by the portable
+    # operator (or vice versa) shares ZERO band buckets — must raise, never
+    # return an empty-but-plausible pair list
+    with pt.raises(ValueError, match="hash family"):
+        dd.cross_corpus_neardup_indexed_portable(docs, spark, sig_path)
+    portable_path = str(tmp_path / "sigs_md5")
+    dd.write_signature_table_portable(docs, portable_path)
+    with pt.raises(ValueError, match="hash family"):
+        dd.cross_corpus_neardup_indexed(docs, spark, portable_path)
+    dd.cross_corpus_neardup_indexed_portable(docs, spark, portable_path)  # ok
+
     # legacy table (no sidecar): warn, don't raise
     shutil.rmtree(str(tmp_path / "sigs" / "_params"))
     with w.catch_warnings(record=True) as caught:
         w.simplefilter("always")
         dd.cross_corpus_neardup_indexed(docs, spark, sig_path)
     assert any("_params sidecar" in str(c.message) for c in caught)
+
+
+def test_portable_indexed_crawl_dedup_finds_planted_dups(spark, tmp_path):
+    """cross_corpus_neardup_indexed_portable: planted near-dups of stored
+    docs are found by the portable indexed path (and nothing below the
+    exact-Jaccard threshold is reported) — the recall anchor behind the
+    hash-checked registry entry."""
+    base = " ".join(f"w{j}" for j in range(60))
+    existing = spark.createDataFrame(
+        [(100, base), (101, " ".join(f"q{j}" for j in range(40)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " fresh"), (2, " ".join(f"z{j}" for j in range(40)))],
+        "doc_id long, text string",
+    )
+    sig_path = str(tmp_path / "sigs_md5")
+    dd.write_signature_table_portable(existing, sig_path)
+    rows = dd.cross_corpus_neardup_indexed_portable(
+        new, spark, sig_path, threshold=0.5
+    ).collect()
+    assert {(r.doc_id, r.match_id) for r in rows} == {(1, 100)}
+    assert all(r.jaccard >= 0.5 for r in rows)
 
 
 def test_keyword_scores_surfaces_distinctive_terms(spark):
@@ -620,6 +654,54 @@ def _adjusted_rand(label_pairs: list[tuple[int, int]]) -> float:
     expected = sum_a * sum_b / comb(n, 2)
     max_idx = (sum_a + sum_b) / 2
     return (idx - expected) / (max_idx - expected)
+
+
+def test_assign_clusters_join_matches_literal_and_ivf(spark, sf_dir):
+    """The huge-k escape hatch (r6, assign_clusters_join): broadcast-join
+    assignment must match the literal-centroid path bit-for-bit (same L2
+    fold, same tie rule) and, under metric='cosine', match
+    ivf_index_append's argmax assignment — so a deployment past the
+    documented ~10^8-float literal bound swaps strategies without changing
+    results. Also pins the plan: the centroid side is BROADCAST (no
+    cartesian shuffle of the corpus)."""
+    emb = src.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    _, cents = clustering.kmeans(emb, k=5, max_iters=3, round_decimals=6)
+    want = {
+        r.vec_id: r.cluster
+        for r in clustering.assign_clusters(emb, "embedding", cents).collect()
+    }
+    cdf = clustering.centroids_to_df(spark, cents)
+    joined = clustering.assign_clusters_join(emb, "embedding", cdf, "vec_id")
+    got = {r.vec_id: r.cluster for r in joined.collect()}
+    assert got == want
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+
+    # cosine metric == ivf_index_append's frozen-quantizer assignment
+    cell_rows = sim._cell_centroids(emb, "embedding", "label").orderBy("label").collect()
+    cents_cos = [[float(v) for v in r.centroid] for r in cell_rows]
+    assert len(cents_cos) >= 2  # the cosine check really chooses among cells
+    by_join = clustering.assign_clusters_join(
+        emb, "embedding", clustering.centroids_to_df(spark, cents_cos),
+        "vec_id", metric="cosine",
+    )
+    # reference: ivf_index_append's argmax over round-9 cosine
+    vec = F.col("embedding").cast("array<double>")
+    pairs = F.transform(
+        F.lit(cents_cos),
+        lambda c, j: F.struct(F.round(sim.cosine(vec, c), 9).alias("s"), j.alias("j")),
+    )
+    ref = {
+        r.vec_id: r.j
+        for r in emb.select(
+            "vec_id", F.array_max(pairs).getField("j").alias("j")
+        ).collect()
+    }
+    assert {r.vec_id: r.cluster for r in by_join.collect()} == ref
 
 
 def test_kmeans_high_dim_chunked_update(spark):
