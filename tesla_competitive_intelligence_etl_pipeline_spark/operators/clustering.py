@@ -25,12 +25,13 @@ Driver-memory bound (the 100x operator's arithmetic): centroid state is
 k x dim x 8 B held on the driver AND serialized into each iteration's plan
 as a literal — k=8/dim=64 is 4 KiB; k=4,096/dim=1,024 is 32 MiB (fine);
 k=65,536/dim=4,096 is ~2 GiB and does NOT fit the literal-broadcast
-pattern. Escape hatch at that scale: store centroids as a (cluster,
-centroid) DataFrame and assign via a broadcast-join argmin (one
-min_by(cluster, dist) aggregate per point) — same shuffle shape as the
-update step, no driver-held state. The codebase keeps the literal form
-because typical curation clusterings (k <= a few thousand) sit far below
-the bound and the literal form saves a join per iteration.
+pattern. Escape hatch at that scale — IMPLEMENTED as
+``assign_clusters_join`` (r6): centroids as a (cluster, centroid)
+DataFrame, broadcast-join + one min/max aggregate per point, no
+driver-held state; pinned bit-identical to the literal path (and to
+ivf_index_append's cosine argmax) in tests. The literal form stays the
+default because typical curation clusterings (k <= a few thousand) sit
+far below the bound and it saves a join per iteration.
 """
 
 from __future__ import annotations
@@ -78,6 +79,82 @@ def assign_clusters(
     if with_distance:
         out = out.withColumn("sq_dist", best.getField("d"))
     return out
+
+
+def centroids_to_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    """(cluster, centroid) DataFrame from a Python centroid list — the
+    input shape assign_clusters_join consumes (and what a huge-k training
+    job would materialize as a table instead of holding driver-side)."""
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+
+
+def assign_clusters_join(
+    df: DataFrame,
+    vec_col: str,
+    centroids_df: DataFrame,
+    id_col: str,
+    with_distance: bool = False,
+    metric: str = "l2",
+    cluster_col: str = "cluster",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """The documented ESCAPE HATCH for centroid state too big for a plan
+    literal (module docstring: k x dim beyond ~10^8 floats — k=65,536 at
+    dim 4,096 is ~2 GiB and cannot ride the literal/driver pattern), now
+    implemented rather than promised (r6): centroids arrive as a
+    (cluster, centroid) DataFrame, each row is scored against ALL centroids
+    through a BROADCAST nested-loop join, and one min/max aggregate per row
+    picks the assignment — no driver-held centroid state anywhere.
+
+    Cost shape: the broadcast fans each input row out to k scored rows,
+    then ONE partial-aggregating groupBy(id) reduces them and a join on
+    ``id_col`` carries the label back to the full row — the same
+    shuffle-on-key shape as the k-means update step, which is exactly the
+    price the literal form exists to avoid at small k. Use the literal
+    ``assign_clusters`` below ~10^7-10^8 centroid floats; switch to this
+    past it (or when centroids already live in a table).
+
+    ``metric``: 'l2' matches assign_clusters bit-for-bit (same zip_with
+    fold, same ties-to-lowest-cluster via min over (dist, cluster));
+    'cosine' matches ivf_index_append's argmax (round-9 cosine, max over
+    (sim, cell) — its tie rule) so an IVF deployment can swap it in for
+    the append's assignment. Equivalence is pinned in tests."""
+    vec = F.col(vec_col).cast("array<double>")
+    cent = F.col(centroid_col).cast("array<double>")
+    if metric == "l2":
+        score = F.aggregate(
+            F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        best = F.min(F.struct(score.alias("s"), F.col(cluster_col).alias("j")))
+    elif metric == "cosine":
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import cosine
+
+        score = F.round(cosine(vec, cent), 9)
+        best = F.max(F.struct(score.alias("s"), F.col(cluster_col).alias("j")))
+    else:
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    scored = (
+        df.select(id_col, vec_col)
+        .join(F.broadcast(centroids_df.select(cluster_col, centroid_col)))
+        .groupBy(id_col)
+        .agg(best.alias("__best"))
+        .select(
+            id_col,
+            F.col("__best").getField("j").alias("cluster"),
+            F.col("__best").getField("s").alias("__s"),
+        )
+    )
+    out = df.join(scored, id_col)
+    if with_distance:
+        out = out.withColumn(
+            "sq_dist" if metric == "l2" else "cos_sim", F.col("__s")
+        )
+    return out.drop("__s")
 
 
 def _cluster_stats(

@@ -19,9 +19,11 @@ Driver-memory bound: the IVF probe collects the centroid table
 (n_cells x dim x 8 B — 4,096 cells x dim 1,024 is 32 MiB, fine; 1 M cells
 x dim 4,096 would be 32 GiB and needs the broadcast-join probe instead of
 a collect). ivf_index_append likewise holds all centroids as one plan
-literal — same arithmetic, same escape hatch (join new vectors against the
-centroid table with a min_by aggregate). See operators/clustering.py's
-module docstring for the worked bound.
+literal — same arithmetic, same escape hatch, which is implemented:
+clustering.assign_clusters_join(metric='cosine') reproduces this argmax
+through a broadcast join with no driver-held centroids (equivalence pinned
+in tests). See operators/clustering.py's module docstring for the worked
+bound.
 """
 
 from __future__ import annotations
