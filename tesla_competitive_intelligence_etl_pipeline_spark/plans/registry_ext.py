@@ -127,6 +127,28 @@ def x2_cluster_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dup_clusters_portable(docs, threshold=0.5)
 
 
+@register(
+    "x2_cluster_dedup_star_portable",
+    oracle_vec.minhash_cluster_portable_sql(threshold=0.5),
+)
+def x2_cluster_dedup_star_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2f via the ALTERNATING small-star/large-star algorithm (NEW r6):
+    the O(log n)-rounds CC variant for deep graphs, over the same portable
+    pair graph and against the SAME recursive-CTE oracle as
+    x2_cluster_dedup_portable — both algorithms must land on the identical
+    min-label fixpoint, so the trickier star rewiring is hash-verified
+    end-to-end, not just unit-tested on toy paths."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs_portable(docs, threshold=0.5)
+    comp = dd.connected_components_star(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("id")),
+    )
+    return comp.select("id", F.col("comp").alias("cluster_id")).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 _NGRAM_DF_CAP = 50
 
 
