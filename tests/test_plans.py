@@ -341,3 +341,24 @@ def test_semantic_dedup_pairs_shuffle_on_cluster_not_cartesian(spark, sf_dir, re
     # (code review r5: the first-join-in-plan heuristic could latch onto
     # the anti join)
     assert re.search(r"Left keys \[\d+\]: \[cluster#", plan)
+
+
+def test_portable_indexed_dedup_plan_bands_not_text(spark, sf_dir, registry):
+    """x2_cross_corpus_indexed_portable: the steady-state crawl-dedup plan
+    must keep its scale shape — candidates from a band/bucket EQUI-join
+    (no cartesian over the corpora), every shuffle keyed on small columns
+    (band/bucket/doc ids), never raw text; and the STORED side arrives as
+    signatures (doc_id, sh, sig) with no text column to read at all."""
+    df = registry["x2_cross_corpus_indexed_portable"][0](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in keys, f"raw text in a shuffle key: {keys}"
+    # the signature-table scan reads exactly the stored columns
+    sig_scan = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "sig" in s
+    ]
+    assert sig_scan and all("text" not in s for s in sig_scan)
+    # the band join is a real equi-join on (band, bucket)
+    assert re.search(r"Left keys \[\d+\]: \[band#\d+L?, bucket#", plan)
