@@ -25,15 +25,18 @@ from tests.local_cluster_runner import canonical_rows
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# the localCheckpoint-using dedup family + Python DataSource + streaming —
-# the set VERDICT r5 item 2 names, plus the new portable-cluster entry
-ENTRIES = [
+# The FULL driver correctness window (what the external gate hash-checks)
+# PLUS the localCheckpoint-using dedup family VERDICT r5 item 2 names —
+# every one must produce value-identical rows on real executor separation.
+from tesla_competitive_intelligence_etl_pipeline_spark.plans import DRIVER_WINDOW
+
+ENTRIES = DRIVER_WINDOW + [
     "x2_cluster_dedup",
     "x2_cluster_dedup_portable",
     "x2_semantic_dedup",
     "x2_cross_corpus_indexed",
+    "x2_cross_corpus_indexed_portable",
     "x2_minhash_lsh_portable",
-    "src_rest_datasource",
     "x9_stream_tumbling",
 ]
 
