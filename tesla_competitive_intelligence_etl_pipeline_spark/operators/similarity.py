@@ -347,6 +347,38 @@ def ivf_cell_file_counts(path: str, fs=None) -> dict[str, int]:
     return counts
 
 
+def ivf_index_stats(path: str, fs=None) -> dict:
+    """Operational stats for a materialized IVF index — the index twin of
+    streaming.events.merge_table_stats: committed cell/file counts plus the
+    DEBRIS a crash left (append staging dirs, unprocessed commit markers,
+    compaction staging/swap markers) and the writer-lease state. Non-zero
+    debris counts are the signal to run recover_ivf_index (after breaking a
+    stranded lease); ``max_files_per_cell`` rising is the compaction
+    signal. Pure bookkeeping I/O — no data files are read."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    counts = ivf_cell_file_counts(path, fs)
+    vectors = path + "/vectors"
+    entries = fs.listdir(vectors) if fs.isdir(vectors) else []
+    lease = mfs.lease_info(fs, path)
+    return {
+        "cells": len(counts),
+        "data_files": sum(counts.values()),
+        "max_files_per_cell": max(counts.values(), default=0),
+        "append_staging_dirs": sum(
+            1 for e in entries if e.startswith(index_commit.STAGING_PREFIX)
+        ),
+        "append_markers": sum(
+            1 for e in entries if e.startswith(index_commit.MARKER_PREFIX)
+        ),
+        "compact_staging_dirs": sum(1 for e in entries if e.startswith(".compact_")),
+        "swap_markers": sum(1 for e in entries if e.startswith(".swap_")),
+        "lease": lease,
+    }
+
+
 def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
     """Heal a materialized IVF index after a crashed compaction. The swap
     commits per cell through an ATOMIC marker (``.swap_<tag>.json``,
@@ -480,6 +512,11 @@ def compact_ivf_index(
         for cell, n_files in sorted(ivf_cell_file_counts(path, fs).items()):
             if n_files <= max_files_per_cell:
                 continue
+            # heartbeat: a compaction spanning many cells can outlive its
+            # TTL, at which point another writer could legally reclaim the
+            # lease mid-run — re-stamp it per cell (a reentrant refresh is
+            # one read + one atomic put, trivial next to a cell rewrite)
+            mfs.acquire_writer_lease(fs, path, owner=token)
             cell_dir = os.path.join(vectors, cell)
             tag = _uuid.uuid4().hex[:8]
             staging_rel = f".compact_{tag}"

@@ -278,6 +278,21 @@ def acquire_writer_lease(
     )
 
 
+def lease_info(fs: MergeFS, table_dir: str, _now: float | None = None) -> dict | None:
+    """Observability: the current lease record with its ``age_sec`` and
+    ``expired`` flag, or None when the table is unlocked. What an operator
+    checks before break_writer_lease."""
+    try:
+        cur = json.loads(fs.read_bytes(os.path.join(table_dir, LEASE_NAME)).decode())
+    except FileNotFoundError:
+        return None
+    now = time.time() if _now is None else _now
+    age = now - float(cur.get("acquired_unix", 0.0))
+    cur["age_sec"] = age
+    cur["expired"] = age > float(cur.get("ttl_sec", 0.0))
+    return cur
+
+
 def release_writer_lease(fs: MergeFS, table_dir: str, owner: str) -> None:
     """Release the lease IF still held by ``owner`` (a TTL-reclaimed lease
     belongs to someone else now — never delete theirs). No-op when absent."""

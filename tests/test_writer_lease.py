@@ -52,6 +52,53 @@ def test_lease_mutual_exclusion_and_release(tmp_path):
     mfs.release_writer_lease(fs, table, b)
 
 
+def test_lease_refresh_and_info(tmp_path):
+    """A reentrant re-acquire (the maintenance heartbeat) must re-stamp
+    acquired_unix so a long run never drifts into reclaimable territory;
+    lease_info exposes holder/age/expiry for the operator runbook."""
+    fs = mfs.LOCAL_FS
+    table = str(tmp_path / "tbl")
+    assert mfs.lease_info(fs, table) is None
+    t0 = time.time()
+    mfs.acquire_writer_lease(fs, table, owner="job", ttl_sec=100, _now=t0)
+    # 90s in: refreshed by the heartbeat...
+    mfs.acquire_writer_lease(fs, table, owner="job", ttl_sec=100, _now=t0 + 90)
+    # ...so at t0+150 (past the ORIGINAL expiry) the lease is still live
+    info = mfs.lease_info(fs, table, _now=t0 + 150)
+    assert info["owner"] == "job" and not info["expired"]
+    assert 59 < info["age_sec"] < 61
+    with pytest.raises(mfs.ConcurrentWriterError):
+        mfs.acquire_writer_lease(fs, table, owner="other", _now=t0 + 150)
+    # without further refreshes it expires and info says so
+    assert mfs.lease_info(fs, table, _now=t0 + 300)["expired"]
+
+
+def test_ivf_index_stats_reports_debris_and_lease(spark, sf_dir, tmp_path):
+    """ivf_index_stats: clean index -> zero debris; a crashed append leaves
+    visible staging debris and the stranded lease; recovery zeroes it."""
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb.filter(F.col("vec_id") < 100), path)
+    clean = sim.ivf_index_stats(path)
+    assert clean["cells"] >= 2 and clean["data_files"] >= clean["cells"]
+    assert clean["append_staging_dirs"] == clean["append_markers"] == 0
+    assert clean["lease"] is None
+
+    batch = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=1)  # die before the marker
+    with pytest.raises(mfs.NonAtomicRenameFS.InjectedCrash):
+        sim.ivf_index_append(spark, path, batch, fs=fs)
+    dirty = sim.ivf_index_stats(path)
+    assert dirty["append_staging_dirs"] == 1  # the debris is VISIBLE
+    assert dirty["lease"] is not None  # ...and so is the stranded lease
+
+    mfs.break_writer_lease(mfs.LOCAL_FS, path)
+    sim.recover_ivf_index(path)
+    healed = sim.ivf_index_stats(path)
+    assert healed["append_staging_dirs"] == healed["append_markers"] == 0
+    assert healed["lease"] is None
+
+
 def test_lease_ttl_expiry_reclaim_and_break(tmp_path):
     fs = mfs.LOCAL_FS
     table = str(tmp_path / "tbl")
