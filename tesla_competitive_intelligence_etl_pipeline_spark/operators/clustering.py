@@ -257,6 +257,124 @@ def kmeans(
     return assign_clusters(df, vec_col, centroids), centroids
 
 
+def kmeans_df(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    round_decimals: int | None = None,
+    reliable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """DataFrame-RESIDENT Lloyd — the huge-k twin of ``kmeans`` (r6): the
+    centroid state never touches the driver. Assignment goes through
+    assign_clusters_join (broadcast join, no plan literal), the update is a
+    groupBy(cluster) Summarizer aggregate whose result STAYS a (cluster,
+    centroid) DataFrame, empty clusters keep their centroid via a left
+    join + coalesce, and convergence is a 1-row max-shift aggregate. Use
+    past the literal form's ~10^8-float centroid bound (module docstring);
+    below it, ``kmeans`` saves a join per iteration.
+
+    Semantics mirror ``kmeans`` exactly — same stable-md5 seeding order,
+    same ties-to-lowest-cluster argmin, same empty-cluster and early-stop
+    rules; ``round_decimals`` uses HALF_EVEN (F.bround), the same rounding
+    Python's round() applies driver-side — so with round_decimals set the
+    two variants produce IDENTICAL centroids and assignments (pinned in
+    tests). Per-iteration centroid lineage is truncated (localCheckpoint;
+    ``reliable=True`` for decommissioning-prone clusters, as in
+    operators/dedup). Returns (assignments df, (cluster, centroid) df)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+    from pyspark.sql import Window
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.dedup import (
+        _truncate_lineage,
+    )
+
+    def _round(col):
+        if round_decimals is None:
+            return col
+        return F.transform(col, lambda x: F.bround(x, round_decimals))
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    slim = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .repartition(n_part)
+        .persist()
+    )
+    try:
+        if slim.first() is None:
+            raise ValueError("kmeans_df: empty input")
+        # same deterministic seeding as kmeans: the k lowest
+        # (stable_bucket(id), id) rows, cluster index = seed rank. The
+        # k-row window is the one k-sized single-task stage (seeding only).
+        order = [stable_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc()]
+        w = Window.orderBy(*order)
+        cents = _truncate_lineage(
+            slim.orderBy(*order)
+            .limit(k)
+            .select(
+                (F.row_number().over(w) - 1).alias("cluster"),
+                _round(F.col("__v")).alias("centroid"),
+            ),
+            reliable,
+        )
+        actual_k = cents.count()
+        if actual_k < k:
+            warnings.warn(
+                f"kmeans_df: k={k} but input has only {actual_k} rows; "
+                f"proceeding with k={actual_k}",
+                stacklevel=2,
+            )
+        for _ in range(max_iters):
+            assigned = assign_clusters_join(slim, "__v", cents, id_col)
+            means = (
+                assigned.select(
+                    "cluster", array_to_vector(F.col("__v")).alias("__vv")
+                )
+                .groupBy("cluster")
+                .agg(F.count("*").alias("n"), Summarizer.sum(F.col("__vv")).alias("s"))
+                .select(
+                    "cluster",
+                    _round(
+                        F.transform(vector_to_array("s"), lambda x: x / F.col("n"))
+                    ).alias("new_c"),
+                )
+            )
+            new_cents = _truncate_lineage(
+                cents.join(means, "cluster", "left").select(
+                    "cluster", F.coalesce("new_c", "centroid").alias("centroid")
+                ),
+                reliable,
+            )
+            # convergence: ONE scalar (max squared centroid shift) — the
+            # only driver-bound data in the whole loop
+            shift = (
+                cents.alias("o")
+                .join(new_cents.alias("nw"), "cluster")
+                .select(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("o.centroid"),
+                            F.col("nw.centroid"),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d")
+                )
+                .agg(F.max("d").alias("m"))
+                .first()["m"]
+            )
+            cents = new_cents
+            if shift < tol:
+                break
+    finally:
+        slim.unpersist()
+    return assign_clusters_join(df, vec_col, cents, id_col), cents
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): the memory-scale path for billion-vector ANN.
 # A dim-d float vector (4d bytes) becomes m uint8-ish codes (m bytes): the
@@ -370,6 +488,8 @@ def pq_build_index(
     max_iters: int = 5,
     train_fraction: float | None = None,
     round_decimals: int | None = None,
+    fs=None,
+    lease_owner: str | None = None,
 ) -> list[list[list[float]]]:
     """Materialize the PQ index — the one-time ingest/offline cost a
     deployment amortizes (the PQ twin of build_ivf_index): train codebooks
@@ -377,18 +497,27 @@ def pq_build_index(
     write ``path``/codes (id, pq_code — m small ints per vector, the
     dim*4/m-compressed searchable table) plus ``path``/codebooks (one row,
     m x k x sub_dim doubles). Online search then never touches the float
-    vectors or retrains anything. Returns the codebooks."""
+    vectors or retrains anything. The overwrite holds the index writer
+    lease (r6) so a rebuild cannot interleave with a live append. Returns
+    the codebooks."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
     books = pq_train(
         df, vec_col=vec_col, id_col=id_col, m=m, k=k,
         max_iters=max_iters, train_fraction=train_fraction,
         round_decimals=round_decimals,
     )
-    pq_encode(df, books, vec_col=vec_col).select(
-        F.col(id_col), "pq_code"
-    ).write.mode("overwrite").parquet(path + "/codes")
-    df.sparkSession.createDataFrame(
-        [(books,)], "codebooks array<array<array<double>>>"
-    ).write.mode("overwrite").parquet(path + "/codebooks")
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    try:
+        pq_encode(df, books, vec_col=vec_col).select(
+            F.col(id_col), "pq_code"
+        ).write.mode("overwrite").parquet(path + "/codes")
+        df.sparkSession.createDataFrame(
+            [(books,)], "codebooks array<array<array<double>>>"
+        ).write.mode("overwrite").parquet(path + "/codebooks")
+    finally:
+        mfs.release_writer_lease(fs, path, token)
     return books
 
 

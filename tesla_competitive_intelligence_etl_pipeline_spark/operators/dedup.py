@@ -755,11 +755,22 @@ def write_signature_table(
     cross_corpus_neardup_indexed asserts equality on read (VERDICT r4).
     The sidecar also records the hash ``family`` ('xxhash64' here): banding
     a table of one family with the other family's buckets finds NOTHING
-    in common, the worst silent-recall failure, so queries assert it."""
-    _with_shingles_and_sig(docs, text_col, id_col, num_hashes, shingle_n).write.mode(
-        "overwrite"
-    ).parquet(path)
-    _write_sig_params(docs.sparkSession, path, num_hashes, shingle_n, "xxhash64")
+    in common, the worst silent-recall failure, so queries assert it.
+    The overwrite holds the table's writer lease (r6; scoped to a SIBLING
+    ``<path>.lock`` dir — the table path itself is the parquet dir and
+    mode('overwrite') would delete an in-dir lease mid-build) so
+    concurrent rebuilds cannot interleave their files."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    lock_scope = path.rstrip("/") + ".lock"
+    token = mfs.acquire_writer_lease(mfs.LOCAL_FS, lock_scope)
+    try:
+        _with_shingles_and_sig(docs, text_col, id_col, num_hashes, shingle_n).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _write_sig_params(docs.sparkSession, path, num_hashes, shingle_n, "xxhash64")
+    finally:
+        mfs.release_writer_lease(mfs.LOCAL_FS, lock_scope, token)
 
 
 def write_signature_table_portable(
@@ -777,15 +788,23 @@ def write_signature_table_portable(
     (cross_corpus_neardup_indexed_portable) becomes hash-checkable
     end-to-end: stored signatures, increment signatures, band buckets,
     cross-side candidates, exact-Jaccard verdicts. Production corpora keep
-    write_signature_table (xxhash64 is faster map-side)."""
+    write_signature_table (xxhash64 is faster map-side). Same
+    sibling-scoped writer lease as write_signature_table."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
     assert shingle_n == 3, "portable shingles are written for trigrams"
-    docs.select(
-        F.col(id_col).alias("doc_id"),
-        portable_hashed_shingles(F.col(text_col)).alias("sh"),
-    ).withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes)).write.mode(
-        "overwrite"
-    ).parquet(path)
-    _write_sig_params(docs.sparkSession, path, num_hashes, shingle_n, "md5")
+    lock_scope = path.rstrip("/") + ".lock"
+    token = mfs.acquire_writer_lease(mfs.LOCAL_FS, lock_scope)
+    try:
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            portable_hashed_shingles(F.col(text_col)).alias("sh"),
+        ).withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _write_sig_params(docs.sparkSession, path, num_hashes, shingle_n, "md5")
+    finally:
+        mfs.release_writer_lease(mfs.LOCAL_FS, lock_scope, token)
 
 
 def _write_sig_params(

@@ -204,15 +204,29 @@ def build_ivf_index(
     path: str,
     vec_col: str = "embedding",
     cell_col: str = "label",
+    fs=None,
+    lease_owner: str | None = None,
 ) -> None:
     """Materialize the IVF index: vectors written PARTITIONED BY cell (so a
     probe reads only the probed cells' files — real partition pruning, not a
     post-scan filter) plus the tiny centroid table next to them. This is the
-    one-time index build a 100 TB ANN deployment amortizes."""
-    embeddings.write.mode("overwrite").partitionBy(cell_col).parquet(path + "/vectors")
-    _cell_centroids(embeddings, vec_col, cell_col).write.mode("overwrite").parquet(
-        path + "/centroids"
-    )
+    one-time index build a 100 TB ANN deployment amortizes. Holds the index
+    writer lease (r6): a build overwriting while an append/compaction runs
+    (or vice versa) would interleave two writers' files — now a loud
+    ConcurrentWriterError instead."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    try:
+        embeddings.write.mode("overwrite").partitionBy(cell_col).parquet(
+            path + "/vectors"
+        )
+        _cell_centroids(embeddings, vec_col, cell_col).write.mode("overwrite").parquet(
+            path + "/centroids"
+        )
+    finally:
+        mfs.release_writer_lease(fs, path, token)
 
 
 def ivf_topk_indexed(

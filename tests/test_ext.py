@@ -704,6 +704,34 @@ def test_assign_clusters_join_matches_literal_and_ivf(spark, sf_dir):
     assert {r.vec_id: r.cluster for r in by_join.collect()} == ref
 
 
+def test_kmeans_df_matches_literal_kmeans(spark, sf_dir):
+    """kmeans_df (DataFrame-resident centroids, r6) must reproduce the
+    literal kmeans EXACTLY under round_decimals: same seeds, same
+    per-iteration centroids (HALF_EVEN rounding both sides), same
+    assignments, same early stop — so a deployment past the driver-literal
+    bound swaps training strategies without changing a single label."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    emb = src.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lit_assigned, lit_cents = clustering.kmeans(
+        emb, k=5, max_iters=4, round_decimals=6
+    )
+    df_assigned, cents_df = clustering.kmeans_df(
+        emb, k=5, max_iters=4, round_decimals=6
+    )
+    got_cents = {
+        r.cluster: [round(float(v), 6) for v in r.centroid]
+        for r in cents_df.collect()
+    }
+    want_cents = {
+        i: [round(float(v), 6) for v in c] for i, c in enumerate(lit_cents)
+    }
+    assert got_cents == want_cents
+    want = {r.vec_id: r.cluster for r in lit_assigned.collect()}
+    got = {r.vec_id: r.cluster for r in df_assigned.collect()}
+    assert got == want
+
+
 def test_kmeans_high_dim_chunked_update(spark):
     """dim=1024: the update step must stay a SINGLE dim-independent
     aggregation plan (Summarizer vector-sum), not a 1024-aggregate expression

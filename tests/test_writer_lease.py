@@ -185,6 +185,43 @@ def test_ivf_maintenance_refuses_concurrent_writer(spark, sf_dir, tmp_path):
     assert not os.path.exists(os.path.join(path, mfs.LEASE_NAME))
 
 
+def test_offline_builders_take_the_lease(spark, sf_dir, tmp_path):
+    """r6: a REBUILD overwriting a live index/signature table while an
+    append or query-side build runs would interleave two writers' files —
+    build_ivf_index, pq_build_index, and both signature-table writers must
+    refuse while another writer holds the lease (sig tables scope theirs
+    to a sibling <path>.lock dir, since mode('overwrite') would delete an
+    in-dir lease mid-build)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    ivf = str(tmp_path / "ivf")
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, ivf, owner="other")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        sim.build_ivf_index(emb, ivf)
+    mfs.break_writer_lease(mfs.LOCAL_FS, ivf)
+    sim.build_ivf_index(emb, ivf)  # ok once free
+
+    pq = str(tmp_path / "pq")
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, pq, owner="other")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        clustering.pq_build_index(emb, pq, m=4, k=4, max_iters=1)
+    mfs.break_writer_lease(mfs.LOCAL_FS, pq)
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(20)))], "doc_id long, text string"
+    )
+    sig = str(tmp_path / "sigs")
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, sig + ".lock", owner="other")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        dd.write_signature_table(docs, sig)
+    with pytest.raises(mfs.ConcurrentWriterError):
+        dd.write_signature_table_portable(docs, sig)
+    mfs.break_writer_lease(mfs.LOCAL_FS, sig + ".lock")
+    dd.write_signature_table(docs, sig)  # ok once free; lease released after
+    assert not os.path.exists(os.path.join(sig + ".lock", mfs.LEASE_NAME))
+
+
 def test_pq_append_refuses_concurrent_writer(spark, sf_dir, tmp_path):
     emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
     path = str(tmp_path / "pq")
