@@ -605,6 +605,38 @@ def x3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x3_kmeans_df_clusters", oracle_vec.kmeans_summary_sql(k=8, iters=5))
+def x3_kmeans_df_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3d via the DATAFRAME-RESIDENT Lloyd variant (clustering.kmeans_df,
+    NEW r6): centroids stay a (cluster, centroid) DataFrame end-to-end —
+    broadcast-join assignment, Summarizer-aggregate update, no driver-held
+    state — the strategy for k x dim beyond the literal form's ~10^8-float
+    bound. Checked against the SAME unrolled-Lloyd DuckDB oracle as
+    x3_kmeans_clusters: both training strategies must land on identical
+    centroids (round_decimals=6, HALF_EVEN both sides) and identical
+    per-cluster summaries."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    _, cents_df = clustering.kmeans_df(emb, k=8, max_iters=5, round_decimals=6)
+    n_part = spark.sparkContext.defaultParallelism
+    assigned = clustering.assign_clusters_join(
+        emb.repartition(n_part).select("vec_id", "embedding"),
+        "embedding",
+        cents_df,
+        "vec_id",
+        with_distance=True,
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # One materialized PQ index per (session, sf_dir): (path, codebooks, query
 # vector). The build — k-means codebook training on a 20% stable sample +
 # the full-corpus map-side encode — is the OFFLINE ingest-time cost a
