@@ -33,10 +33,12 @@ from tesla_competitive_intelligence_etl_pipeline_spark.plans import DRIVER_WINDO
 ENTRIES = DRIVER_WINDOW + [
     "x2_cluster_dedup",
     "x2_cluster_dedup_portable",
+    "x2_cluster_dedup_star_portable",
     "x2_semantic_dedup",
     "x2_cross_corpus_indexed",
     "x2_cross_corpus_indexed_portable",
     "x2_minhash_lsh_portable",
+    "x3_kmeans_df_clusters",
     "x9_stream_tumbling",
 ]
 
