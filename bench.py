@@ -96,6 +96,10 @@ def main() -> None:
 
     registry_corpus._ensure_pq_index(spark, sf_dir)
     registry_ext._ensure_sig_table(spark, sf_dir)
+    # ... and its md5-portable twin (VERDICT r6 item 2): without this,
+    # x2_cross_corpus_indexed_portable is charged the one-time offline table
+    # build (~5 s) that its xxhash64 twin and the PQ index are NOT charged.
+    registry_ext._ensure_sig_table_portable(spark, sf_dir)
     spark.catalog.clearCache()
 
     def run(name: str) -> float:
@@ -136,9 +140,22 @@ def main() -> None:
     timings: dict[str, float] = {
         name: sorted(p[name] for p in headline_passes)[1] for name in HEADLINE
     }
+    # Sweep de-noising (VERDICT r6 item 3): entries whose first pass exceeds
+    # 1 s get two more passes and report the median — r5→r6 diffs showed a
+    # dozen phantom 1.4-1.7x "regressions" on 0.3-0.8 s entries that were
+    # pure box jitter. Sub-second entries stay single-pass (tripling 180
+    # queries would double the sweep wall-clock for signal the recorded
+    # noise band already conveys).
+    sweep_passes: dict[str, int] = {}
     for name in queries:
         if name not in timings:
-            timings[name] = run(name)
+            t1 = run(name)
+            if t1 > 1.0:
+                timings[name] = sorted([t1, run(name), run(name)])[1]
+                sweep_passes[name] = 3
+            else:
+                timings[name] = t1
+                sweep_passes[name] = 1
 
     load_after = round(os.getloadavg()[0], 2)
 
@@ -152,6 +169,14 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "headline_protocol": "median_of_3",
+        # sweep protocol (r6 item 3): headline entries are median-of-3 by the
+        # block above; remaining entries are median-of-3 when the first pass
+        # ran > 1 s, else single-pass. single_pass entries carry the box's
+        # documented ~25% run-to-run noise band — a <1.4x move on one is not
+        # a regression signal.
+        "sweep_protocol": "median_of_3_over_1s",
+        "sweep_single_pass_noise_band_pct": 25,
+        "sweep_passes": sweep_passes,
         "headline_pass_totals": [
             round(sum(p.values()), 3) for p in headline_passes
         ],
@@ -172,6 +197,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": {n: timings[n] for n in HEADLINE},
                 "headline_protocol": "median_of_3",
+                "sweep_protocol": "median_of_3_over_1s",
                 "headline_pass_totals": [
                     round(sum(p.values()), 3) for p in headline_passes
                 ],

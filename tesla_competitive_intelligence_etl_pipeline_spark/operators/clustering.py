@@ -278,10 +278,17 @@ def kmeans_df(
 
     Semantics mirror ``kmeans`` exactly — same stable-md5 seeding order,
     same ties-to-lowest-cluster argmin, same empty-cluster and early-stop
-    rules; ``round_decimals`` uses HALF_EVEN (F.bround), the same rounding
-    Python's round() applies driver-side — so with round_decimals set the
-    two variants produce IDENTICAL centroids and assignments (pinned in
-    tests). Per-iteration centroid lineage is truncated (localCheckpoint;
+    rules; ``round_decimals`` uses HALF_EVEN (F.bround) where the literal
+    form uses Python round() — both HALF_EVEN, but on different operands
+    (ADVICE r6): round() acts on the exact binary double, F.bround on the
+    shortest decimal repr (Java BigDecimal.valueOf). They agree except when
+    a centroid component's shortest repr is an EXACT tie at the target
+    scale (e.g. 2.675 at 2 decimals — repr-tie rounds to 2.68, the binary
+    value 2.67499...982 to 2.67). A mean of summed doubles landing on a
+    shortest-repr tie at 6 decimals is a measure-zero event the pinned-data
+    tests would catch deterministically if the fixtures ever produced one;
+    on any tie-free input the two variants produce IDENTICAL centroids and
+    assignments (pinned in tests). Per-iteration centroid lineage is truncated (localCheckpoint;
     ``reliable=True`` for decommissioning-prone clusters, as in
     operators/dedup). Returns (assignments df, (cluster, centroid) df)."""
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -498,8 +505,11 @@ def pq_build_index(
     dim*4/m-compressed searchable table) plus ``path``/codebooks (one row,
     m x k x sub_dim doubles). Online search then never touches the float
     vectors or retrains anything. The overwrite holds the index writer
-    lease (r6) so a rebuild cannot interleave with a live append. Returns
-    the codebooks."""
+    lease (r6) so a rebuild cannot interleave with a live append; training
+    runs BEFORE the lease (no table state is read or written), so the held
+    window is only the two writes — and a background heartbeat (r6 item 6)
+    re-stamps the lease during the O(corpus) encode write, the one step
+    that can outlive a conservative TTL at 100 TB. Returns the codebooks."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
@@ -510,12 +520,13 @@ def pq_build_index(
     )
     token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
     try:
-        pq_encode(df, books, vec_col=vec_col).select(
-            F.col(id_col), "pq_code"
-        ).write.mode("overwrite").parquet(path + "/codes")
-        df.sparkSession.createDataFrame(
-            [(books,)], "codebooks array<array<array<double>>>"
-        ).write.mode("overwrite").parquet(path + "/codebooks")
+        with mfs.lease_heartbeat(fs, path, token):
+            pq_encode(df, books, vec_col=vec_col).select(
+                F.col(id_col), "pq_code"
+            ).write.mode("overwrite").parquet(path + "/codes")
+            df.sparkSession.createDataFrame(
+                [(books,)], "codebooks array<array<array<double>>>"
+            ).write.mode("overwrite").parquet(path + "/codebooks")
     finally:
         mfs.release_writer_lease(fs, path, token)
     return books
@@ -557,17 +568,24 @@ def pq_index_append(
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
-    if codebooks is None:
-        codebooks = pq_load_codebooks(spark, path)
     obs = Observation()
-    # single-writer contract enforced on the index root (r5 item 7)
+    # single-writer contract enforced on the index root (r5 item 7). The
+    # stored codebooks are read INSIDE the leased section (ADVICE r6, same
+    # race as ivf_index_append): a re-train completing between an unleased
+    # read and the write would encode the batch against the old quantizer —
+    # codes unreadable by searches using the new codebooks. A caller-passed
+    # `codebooks` skips the read and with it this protection (caller owns
+    # the generation pin in that case).
     token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
     try:
-        tag, staging = index_commit.new_staging(path + "/codes")
-        pq_encode(new_vectors, codebooks, vec_col=vec_col).select(
-            F.col(id_col), "pq_code"
-        ).observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(staging)
-        index_commit.commit_staged_append(fs, path + "/codes", tag)
+        with mfs.lease_heartbeat(fs, path, token):
+            if codebooks is None:
+                codebooks = pq_load_codebooks(spark, path)
+            tag, staging = index_commit.new_staging(path + "/codes")
+            pq_encode(new_vectors, codebooks, vec_col=vec_col).select(
+                F.col(id_col), "pq_code"
+            ).observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(staging)
+            index_commit.commit_staged_append(fs, path + "/codes", tag)
     finally:
         mfs.release_writer_lease(fs, path, token)
     return int(obs.get["n"])

@@ -1386,6 +1386,74 @@ def minhash_lsh_pairs_portable(
     )
 
 
+def cross_corpus_neardup_portable(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    reliable: bool = False,
+) -> DataFrame:
+    """Unindexed cross-corpus near-dedup over the PORTABLE md5 hash family —
+    the md5 twin of cross_corpus_neardup (VERDICT r6 item 7), same plan
+    shape: tagged union, per-side portable signatures, band join kept to
+    CROSS-side pairs only (the within-side quadratic pair sets are never
+    materialized), exact-Jaccard verify on candidates. Returns
+    (doc_id, match_id, jaccard) — one row per new doc x matched existing doc
+    above threshold. Because every hash is DuckDB-reproducible the whole
+    path is hash-checkable end-to-end; production corpora keep the xxhash64
+    twin. Both twins verify candidates with exact Jaccard, so neither
+    reports a false pair — they differ only in which candidates the random
+    family proposes."""
+    tagged = new_docs.select(
+        F.lit(1).alias("__side"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    ).unionByName(
+        existing_docs.select(
+            F.lit(0).alias("__side"),
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+    )
+    n_part = tagged.sparkSession.sparkContext.defaultParallelism
+    sigs = _truncate_lineage(
+        tagged.repartition(n_part)
+        .select(
+            "__side",
+            "doc_id",
+            portable_hashed_shingles(F.col("text")).alias("sh"),
+        )
+        .withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes)),
+        reliable,
+    )
+    banded = _band_explode_portable(sigs, num_hashes, bands, "__side")
+    new_side = banded.filter(F.col("__side") == 1).select("doc_id", "band", "bucket")
+    old_side = banded.filter(F.col("__side") == 0).select(
+        F.col("doc_id").alias("match_id"), "band", "bucket"
+    )
+    candidates = (
+        new_side.join(old_side, ["band", "bucket"])  # cross-side ONLY
+        .select("doc_id", "match_id")
+        .distinct()
+    )
+    sh_new = sigs.filter(F.col("__side") == 1).select(
+        "doc_id", F.col("sh").alias("sh_a")
+    )
+    sh_old = sigs.filter(F.col("__side") == 0).select(
+        F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b")
+    )
+    return (
+        candidates.join(sh_new, "doc_id")
+        .join(sh_old, "match_id")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard")
+    )
+
+
 def simhash60_portable(text_col: Column) -> Column:
     """60-bit SimHash over md5-derived token hashes — the engine-portable
     twin of simhash64 (same one-pass sign-count accumulator). 60 bits keep

@@ -28,6 +28,8 @@ bound.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -206,6 +208,7 @@ def build_ivf_index(
     cell_col: str = "label",
     fs=None,
     lease_owner: str | None = None,
+    lease_ttl_sec: float = 3600.0,
 ) -> None:
     """Materialize the IVF index: vectors written PARTITIONED BY cell (so a
     probe reads only the probed cells' files — real partition pruning, not a
@@ -213,18 +216,22 @@ def build_ivf_index(
     one-time index build a 100 TB ANN deployment amortizes. Holds the index
     writer lease (r6): a build overwriting while an append/compaction runs
     (or vice versa) would interleave two writers' files — now a loud
-    ConcurrentWriterError instead."""
+    ConcurrentWriterError instead. A background heartbeat (r6 item 6)
+    re-stamps the lease while the corpus write runs, so a build longer than
+    ``lease_ttl_sec`` is not TTL-reclaimed mid-write — size the TTL to the
+    heartbeat interval (ttl/3), not to the whole build."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
-    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner, ttl_sec=lease_ttl_sec)
     try:
-        embeddings.write.mode("overwrite").partitionBy(cell_col).parquet(
-            path + "/vectors"
-        )
-        _cell_centroids(embeddings, vec_col, cell_col).write.mode("overwrite").parquet(
-            path + "/centroids"
-        )
+        with mfs.lease_heartbeat(fs, path, token, ttl_sec=lease_ttl_sec):
+            embeddings.write.mode("overwrite").partitionBy(cell_col).parquet(
+                path + "/vectors"
+            )
+            _cell_centroids(
+                embeddings, vec_col, cell_col
+            ).write.mode("overwrite").parquet(path + "/centroids")
     finally:
         mfs.release_writer_lease(fs, path, token)
 
@@ -306,30 +313,47 @@ def ivf_index_append(
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
-    cents_rows = spark.read.parquet(path + "/centroids").orderBy(cell_col).collect()
-    cells = [r[cell_col] for r in cents_rows]
-    cents = [[float(v) for v in r["centroid"]] for r in cents_rows]
-
-    # argmax cosine over ONE 2-D centroid literal (constant-size plan —
-    # same form as clustering.assign_clusters' argmin)
-    vec = F.col(vec_col).cast("array<double>")
-    pairs = F.transform(
-        F.lit(cents),
-        lambda c, j: F.struct(F.round(cosine(vec, c), 9).alias("s"), j.alias("j")),
-    )
-    obs = Observation()
-    assigned = new_vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.get(F.lit(cells), F.array_max(pairs).getField("j")).alias(cell_col),
-    ).observe(obs, F.count(F.lit(1)).alias("n"))
     # single-writer contract enforced: appends, compaction and recovery on
-    # this index serialize on the index root's writer lease (r5 item 7)
+    # this index serialize on the index root's writer lease (r5 item 7).
+    # The centroid read happens INSIDE the leased section (ADVICE r6): a
+    # rebuild completing between an unleased read and the write would have
+    # the append assign against stale centroids and land rows in cell
+    # partitions absent from the new centroid table — silently unreachable
+    # to probes. Under the lease, assignment and write see one index
+    # generation.
     token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
     try:
-        tag, staging = index_commit.new_staging(path + "/vectors")
-        assigned.write.partitionBy(cell_col).parquet(staging)
-        index_commit.commit_staged_append(fs, path + "/vectors", tag)
+        with contextlib.ExitStack() as stack:
+            # heartbeat (r6 item 6): the batch write can be long at scale
+            stack.enter_context(mfs.lease_heartbeat(fs, path, token))
+            cents_rows = (
+                spark.read.parquet(path + "/centroids")
+                .orderBy(cell_col)
+                .collect()
+            )
+            cells = [r[cell_col] for r in cents_rows]
+            cents = [[float(v) for v in r["centroid"]] for r in cents_rows]
+
+            # argmax cosine over ONE 2-D centroid literal (constant-size
+            # plan — same form as clustering.assign_clusters' argmin)
+            vec = F.col(vec_col).cast("array<double>")
+            pairs = F.transform(
+                F.lit(cents),
+                lambda c, j: F.struct(
+                    F.round(cosine(vec, c), 9).alias("s"), j.alias("j")
+                ),
+            )
+            obs = Observation()
+            assigned = new_vectors.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.get(F.lit(cells), F.array_max(pairs).getField("j")).alias(
+                    cell_col
+                ),
+            ).observe(obs, F.count(F.lit(1)).alias("n"))
+            tag, staging = index_commit.new_staging(path + "/vectors")
+            assigned.write.partitionBy(cell_col).parquet(staging)
+            index_commit.commit_staged_append(fs, path + "/vectors", tag)
     finally:
         mfs.release_writer_lease(fs, path, token)
     return int(obs.get["n"])

@@ -368,6 +368,21 @@ j AS (
 SELECT doc_id, match_id, jaccard FROM j WHERE jaccard >= {threshold!r}"""
 
 
+def cross_corpus_lsh_portable_sql(
+    threshold: float = 0.5, num_hashes: int = 32, bands: int = 8
+) -> str:
+    """Oracle for x2_cross_corpus_lsh_portable (VERDICT r6 item 7): the
+    UNINDEXED portable cross-corpus path. Identical SQL to
+    cross_corpus_indexed_portable_sql by construction — whether the
+    existing side's signatures are recomputed from text (unindexed) or read
+    from the materialized table (indexed), the portable hash family yields
+    the same signatures, bands, candidates, and verdicts; the oracle always
+    derives both sides from text. A divergence between the two registry
+    entries' hashes would therefore indict the signature TABLE or the
+    band-join plan, never the oracle."""
+    return cross_corpus_indexed_portable_sql(threshold, num_hashes, bands)
+
+
 def minhash_cluster_portable_sql(
     threshold: float = 0.5, num_hashes: int = 32, bands: int = 8
 ) -> str:

@@ -346,6 +346,28 @@ def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cross_corpus_neardup(new, old, threshold=0.5, max_bucket_size=256)
 
 
+@register(
+    "x2_cross_corpus_lsh_portable",
+    oracle_vec.cross_corpus_lsh_portable_sql(threshold=0.5),
+)
+def x2_cross_corpus_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2g hash-checked, UNINDEXED (VERDICT r6 item 7): the same one-shot
+    cross-corpus LSH dedup as x2_cross_corpus_lsh — tagged union, cross-side
+    band join, exact-Jaccard verify — over the engine-portable md5 family,
+    so DuckDB re-derives the full pair list. This gives the unindexed
+    crawl-vs-corpus path its own end-to-end rows+schema+hash gate (its
+    xxhash64 twin stays rows-only; the indexed steady-state path got its
+    gate in r6). Same sources as the twin: existing = doc_id < 100,
+    increment = first 50 docs re-crawled with shifted ids + ' zz'."""
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return dd.cross_corpus_neardup_portable(new, old, threshold=0.5)
+
+
 @register("x2_simhash", None)  # signature bits depend on xxhash64 -> rows-only
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2c: SimHash(64-bit) near-dup pairs, hamming <= 8, band-pruned."""
@@ -650,16 +672,26 @@ def x6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsd=0.02 HLL (2.5 sigma); ±1.0 absolute for the accuracy-10000
     percentile sketches (rank error <= n/10000 rows on an integer-valued
     quantity). Raw estimate magnitudes stay covered by the error-bound
-    tests in tests/test_ext.py."""
+    tests in tests/test_ext.py.
+
+    PLAN SHAPE (VERDICT r6 item 1): the sketch side and the exact side run
+    as SEPARATE 1-row aggregations cross-joined at the end. Putting
+    count_distinct into the same agg() as the sketches forces Spark's
+    Expand-based distinct plan and the sketch aggregates then process the
+    expanded (N x groups) input — measured 15.35 s combined vs
+    0.66 s + 1.02 s split at sf 0.1. The cross join is 1 row x 1 row."""
     li = src.load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    sketches = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
-        F.count_distinct("l_partkey").alias("n_parts"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("a_p50"),
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
         F.percentile_approx("l_quantity", 0.9, 10000).alias("a_p90"),
+    )
+    exact = li.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("qty_p90"),
     )
+    agg = sketches.crossJoin(exact)
     return agg.select(
         "n_parts",
         (

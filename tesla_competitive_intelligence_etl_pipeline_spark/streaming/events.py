@@ -386,7 +386,11 @@ def merge_micro_batch(
         fs, target, owner=lease_owner, ttl_sec=lease_ttl_sec
     )
     try:
-        _merge_locked(latest, target, touched, fs)
+        # heartbeat (VERDICT r6 item 6): a wide-batch merge rewriting many
+        # buckets can outlive a conservative TTL; the background re-stamp
+        # keeps the lease live for the whole read-merge-commit body.
+        with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
+            _merge_locked(latest, target, touched, fs)
     finally:
         merge_fs.release_writer_lease(fs, target, token)
 

@@ -32,9 +32,11 @@ upsert at /root/reference/load.py:128-154.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -247,6 +249,20 @@ def acquire_writer_lease(
     token protocol: a paused-then-resumed writer whose lease expired mid-run
     is out of scope (same caveat every TTL lease carries).
 
+    HEARTBEAT-vs-RECLAIM race (ADVICE r6): the reentrant same-owner refresh
+    is a non-conditional put_atomic after a plain read. If this writer's
+    lease EXPIRED and another writer reclaimed it between that read and the
+    put, the refresh stomps the new holder's record — the same inherent
+    read-then-write window as reclaim itself, and unavoidable without a
+    compare-and-swap primitive in the backing store (local rename and plain
+    S3 PUT have none; a store with conditional-replace-on-etag could close
+    it). The operational rule is therefore the one above, applied to the
+    HEARTBEAT INTERVAL: a heartbeating long job (compact_ivf_index
+    re-stamps per cell) must use a TTL comfortably above its longest
+    between-heartbeat gap — one cell rewrite — so the refresh always runs
+    against a still-live lease, where stomping is refreshing one's own
+    record and the race is vacuous.
+
     Returns the owner token to pass to release_writer_lease."""
     now = time.time() if _now is None else _now
     owner = owner or uuid.uuid4().hex
@@ -310,3 +326,62 @@ def break_writer_lease(fs: MergeFS, table_dir: str) -> None:
     holding writer is dead (e.g. its cluster job is gone). The crash-restart
     analog of waiting out the TTL."""
     fs.rmtree(os.path.join(table_dir, LEASE_NAME))
+
+
+@contextlib.contextmanager
+def lease_heartbeat(
+    fs: MergeFS,
+    table_dir: str,
+    owner: str,
+    ttl_sec: float = 3600.0,
+    interval_sec: float | None = None,
+):
+    """Keep ``owner``'s lease on ``table_dir`` alive while the body runs
+    (VERDICT r6 item 6): a daemon thread re-stamps the lease record every
+    ``interval_sec`` (default ttl/3) so a maintenance job whose single
+    longest step — a full-corpus encode write, a big merge commit — outlives
+    a conservative TTL is not reclaimed mid-run. This covers the case the
+    per-step reentrant re-acquire (compact_ivf_index's per-cell stamp)
+    cannot: one long step with no between-step point to refresh from.
+
+    interval << ttl keeps the refresh on the safe side of the
+    heartbeat-vs-reclaim race documented in acquire_writer_lease: every
+    re-stamp happens against a still-live lease this owner holds, where the
+    non-conditional put can only overwrite our own record. If the refresh
+    ever finds the lease held by ANOTHER owner (we were paused long past the
+    TTL and reclaimed — the documented out-of-scope failure for TTL leases),
+    the thread stops beating rather than stomp the new holder.
+
+    Usage: acquire the lease first, then wrap the long body::
+
+        token = acquire_writer_lease(fs, path, owner=..., ttl_sec=ttl)
+        try:
+            with lease_heartbeat(fs, path, token, ttl_sec=ttl):
+                ...long writes...
+        finally:
+            release_writer_lease(fs, path, token)
+    """
+    interval = interval_sec if interval_sec is not None else ttl_sec / 3.0
+    stop = threading.Event()
+    path = os.path.join(table_dir, LEASE_NAME)
+
+    def _beat() -> None:
+        while not stop.wait(interval):
+            try:
+                cur = json.loads(fs.read_bytes(path).decode())
+            except (FileNotFoundError, ValueError):
+                continue  # released/being swapped — next tick re-checks
+            if cur.get("owner") != owner:
+                return  # reclaimed by someone else: never stomp theirs
+            record = json.dumps(
+                {"owner": owner, "acquired_unix": time.time(), "ttl_sec": ttl_sec}
+            ).encode()
+            fs.put_atomic(path, record)
+
+    t = threading.Thread(target=_beat, name=f"lease-heartbeat-{owner[:8]}", daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join(timeout=max(5.0, interval * 2))
