@@ -95,6 +95,8 @@ def main() -> None:
     )
 
     registry_corpus._ensure_pq_index(spark, sf_dir)
+    # the combined IVF-PQ index (r7) amortizes the same way
+    registry_corpus._ensure_ivfpq_index(spark, sf_dir)
     registry_ext._ensure_sig_table(spark, sf_dir)
     # ... and its md5-portable twin (VERDICT r6 item 2): without this,
     # x2_cross_corpus_indexed_portable is charged the one-time offline table

@@ -658,3 +658,208 @@ def pq_topk(
         .orderBy(F.col("approx_sq_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell probe + product-quantized shortlist + exact refine
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    m: int = 4,
+    k: int = 16,
+    max_iters: int = 5,
+    train_fraction: float | None = None,
+    round_decimals: int | None = None,
+    fs=None,
+    lease_owner: str | None = None,
+    lease_ttl_sec: float = 3600.0,
+) -> list[list[list[float]]]:
+    """Materialize the combined IVF-PQ index — the production ANN layout
+    (FAISS's IVFPQ + refine, re-expressed as Spark tables): PQ codebooks
+    trained once (optionally on a stable md5-bucket sample), then FOUR
+    tables under ``path``:
+
+      vectors/    float vectors PARTITIONED BY cell (read only by the final
+                  exact-refine step, and only the probed cells' partitions)
+      codes/      (id, pq_code) PARTITIONED BY cell — the dim*4/m-compressed
+                  shortlist table the ADC scan reads
+      centroids/  one row per cell (the coarse quantizer, tiny)
+      codebooks/  one row (m x k x sub_dim doubles)
+
+    A search touches n_probe/n_cells of codes/ via parquet partition
+    pruning, ranks those rows with m literal-table lookups each, and reads
+    float vectors for only the k*refine-row shortlist — at 100 TB the heavy
+    scan is the compressed codes of the probed cells, never the corpus.
+
+    Holds the index writer lease with a background heartbeat for the
+    duration of the writes (training runs before the lease — it reads no
+    table state), like build_ivf_index / pq_build_index."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+        _cell_centroids,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    books = pq_train(
+        df, vec_col=vec_col, id_col=id_col, m=m, k=k,
+        max_iters=max_iters, train_fraction=train_fraction,
+        round_decimals=round_decimals,
+    )
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner, ttl_sec=lease_ttl_sec)
+    try:
+        with mfs.lease_heartbeat(fs, path, token, ttl_sec=lease_ttl_sec):
+            df.write.mode("overwrite").partitionBy(cell_col).parquet(
+                path + "/vectors"
+            )
+            pq_encode(df, books, vec_col=vec_col).select(
+                F.col(id_col), F.col(cell_col), "pq_code"
+            ).write.mode("overwrite").partitionBy(cell_col).parquet(path + "/codes")
+            _cell_centroids(df, vec_col, cell_col).write.mode(
+                "overwrite"
+            ).parquet(path + "/centroids")
+            df.sparkSession.createDataFrame(
+                [(books,)], "codebooks array<array<array<double>>>"
+            ).write.mode("overwrite").parquet(path + "/codebooks")
+    finally:
+        mfs.release_writer_lease(fs, path, token)
+    return books
+
+
+def _ivfpq_search(
+    centroids: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int,
+    n_probe: int,
+    refine: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Shared IVF-PQ search core: probe the n_probe cells whose centroid is
+    nearest the query (an n_probe-row collect — the standard IVF probe),
+    ADC-rank ONLY those cells' PQ codes into a k*refine shortlist, then
+    exact-cosine re-rank the shortlist against the float vectors (broadcast
+    semi of the tiny shortlist into the probed partitions). Deterministic
+    end-to-end: every score is rounded to 6 decimals with id tiebreaks, so
+    the probe set, the shortlist SET, and the final order are all
+    engine-portable (the DuckDB oracle re-derives each stage)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+        cosine,
+    )
+
+    qlit = F.lit([float(v) for v in query_vec])
+    probed_rows = (
+        centroids.select(
+            cell_col, F.round(cosine(F.col("centroid"), qlit), 6).alias("c_sim")
+        )
+        .orderBy(F.desc("c_sim"), F.asc(cell_col))
+        .limit(n_probe)
+        .collect()
+    )
+    cells = [r[cell_col] for r in probed_rows]
+    shortlist = pq_topk(
+        codes.filter(F.col(cell_col).isin(cells)),
+        codebooks,
+        [float(v) for v in query_vec],
+        k=k * refine,
+        id_col=id_col,
+    )
+    return (
+        vectors.filter(F.col(cell_col).isin(cells))
+        .join(F.broadcast(shortlist.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ search over a MATERIALIZED index (build_ivfpq_index) — the
+    online path. The probed-cell filter lands in the codes AND vectors
+    scans' PartitionFilters (asserted in tests/test_plans.py), the ADC scan
+    reads only (id, cell, pq_code), and the refine step reads float vectors
+    for just the broadcast k*refine shortlist. Returns (id, cos_sim)
+    descending with a total (cos_sim, id) order."""
+    if codebooks is None:
+        codebooks = pq_load_codebooks(spark, path)
+    return _ivfpq_search(
+        spark.read.parquet(path + "/centroids"),
+        spark.read.parquet(path + "/codes"),
+        spark.read.parquet(path + "/vectors"),
+        codebooks,
+        query_vec,
+        k, n_probe, refine, id_col, vec_col, cell_col,
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    refine: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    max_iters: int = 5,
+    train_fraction: float | None = None,
+    round_decimals: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Ad-hoc IVF-PQ search straight off a DataFrame (no materialized
+    index): train-or-take codebooks, derive the coarse centroids, encode and
+    ADC-rank only the probed cells (the cell filter pushes below the
+    map-side encode projection), exact-refine the shortlist. Same
+    parameters and identical results to build_ivfpq_index +
+    ivfpq_topk_indexed (pinned in tests) — use the indexed pair when the
+    corpus outlives one query."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+        _cell_centroids,
+    )
+
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, vec_col=vec_col, id_col=id_col, m=m, k=k_codes,
+            max_iters=max_iters, train_fraction=train_fraction,
+            round_decimals=round_decimals,
+        )
+    query_vec = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_id).first()[vec_col]
+    ]
+    codes = pq_encode(embeddings, codebooks, vec_col=vec_col).select(
+        F.col(id_col), F.col(cell_col), "pq_code"
+    )
+    return _ivfpq_search(
+        _cell_centroids(embeddings, vec_col, cell_col),
+        codes,
+        embeddings,
+        codebooks,
+        query_vec,
+        k, n_probe, refine, id_col, vec_col, cell_col,
+    )

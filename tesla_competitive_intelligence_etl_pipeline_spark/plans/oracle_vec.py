@@ -646,3 +646,114 @@ SELECT e.vec_id, {_cosine("e.embedding", "q.qv", 64)} AS cos_sim
 FROM embeddings e JOIN probed USING (label), q
 WHERE e.vec_id <> 0
 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {topk}"""
+
+
+def ivfpq_topk_sql(
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    train_fraction: float = 0.2,
+    sub_dim: int = 16,
+    tol: float = 1e-6,
+    rd: int = 6,
+    topk: int = 10,
+    n_probe: int = 2,
+    refine: int = 4,
+) -> str:
+    """Oracle for x3_ivfpq_topk: the combined IVF-PQ + exact-refine search
+    re-derived end-to-end in SQL — the per-cell decimal-exact mean
+    centroids and the cosine probe (from ivf_topk_sql), the stable-sample
+    per-subspace unrolled-Lloyd codebooks and nearest-codeword encoding
+    (from pq_topk_sql, but encoding only the probed cells' vectors — the
+    same rows the engine's partition-pruned ADC scan reads), the rounded
+    asymmetric-distance k*refine shortlist with id tiebreaks, and the exact
+    cosine re-rank of the shortlist. A regression in the probe, the
+    training, the encoding, the shortlist boundary, or the refine join all
+    surface as a hash mismatch. Query = vec_id 0's embedding."""
+    cutoff = int(round(train_fraction * 10_000))
+    parts = [
+        "WITH ",
+        _EXP,
+        f""",
+samp AS (
+  SELECT vec_id FROM embeddings
+  WHERE {_BUCKET.format(key="vec_id", n=10_000)} < {cutoff}
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+cent AS (
+  SELECT l.label, e.pos,
+         CAST(SUM(CAST(e.val AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*) AS c
+  FROM exp e JOIN lab l USING (vec_id)
+  GROUP BY l.label, e.pos
+),
+qe AS (SELECT pos, val FROM exp WHERE vec_id = 0),
+csim AS (
+  SELECT cent.label,
+         ROUND(SUM(qe.val * cent.c)
+               / (sqrt(SUM(cent.c * cent.c)) * sqrt(SUM(qe.val * qe.val))), 6)
+           AS c_sim
+  FROM cent JOIN qe USING (pos)
+  GROUP BY cent.label
+),
+probed AS (SELECT label FROM csim ORDER BY c_sim DESC, label ASC LIMIT {n_probe}),
+cand AS (SELECT vec_id FROM lab JOIN probed USING (label))""",
+    ]
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f""",
+tr{s} AS (
+  SELECT e.vec_id, e.pos - {s * sub_dim} AS pos, e.val
+  FROM exp e JOIN samp USING (vec_id)
+  WHERE e.pos BETWEEN {lo} AND {hi}
+),
+fu{s} AS (
+  SELECT vec_id, pos - {s * sub_dim} AS pos, val
+  FROM exp WHERE pos BETWEEN {lo} AND {hi}
+),"""
+        )
+        parts.append(
+            _kmeans_ctes(f"s{s}_", f"tr{s}", "samp", k_codes, iters, tol, rd)
+        )
+        parts.append(
+            f""",
+enc{s} AS (
+  SELECT vec_id, cluster AS code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+  FROM (
+    SELECT e.vec_id, c.cluster, SUM((e.val - c.c) * (e.val - c.c)) AS d
+    FROM fu{s} e JOIN cand USING (vec_id) JOIN s{s}_c{iters} c USING (pos)
+    GROUP BY e.vec_id, c.cluster)
+),
+tq{s} AS (
+  SELECT c.cluster AS code, SUM((q.val - c.c) * (q.val - c.c)) AS d
+  FROM (SELECT pos, val FROM fu{s} WHERE vec_id = 0) q
+  JOIN s{s}_c{iters} c USING (pos)
+  GROUP BY c.cluster
+)"""
+        )
+    dist = " + ".join(f"t{s}.d" for s in range(m))
+    joins = "\n".join(
+        f"JOIN (SELECT vec_id, code FROM enc{s} WHERE rn = 1) e{s} "
+        f"ON e0.vec_id = e{s}.vec_id"
+        for s in range(1, m)
+    )
+    tjoins = "\n".join(f"JOIN tq{s} t{s} ON t{s}.code = e{s}.code" for s in range(m))
+    parts.append(
+        f""",
+adc AS (
+  SELECT e0.vec_id, ROUND({dist}, {rd}) AS approx_sq_dist
+  FROM (SELECT vec_id, code FROM enc0 WHERE rn = 1) e0
+  {joins}
+  {tjoins}
+),
+short AS (
+  SELECT vec_id FROM adc
+  ORDER BY approx_sq_dist ASC, vec_id ASC LIMIT {topk * refine}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_cosine("e.embedding", "q.qv", 64)} AS cos_sim
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {topk}"""
+    )
+    return "".join(parts)

@@ -692,6 +692,62 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.pq_topk_indexed(spark, path, query, k=10, codebooks=books)
 
 
+# One materialized IVF-PQ index per (session, sf_dir) — the combined layout
+# (vectors + codes partitioned by cell, centroids, codebooks). Offline build
+# cached like the PQ index; bench.py warms it in the untimed section.
+_IVFPQ_INDEX: dict[str, tuple[str, list, list]] = {}
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, list]:
+    if sf_dir not in _IVFPQ_INDEX:
+        import tempfile
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+        path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        n_part = spark.sparkContext.defaultParallelism
+        emb = src.load_table(spark, sf_dir, "embeddings").repartition(n_part).persist()
+        try:
+            books = clustering.build_ivfpq_index(
+                emb, path, m=4, k=16, max_iters=2, train_fraction=0.2,
+                round_decimals=6,
+            )
+            query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        finally:
+            emb.unpersist()
+        _IVFPQ_INDEX[sf_dir] = (path, books, query)
+    return _IVFPQ_INDEX[sf_dir]
+
+
+@register(
+    "x3_ivfpq_topk",
+    oracle_vec.ivfpq_topk_sql(
+        m=4, k_codes=16, iters=2, train_fraction=0.2, n_probe=2, refine=4
+    ),
+)
+def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 combined scale path (NEW r7): IVF-PQ with exact refine — the
+    production ANN composition (FAISS IVFPQ+refine re-expressed as Spark
+    tables). Online search over the MATERIALIZED index
+    (_ensure_ivfpq_index): probe the 2 nearest cells via the tiny centroid
+    table, ADC-rank ONLY those cells' PQ codes (parquet partition pruning —
+    the scan reads n_probe/n_cells of the compressed codes table, never the
+    float corpus), shortlist the rounded top-40 with id tiebreaks, then
+    exact-cosine re-rank the broadcast shortlist against the probed cells'
+    float vectors. Hash-checked end-to-end: DuckDB independently re-derives
+    the decimal-exact cell centroids, the probe, the stable-sample
+    per-subspace codebooks (unrolled Lloyd), the candidate encoding, the
+    shortlist boundary, AND the refine order (plans/oracle_vec.py
+    ivfpq_topk_sql). Plan shape pinned in tests/test_plans.py; recall floor
+    vs brute force pinned in tests/test_ext.py."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    path, books, query = _ensure_ivfpq_index(spark, sf_dir)
+    return clustering.ivfpq_topk_indexed(
+        spark, path, query, k=10, n_probe=2, refine=4, codebooks=books
+    )
+
+
 # ===========================================================================
 # X-5i: per-document keyword extraction (tf x inverse document frequency)
 # ===========================================================================

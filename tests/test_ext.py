@@ -109,6 +109,41 @@ def test_ivf_topk_scores_match_bruteforce(spark, sf_dir):
         assert abs(brute[r.vec_id] - r.cos_sim) < 1e-9
 
 
+def test_ivfpq_adhoc_matches_indexed_and_scores_exact(spark, sf_dir, tmp_path):
+    """IVF-PQ + refine: the ad-hoc path (train + probe + ADC + refine off a
+    DataFrame) and the materialized-index path must return IDENTICAL
+    results (same codebooks by round_decimals=6 determinism), and every
+    returned score is the TRUE cosine (the refine step re-ranks exactly —
+    PQ only shapes the shortlist, it never invents scores)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    adhoc = clustering.ivfpq_topk(
+        emb, 0, k=10, n_probe=2, refine=4, m=4, k_codes=16,
+        max_iters=2, train_fraction=0.2, round_decimals=6,
+    ).collect()
+    idx = str(tmp_path / "ivfpq")
+    books = clustering.build_ivfpq_index(
+        emb, idx, m=4, k=16, max_iters=2, train_fraction=0.2, round_decimals=6
+    )
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed = clustering.ivfpq_topk_indexed(
+        spark, idx, query, k=10, n_probe=2, refine=4, codebooks=books
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in adhoc] == [
+        (r.vec_id, r.cos_sim) for r in indexed
+    ]
+    brute = {
+        r.vec_id: r.cos_sim for r in sim.topk_neighbors_of(emb, 0, k=500).collect()
+    }
+    hits = 0
+    for r in indexed:
+        if r.vec_id in brute:
+            assert abs(brute[r.vec_id] - r.cos_sim) < 1e-9
+            hits += 1
+    assert hits >= 5  # recall floor vs exact top-500 under 2-cell probing
+
+
 def test_approx_sketches_within_bounds(spark, sf_dir):
     li = src.load_table(spark, sf_dir, "lineitem")
     exact = li.agg(

@@ -39,6 +39,7 @@ ENTRIES = DRIVER_WINDOW + [
     "x2_cross_corpus_indexed_portable",
     "x2_minhash_lsh_portable",
     "x3_kmeans_df_clusters",
+    "x3_ivfpq_topk",
     "x9_stream_tumbling",
 ]
 

@@ -156,6 +156,33 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_ivfpq_probe_prunes_codes_and_vectors(spark, sf_dir, tmp_path):
+    """The combined IVF-PQ index must keep BOTH heavy scans partition-pruned:
+    the probed-cell filter lands in the codes scan's AND the vectors scan's
+    PartitionFilters (the refine step never reads unprobed cells' floats),
+    and the k*refine shortlist joins in as a broadcast — at 100 TB the plan
+    reads n_probe/n_cells of the compressed codes plus a 40-row vector
+    fetch, never the corpus."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    books = clustering.build_ivfpq_index(
+        emb, idx, m=4, k=16, max_iters=2, train_fraction=0.2, round_decimals=6
+    )
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = clustering.ivfpq_topk_indexed(
+        spark, idx, query, k=10, n_probe=2, refine=4, codebooks=books
+    )
+    plan = _plan(out)
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    pruned = [p for p in pfs if "label" in p and ("IN" in p.upper() or "In(" in p)]
+    assert len(pruned) >= 2  # codes scan AND vectors scan
+    assert "BroadcastHashJoin" in plan  # shortlist refine join
+    assert "SortMergeJoin" not in plan
+
+
 def test_clustered_write_produces_tight_file_bands(spark, sf_dir, tmp_path):
     """write_parquet_clustered must put disjoint time bands in separate files
     (range partitioning + in-file sort), the layout that makes row-group
