@@ -863,3 +863,97 @@ def ivfpq_topk(
         query_vec,
         k, n_probe, refine, id_col, vec_col, cell_col,
     )
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    fs=None,
+    lease_owner: str | None = None,
+) -> int:
+    """Incremental maintenance of the COMBINED IVF-PQ index: assign each
+    new vector to its nearest existing cell centroid (max cosine, the
+    probe's metric) and encode it against the STORED codebooks — both
+    quantizers stay frozen (classic deployment; rebuild on the re-index
+    cadence if drift accumulates) — then append to vectors/ AND codes/ as
+    ONE transaction. Cost is O(batch): a map-side assign + encode and two
+    staged writes, never a read of the corpus.
+
+    Crash-safe across BOTH tables: the batch stages in dot-prefixed dirs
+    inside each table and commits through a SINGLE atomic marker at the
+    index root (index_commit.commit_staged_append_multi) — a crash leaves
+    the whole index either exactly pre-append or, after the marker, rolled
+    fully forward by recover_ivfpq_index; readers can never see codes
+    whose vectors are missing (vectors land first) or a torn batch in
+    either table.
+
+    The codes staging is derived by READING BACK the staged vectors — one
+    source of truth, so the codes can never disagree with the vectors that
+    actually landed (a second evaluation of a non-deterministic batch plan
+    could). Centroids and codebooks are read INSIDE the leased section
+    (same generation-pin as ivf_index_append/pq_index_append). Returns the
+    number of rows appended, observed on the vectors write itself."""
+    from pyspark.sql import Observation
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+        cosine,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    obs = Observation()
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    try:
+        with mfs.lease_heartbeat(fs, path, token):
+            codebooks = pq_load_codebooks(spark, path)
+            cents_rows = (
+                spark.read.parquet(path + "/centroids").orderBy(cell_col).collect()
+            )
+            cells = [r[cell_col] for r in cents_rows]
+            cents = [[float(v) for v in r["centroid"]] for r in cents_rows]
+            vec = F.col(vec_col).cast("array<double>")
+            pairs = F.transform(
+                F.lit(cents),
+                lambda c, j: F.struct(
+                    F.round(cosine(vec, c), 9).alias("s"), j.alias("j")
+                ),
+            )
+            assigned = new_vectors.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.get(F.lit(cells), F.array_max(pairs).getField("j")).alias(
+                    cell_col
+                ),
+            ).observe(obs, F.count(F.lit(1)).alias("n"))
+            tag, vec_staging = index_commit.new_staging(path + "/vectors")
+            assigned.write.partitionBy(cell_col).parquet(vec_staging)
+            staged = spark.read.parquet(vec_staging)
+            pq_encode(staged, codebooks, vec_col=vec_col).select(
+                F.col(id_col), F.col(cell_col), "pq_code"
+            ).write.partitionBy(cell_col).parquet(
+                index_commit.staging_path(path + "/codes", tag)
+            )
+            index_commit.commit_staged_append_multi(
+                fs, path, tag, ["vectors", "codes"]
+            )
+    finally:
+        mfs.release_writer_lease(fs, path, token)
+    return int(obs.get["n"])
+
+
+def recover_ivfpq_index(path: str, fs=None) -> dict[str, list[str]]:
+    """Heal a combined IVF-PQ index after a crashed ivfpq_index_append:
+    root-marker appends roll forward across BOTH tables (vectors first);
+    marker-less staging in either table is dropped as pre-commit debris.
+    Idempotent — safe to run any time."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    return index_commit.recover_multi_appends(
+        fs or mfs.LOCAL_FS, path, ["vectors", "codes"]
+    )

@@ -46,6 +46,7 @@ import os
 import uuid
 
 MARKER_PREFIX = ".appendcommit_"
+MULTI_MARKER_PREFIX = ".appendcommit_multi_"
 STAGING_PREFIX = ".append_"
 
 
@@ -55,6 +56,12 @@ def new_staging(table_dir: str) -> tuple[str, str]:
     the live table cannot see it), then calls commit_staged_append."""
     tag = uuid.uuid4().hex[:8]
     return tag, os.path.join(table_dir, STAGING_PREFIX + tag)
+
+
+def staging_path(table_dir: str, tag: str) -> str:
+    """Staging dir for an existing tag — used when one append stages into
+    SEVERAL tables under the same tag (commit_staged_append_multi)."""
+    return os.path.join(table_dir, STAGING_PREFIX + tag)
 
 
 def _staged_files(fs, staging: str) -> list[list[str]]:
@@ -90,7 +97,7 @@ def commit_staged_append(fs, table_dir: str, tag: str) -> int:
     return len(files)
 
 
-def _roll_forward(fs, table_dir: str, tag: str, files: list[list[str]]) -> None:
+def _land_files(fs, table_dir: str, tag: str, files: list[list[str]]) -> None:
     """Land every marked file in the live table, tolerating any prior
     partial progress (see module docstring for the three per-file states)."""
     staging = os.path.join(table_dir, STAGING_PREFIX + tag)
@@ -103,6 +110,10 @@ def _roll_forward(fs, table_dir: str, tag: str, files: list[list[str]]) -> None:
         else:
             fs.rename(src, dst)
     fs.rmtree(staging)
+
+
+def _roll_forward(fs, table_dir: str, tag: str, files: list[list[str]]) -> None:
+    _land_files(fs, table_dir, tag, files)
     fs.rmtree(os.path.join(table_dir, f"{MARKER_PREFIX}{tag}.json"))
 
 
@@ -117,7 +128,12 @@ def recover_appends(fs, table_dir: str) -> dict[str, list[str]]:
     entries = sorted(fs.listdir(table_dir))
     marked: set[str] = set()
     for entry in entries:
-        if entry.startswith(MARKER_PREFIX) and entry.endswith(".json"):
+        # multi markers share the prefix but belong to recover_multi_appends
+        if (
+            entry.startswith(MARKER_PREFIX)
+            and entry.endswith(".json")
+            and not entry.startswith(MULTI_MARKER_PREFIX)
+        ):
             meta = json.loads(
                 fs.read_bytes(os.path.join(table_dir, entry)).decode()
             )
@@ -128,4 +144,72 @@ def recover_appends(fs, table_dir: str) -> dict[str, list[str]]:
         if entry.startswith(STAGING_PREFIX) and entry[len(STAGING_PREFIX):] not in marked:
             fs.rmtree(os.path.join(table_dir, entry))
             out["removed"].append(entry)
+    return out
+
+
+def commit_staged_append_multi(
+    fs, root: str, tag: str, table_rels: list[str]
+) -> int:
+    """Commit one batch staged into SEVERAL tables under ``root`` (each at
+    ``<root>/<rel>/.append_<tag>/``) with a SINGLE atomic marker at the
+    index root — the combined-index (IVF-PQ) append, where vectors and
+    codes must land as one transaction. Before the marker, every table is
+    byte-identical for readers; after it, recovery rolls ALL of them
+    forward.
+
+    Tables land in the LIST ORDER given. Callers order so that tables other
+    stages JOIN AGAINST land first — for IVF-PQ, vectors before codes: a
+    reader between the two lands sees new vectors but only old codes, so
+    its ADC shortlist (and therefore its result) is exactly the pre-append
+    answer; the reverse order could shortlist ids whose vectors the refine
+    join can't find yet, silently wasting shortlist slots. Returns the
+    number of data files landed."""
+    tables = [
+        [rel, _staged_files(fs, staging_path(os.path.join(root, rel), tag))]
+        for rel in table_rels
+    ]
+    marker = os.path.join(root, f"{MULTI_MARKER_PREFIX}{tag}.json")
+    fs.put_atomic(
+        marker, json.dumps({"tag": tag, "tables": tables}).encode()
+    )  # commit point for ALL tables at once
+    for rel, files in tables:
+        _land_files(fs, os.path.join(root, rel), tag, files)
+    fs.rmtree(marker)
+    return sum(len(files) for _, files in tables)
+
+
+def recover_multi_appends(fs, root: str, table_rels: list[str]) -> dict[str, list[str]]:
+    """Heal a combined index after a crashed multi-table append: roll
+    FORWARD every append whose root marker committed (tables in the
+    marker's recorded order), then drop marker-less ``.append_*`` staging
+    inside each listed table as pre-commit debris. Staging whose tag is
+    owned by a SINGLE-table marker in that table dir is left for
+    recover_appends (the two protocols coexist without stealing each
+    other's work). Idempotent; safe any time."""
+    out: dict[str, list[str]] = {"completed": [], "removed": []}
+    if not fs.isdir(root):
+        return out
+    marked: set[str] = set()
+    for entry in sorted(fs.listdir(root)):
+        if entry.startswith(MULTI_MARKER_PREFIX) and entry.endswith(".json"):
+            meta = json.loads(fs.read_bytes(os.path.join(root, entry)).decode())
+            marked.add(meta["tag"])
+            for rel, files in meta["tables"]:
+                _land_files(fs, os.path.join(root, rel), meta["tag"], files)
+            fs.rmtree(os.path.join(root, entry))
+            out["completed"].append(meta["tag"])
+    for rel in table_rels:
+        tdir = os.path.join(root, rel)
+        if not fs.isdir(tdir):
+            continue
+        for entry in sorted(fs.listdir(tdir)):
+            if not entry.startswith(STAGING_PREFIX):
+                continue
+            tag = entry[len(STAGING_PREFIX):]
+            if tag in marked:
+                continue
+            if fs.exists(os.path.join(tdir, f"{MARKER_PREFIX}{tag}.json")):
+                continue  # a single-table append owns this tag
+            fs.rmtree(os.path.join(tdir, entry))
+            out["removed"].append(f"{rel}/{entry}")
     return out

@@ -162,3 +162,83 @@ def test_append_staging_invisible_to_readers(spark, sf_dir, tmp_path):
     out = sim.recover_ivf_index(path)
     assert out["removed"]  # the stranded staging dir was reclaimed
     assert _rows(spark, path + "/vectors") == before
+
+
+def test_ivfpq_append_crash_at_every_op_never_tears_either_table(
+    spark, sf_dir, tmp_path
+):
+    """The combined-index append commits vectors AND codes through ONE root
+    marker: at every crash point, after recovery, BOTH tables must be in
+    the SAME state (both exactly pre-append or both exactly post-append) —
+    a codes row whose vector is missing, or vice versa, is a torn index."""
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 140)
+    base = emb.filter(F.col("vec_id") < 100)
+    batch = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+
+    pristine = str(tmp_path / "pristine")
+    clustering.build_ivfpq_index(
+        base, pristine, m=4, k=8, max_iters=2, round_decimals=6
+    )
+    before_v = _rows(spark, pristine + "/vectors")
+    before_c = _rows(spark, pristine + "/codes")
+
+    probe = str(tmp_path / "probe")
+    shutil.copytree(pristine, probe)
+    probe_fs = mfs.NonAtomicRenameFS()
+    assert clustering.ivfpq_index_append(spark, probe, batch, fs=probe_fs) == 40
+    after_v = _rows(spark, probe + "/vectors")
+    after_c = _rows(spark, probe + "/codes")
+    assert len(after_v) == len(before_v) + 40
+    assert len(after_c) == len(before_c) + 40
+    total_ops = probe_fs.ops
+    assert total_ops >= 6  # lease + marker + two tables' moves + cleanup
+
+    outcomes = set()
+    for crash_at in range(total_ops):
+        path = str(tmp_path / f"run{crash_at}")
+        shutil.copytree(pristine, path)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            clustering.ivfpq_index_append(spark, path, batch, fs=fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            mfs.break_writer_lease(mfs.LOCAL_FS, path)
+        clustering.recover_ivfpq_index(path)
+        got_v = _rows(spark, path + "/vectors")
+        got_c = _rows(spark, path + "/codes")
+        assert got_v in (before_v, after_v), f"torn vectors at crash op {crash_at}"
+        assert got_c in (before_c, after_c), f"torn codes at crash op {crash_at}"
+        # cross-table atomicity: never one table appended without the other
+        assert (got_v == before_v) == (got_c == before_c), (
+            f"vectors/codes disagree at crash op {crash_at}"
+        )
+        outcomes.add("rolled_back" if got_v == before_v else "rolled_forward")
+        if got_v == before_v:
+            assert clustering.ivfpq_index_append(spark, path, batch) == 40
+            assert _rows(spark, path + "/vectors") == after_v
+            assert _rows(spark, path + "/codes") == after_c
+        shutil.rmtree(path)
+    assert outcomes == {"rolled_back", "rolled_forward"}
+
+    # search parity: crashed+healed index answers exactly like never-crashed
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    healed = str(tmp_path / "healed")
+    shutil.copytree(pristine, healed)
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=total_ops - 1)
+    try:
+        clustering.ivfpq_index_append(spark, healed, batch, fs=fs)
+    except mfs.NonAtomicRenameFS.InjectedCrash:
+        pass
+    clustering.recover_ivfpq_index(healed)
+    want = [
+        tuple(r)
+        for r in clustering.ivfpq_topk_indexed(
+            spark, probe, query, k=10, n_probe=2, refine=4
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in clustering.ivfpq_topk_indexed(
+            spark, healed, query, k=10, n_probe=2, refine=4
+        ).collect()
+    ]
+    assert got == want

@@ -588,3 +588,78 @@ def test_merge_table_stats_surfaces_precommit_debris(spark, tmp_path):
     stats = strm.merge_table_stats(target)
     assert stats["committed_buckets"] == 0
     assert stats["debris_versions"] + stats["staging_dirs"] > 0  # visible!
+
+
+def test_streaming_ivfpq_ingest_is_exactly_once_and_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming ANN ingestion: a parquet-source stream feeding
+    clustering.ivfpq_index_append through foreachBatch must (a) append each
+    vector exactly once across a checkpointed restart, and (b) leave the
+    index row-identical to a single BATCH append of the same vectors — the
+    frozen quantizers (stored centroids + codebooks) make per-batch
+    encoding order-independent, so continuous ingest and bulk ingest
+    converge on the same index."""
+    import os
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 160)
+    base = emb.filter(F.col("vec_id") < 100)
+    wave1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130)).select(
+        "vec_id", "embedding"
+    )
+    wave2 = emb.filter(F.col("vec_id") >= 130).select("vec_id", "embedding")
+
+    streamed = str(tmp_path / "streamed")
+    clustering.build_ivfpq_index(
+        base, streamed, m=4, k=8, max_iters=2, round_decimals=6
+    )
+    batch_ref = str(tmp_path / "batch_ref")
+    import shutil
+
+    shutil.copytree(streamed, batch_ref)
+
+    src_dir = str(tmp_path / "vec_stream")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    wave1.coalesce(1).write.parquet(src_dir + "/wave1")
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .format("parquet")
+            .option("recursiveFileLookup", "true")
+            .load(src_dir)
+        )
+        q = (
+            raw.writeStream.foreachBatch(
+                lambda b, bid: clustering.ivfpq_index_append(spark, streamed, b)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    import time as _time
+
+    _time.sleep(1.1)
+    wave2.coalesce(1).write.parquet(src_dir + "/wave2")
+    run_once()  # restart with the SAME checkpoint: wave1 must NOT re-append
+
+    assert clustering.ivfpq_index_append(spark, batch_ref, wave1.union(wave2)) == 60
+
+    for table in ("/vectors", "/codes"):
+        got = sorted(tuple(r) for r in spark.read.parquet(streamed + table).collect())
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(batch_ref + table).collect()
+        )
+        assert got == want, table
+    # and the searchable result is identical too
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = clustering.ivfpq_topk_indexed(spark, streamed, query, k=10).collect()
+    want = clustering.ivfpq_topk_indexed(spark, batch_ref, query, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

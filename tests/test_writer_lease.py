@@ -243,6 +243,44 @@ def test_pq_append_refuses_concurrent_writer(spark, sf_dir, tmp_path):
     assert not os.path.exists(os.path.join(path, mfs.LEASE_NAME))
 
 
+def test_ivfpq_builder_and_append_refuse_concurrent_writer(
+    spark, sf_dir, tmp_path
+):
+    """The combined-index builder and its two-table append enforce the same
+    single-writer contract as every other index writer: a held lease turns
+    them into a loud ConcurrentWriterError with BOTH tables untouched."""
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    path = str(tmp_path / "ivfpq")
+
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, path, owner="writer-a")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        clustering.build_ivfpq_index(
+            emb.filter(F.col("vec_id") < 100), path, m=4, k=8, max_iters=1,
+            round_decimals=6,
+        )
+    mfs.release_writer_lease(mfs.LOCAL_FS, path, "writer-a")
+    clustering.build_ivfpq_index(
+        emb.filter(F.col("vec_id") < 100), path, m=4, k=8, max_iters=1,
+        round_decimals=6,
+    )
+    batch = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+    before_v = sorted(tuple(r) for r in spark.read.parquet(path + "/vectors").collect())
+    before_c = sorted(tuple(r) for r in spark.read.parquet(path + "/codes").collect())
+
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, path, owner="writer-a")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        clustering.ivfpq_index_append(spark, path, batch)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path + "/vectors").collect()
+    ) == before_v
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path + "/codes").collect()
+    ) == before_c
+    mfs.release_writer_lease(mfs.LOCAL_FS, path, "writer-a")
+    assert clustering.ivfpq_index_append(spark, path, batch) == 20
+    assert not os.path.exists(os.path.join(path, mfs.LEASE_NAME))
+
+
 # ---------------------------------------------------------------------------
 # lease heartbeat (VERDICT r6 item 6)
 # ---------------------------------------------------------------------------
