@@ -947,13 +947,98 @@ def ivfpq_index_append(
 
 
 def recover_ivfpq_index(path: str, fs=None) -> dict[str, list[str]]:
-    """Heal a combined IVF-PQ index after a crashed ivfpq_index_append:
-    root-marker appends roll forward across BOTH tables (vectors first);
-    marker-less staging in either table is dropped as pre-commit debris.
-    Idempotent — safe to run any time."""
+    """Heal a combined IVF-PQ index after a crashed ivfpq_index_append or
+    compact_ivfpq_index: root-marker appends roll forward across BOTH
+    tables (vectors first); crashed compaction swaps in either table are
+    redone-or-cleared from their per-cell markers; marker-less staging is
+    dropped as pre-commit debris. Idempotent — safe to run any time."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+        _recover_swaps,
+    )
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
-    return index_commit.recover_multi_appends(
-        fs or mfs.LOCAL_FS, path, ["vectors", "codes"]
+    fs = fs or mfs.LOCAL_FS
+    out = index_commit.recover_multi_appends(fs, path, ["vectors", "codes"])
+    out.setdefault("restored", [])
+    for table in ("vectors", "codes"):
+        swaps = _recover_swaps(fs, path + "/" + table)
+        out["restored"].extend(swaps["restored"])
+        out["removed"].extend(swaps["removed"])
+    return out
+
+
+def compact_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    max_files_per_cell: int = 8,
+    target_files_per_cell: int = 1,
+    fs=None,
+    lease_owner: str | None = None,
+) -> dict[str, dict[str, int]]:
+    """Small-file compaction for a continuously-appended IVF-PQ index:
+    every ivfpq_index_append leaves one-plus files per touched cell in
+    BOTH tables, and the codes table — the one every search ADC-scans —
+    feels the file-open cost first. Rewrites over-threshold cells of
+    vectors/ AND codes/ through the same per-cell atomic-swap protocol as
+    compact_ivf_index (shared `_compact_table_cells`; crash healing via
+    recover_ivfpq_index, run first). Content never changes, so no
+    cross-table transaction is needed — each cell swap is independently
+    atomic and search results are identical throughout. Returns
+    {"vectors": {cell: files}, "codes": {cell: files}} for rewritten
+    cells."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+        _compact_table_cells,
     )
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    try:
+        recover_ivfpq_index(path, fs)
+        return {
+            table: _compact_table_cells(
+                spark, fs, path, path + "/" + table,
+                max_files_per_cell, target_files_per_cell, token,
+            )
+            for table in ("vectors", "codes")
+        }
+    finally:
+        mfs.release_writer_lease(fs, path, token)
+
+
+def ivfpq_index_stats(path: str, fs=None) -> dict:
+    """Operational stats for a combined IVF-PQ index — per-table committed
+    cell/file counts plus append/compaction debris and the lease state (the
+    IVF-PQ twin of similarity.ivf_index_stats). Rising
+    ``max_files_per_cell`` in either table is the compact_ivfpq_index
+    signal; non-zero debris is the recover_ivfpq_index signal."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+        cell_file_counts,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    out: dict = {"lease": mfs.lease_info(fs, path)}
+    root_entries = fs.listdir(path) if fs.isdir(path) else []
+    out["multi_append_markers"] = sum(
+        1 for e in root_entries if e.startswith(index_commit.MULTI_MARKER_PREFIX)
+    )
+    for table in ("vectors", "codes"):
+        tdir = path + "/" + table
+        counts = cell_file_counts(tdir, fs) if fs.isdir(tdir) else {}
+        entries = fs.listdir(tdir) if fs.isdir(tdir) else []
+        out[table] = {
+            "cells": len(counts),
+            "data_files": sum(counts.values()),
+            "max_files_per_cell": max(counts.values(), default=0),
+            "append_staging_dirs": sum(
+                1 for e in entries if e.startswith(index_commit.STAGING_PREFIX)
+            ),
+            "compact_staging_dirs": sum(
+                1 for e in entries if e.startswith(".compact_")
+            ),
+            "swap_markers": sum(1 for e in entries if e.startswith(".swap_")),
+        }
+    return out

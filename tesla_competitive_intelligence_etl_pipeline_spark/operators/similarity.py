@@ -359,19 +359,18 @@ def ivf_index_append(
     return int(obs.get["n"])
 
 
-def ivf_cell_file_counts(path: str, fs=None) -> dict[str, int]:
-    """Parquet data files per committed cell partition of a materialized IVF
-    index — the observability twin of compact_ivf_index (watch this grow
-    under continuous ivf_index_append)."""
+def cell_file_counts(table_dir: str, fs=None) -> dict[str, int]:
+    """Parquet data files per committed cell partition of ONE
+    cell-partitioned table dir — shared by the IVF vectors table and the
+    IVF-PQ vectors/codes tables."""
     import os
 
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
-    vectors = path + "/vectors"
     counts: dict[str, int] = {}
-    for cell in fs.listdir(vectors):
-        cdir = os.path.join(vectors, cell)
+    for cell in fs.listdir(table_dir):
+        cdir = os.path.join(table_dir, cell)
         # hidden/bookkeeping entries are dot- or underscore-prefixed
         # (.compact_* staging, .swap_* markers, _SUCCESS); a bare prefix
         # check — not '=' membership — keeps crash debris out of the counts
@@ -383,6 +382,13 @@ def ivf_cell_file_counts(path: str, fs=None) -> dict[str, int]:
             1 for f in fs.listdir(cdir) if f.endswith(".parquet")
         )
     return counts
+
+
+def ivf_cell_file_counts(path: str, fs=None) -> dict[str, int]:
+    """Parquet data files per committed cell partition of a materialized IVF
+    index — the observability twin of compact_ivf_index (watch this grow
+    under continuous ivf_index_append)."""
+    return cell_file_counts(path + "/vectors", fs)
 
 
 def ivf_index_stats(path: str, fs=None) -> dict:
@@ -439,9 +445,6 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
     branch. Runs automatically at the start of compact_ivf_index; call
     directly after a crash to restore search completeness. Returns
     {"restored": [...], "removed": [...]}."""
-    import json
-    import os
-
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
@@ -453,15 +456,31 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
     appends = index_commit.recover_appends(fs, vectors)
     out["restored"].extend(appends["completed"])
     out["removed"].extend(appends["removed"])
-    entries = sorted(fs.listdir(vectors))
+    swaps = _recover_swaps(fs, vectors)
+    out["restored"].extend(swaps["restored"])
+    out["removed"].extend(swaps["removed"])
+    return out
+
+
+def _recover_swaps(fs, table_dir: str) -> dict[str, list[str]]:
+    """Heal crashed compaction swaps in ONE cell-partitioned table dir —
+    the marker-decided logic documented in recover_ivf_index, shared with
+    the IVF-PQ tables (clustering.compact_ivfpq_index)."""
+    import json
+    import os
+
+    out: dict[str, list[str]] = {"restored": [], "removed": []}
+    if not fs.isdir(table_dir):
+        return out
+    entries = sorted(fs.listdir(table_dir))
     referenced_staging: set[str] = set()
     for entry in entries:
         if not (entry.startswith(".swap_") and entry.endswith(".json")):
             continue
-        marker = os.path.join(vectors, entry)
+        marker = os.path.join(table_dir, entry)
         meta = json.loads(fs.read_bytes(marker).decode())
-        staging = os.path.join(vectors, meta["staging"])
-        live = os.path.join(vectors, meta["cell"])
+        staging = os.path.join(table_dir, meta["staging"])
+        live = os.path.join(table_dir, meta["cell"])
         referenced_staging.add(meta["staging"])
         staged_files = set(fs.listdir(staging)) if fs.isdir(staging) else set()
         if set(meta["files"]) <= staged_files:
@@ -479,7 +498,7 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
         fs.rmtree(marker)
     for entry in entries:
         if entry.startswith(".compact_") and entry not in referenced_staging:
-            full = os.path.join(vectors, entry)
+            full = os.path.join(table_dir, entry)
             fs.rmtree(full)
             out["removed"].append(full)
         elif entry.startswith(".retired_") and "__" in entry:
@@ -488,8 +507,8 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
             # otherwise it is a superseded copy — best-effort, matching the
             # old recovery semantics so an index crashed under that scheme
             # is not silently left incomplete
-            full = os.path.join(vectors, entry)
-            live = os.path.join(vectors, entry.split("__", 1)[1])
+            full = os.path.join(table_dir, entry)
+            live = os.path.join(table_dir, entry.split("__", 1)[1])
             if fs.isdir(live):
                 fs.rmtree(full)
                 out["removed"].append(full)
@@ -535,57 +554,77 @@ def compact_ivf_index(
     instead of corrupting (r5 item 7); run compaction where a deployment
     runs OPTIMIZE, not concurrently with other maintenance. Returns
     {cell: new_file_count} for the rewritten cells."""
-    import json
-    import os
-    import uuid as _uuid
-
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
     token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
     try:
         recover_ivf_index(path, fs)  # self-heal debris of any crashed prior run
-        vectors = path + "/vectors"
-        rewritten: dict[str, int] = {}
-        for cell, n_files in sorted(ivf_cell_file_counts(path, fs).items()):
-            if n_files <= max_files_per_cell:
-                continue
-            # heartbeat: a compaction spanning many cells can outlive its
-            # TTL, at which point another writer could legally reclaim the
-            # lease mid-run — re-stamp it per cell (a reentrant refresh is
-            # one read + one atomic put, trivial next to a cell rewrite)
-            mfs.acquire_writer_lease(fs, path, owner=token)
-            cell_dir = os.path.join(vectors, cell)
-            tag = _uuid.uuid4().hex[:8]
-            staging_rel = f".compact_{tag}"
-            staging = os.path.join(vectors, staging_rel)
-            # the cell dir's files carry the non-partition columns only; the
-            # partition value is re-derived from the dir name on read, so the
-            # rewrite round-trips exactly
-            spark.read.parquet(cell_dir).coalesce(target_files_per_cell).write.parquet(
-                staging
-            )
-            staged_files = sorted(
-                f for f in fs.listdir(staging) if f.endswith(".parquet")
-            )
-            marker = os.path.join(vectors, f".swap_{tag}.json")
-            fs.put_atomic(
-                marker,
-                json.dumps(
-                    {"cell": cell, "staging": staging_rel, "files": staged_files}
-                ).encode(),
-            )  # commit point: from here the swap WILL complete (or be redone)
-            fs.rmtree(cell_dir)
-            fs.rename(staging, cell_dir)
-            # drop Spark's _SUCCESS marker from the swapped-in dir (harmless,
-            # but keep the layout identical to partitionBy output)
-            success = os.path.join(cell_dir, "_SUCCESS")
-            if fs.exists(success):
-                fs.rmtree(success)
-            fs.rmtree(marker)
-            rewritten[cell] = sum(
-                1 for f in fs.listdir(cell_dir) if f.endswith(".parquet")
-            )
-        return rewritten
+        return _compact_table_cells(
+            spark, fs, path, path + "/vectors",
+            max_files_per_cell, target_files_per_cell, token,
+        )
     finally:
         mfs.release_writer_lease(fs, path, token)
+
+
+def _compact_table_cells(
+    spark,
+    fs,
+    lease_root: str,
+    table_dir: str,
+    max_files_per_cell: int,
+    target_files_per_cell: int,
+    token: str,
+) -> dict[str, int]:
+    """Per-cell swap loop shared by compact_ivf_index (vectors) and
+    clustering.compact_ivfpq_index (vectors AND codes). The caller holds
+    the writer lease on ``lease_root`` and has already run recovery for
+    ``table_dir``; each rewritten cell re-stamps the lease (heartbeat)."""
+    import json
+    import os
+    import uuid as _uuid
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    rewritten: dict[str, int] = {}
+    for cell, n_files in sorted(cell_file_counts(table_dir, fs).items()):
+        if n_files <= max_files_per_cell:
+            continue
+        # heartbeat: a compaction spanning many cells can outlive its
+        # TTL, at which point another writer could legally reclaim the
+        # lease mid-run — re-stamp it per cell (a reentrant refresh is
+        # one read + one atomic put, trivial next to a cell rewrite)
+        mfs.acquire_writer_lease(fs, lease_root, owner=token)
+        cell_dir = os.path.join(table_dir, cell)
+        tag = _uuid.uuid4().hex[:8]
+        staging_rel = f".compact_{tag}"
+        staging = os.path.join(table_dir, staging_rel)
+        # the cell dir's files carry the non-partition columns only; the
+        # partition value is re-derived from the dir name on read, so the
+        # rewrite round-trips exactly
+        spark.read.parquet(cell_dir).coalesce(target_files_per_cell).write.parquet(
+            staging
+        )
+        staged_files = sorted(
+            f for f in fs.listdir(staging) if f.endswith(".parquet")
+        )
+        marker = os.path.join(table_dir, f".swap_{tag}.json")
+        fs.put_atomic(
+            marker,
+            json.dumps(
+                {"cell": cell, "staging": staging_rel, "files": staged_files}
+            ).encode(),
+        )  # commit point: from here the swap WILL complete (or be redone)
+        fs.rmtree(cell_dir)
+        fs.rename(staging, cell_dir)
+        # drop Spark's _SUCCESS marker from the swapped-in dir (harmless,
+        # but keep the layout identical to partitionBy output)
+        success = os.path.join(cell_dir, "_SUCCESS")
+        if fs.exists(success):
+            fs.rmtree(success)
+        fs.rmtree(marker)
+        rewritten[cell] = sum(
+            1 for f in fs.listdir(cell_dir) if f.endswith(".parquet")
+        )
+    return rewritten

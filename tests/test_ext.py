@@ -1448,3 +1448,60 @@ def test_near_dedup_canonical_portable_drops_higher_id_partner(near_dup_docs):
     for i in range(5):
         assert 2 * i in survivors and 2 * i + 1 not in survivors
     assert {i + 10 for i in range(10, 20)} <= survivors
+
+
+def test_compact_ivfpq_index_compacts_both_tables_and_preserves_search(
+    spark, sf_dir, tmp_path
+):
+    """Continuous ivfpq_index_append fragments vectors/ AND codes/;
+    compact_ivfpq_index must cut over-threshold cells in BOTH tables to the
+    target file count, leave content row-identical, keep search results
+    bit-identical, and report the fragmentation in ivfpq_index_stats
+    before/after."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivfpq")
+    clustering.build_ivfpq_index(
+        base, path, m=4, k=8, max_iters=2, round_decimals=6
+    )
+    for lo in range(300, 400, 20):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20))
+        clustering.ivfpq_index_append(
+            spark, path, batch.select("vec_id", "embedding")
+        )
+
+    stats = clustering.ivfpq_index_stats(path)
+    assert stats["vectors"]["max_files_per_cell"] > 2
+    assert stats["codes"]["max_files_per_cell"] > 2
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    before = {
+        t: sorted(tuple(r) for r in spark.read.parquet(path + "/" + t).collect())
+        for t in ("vectors", "codes")
+    }
+    before_topk = [
+        tuple(r)
+        for r in clustering.ivfpq_topk_indexed(
+            spark, path, query, k=10, n_probe=2, refine=4
+        ).collect()
+    ]
+
+    rewritten = clustering.compact_ivfpq_index(spark, path, max_files_per_cell=2)
+    assert rewritten["vectors"] and rewritten["codes"]
+    after_stats = clustering.ivfpq_index_stats(path)
+    for t in ("vectors", "codes"):
+        counts = sim.cell_file_counts(path + "/" + t)
+        assert all(counts[c] == 1 for c in rewritten[t])
+        assert sorted(
+            tuple(r) for r in spark.read.parquet(path + "/" + t).collect()
+        ) == before[t], t
+        assert after_stats[t]["swap_markers"] == 0
+        assert after_stats[t]["compact_staging_dirs"] == 0
+    after_topk = [
+        tuple(r)
+        for r in clustering.ivfpq_topk_indexed(
+            spark, path, query, k=10, n_probe=2, refine=4
+        ).collect()
+    ]
+    assert after_topk == before_topk
