@@ -39,6 +39,31 @@ K = 10
 N_QUERIES = 20
 
 
+def _measure(spark, path, books, queries, truth, n_probe, refine):
+    recalls, walls = [], []
+    warm = True
+    for qid, qvec in queries:
+        def run():
+            return {
+                r.vec_id
+                for r in clustering.ivfpq_topk_indexed(
+                    spark, path, qvec, k=K, n_probe=n_probe,
+                    refine=refine, codebooks=books,
+                ).collect()
+            }
+
+        if warm:
+            run()
+            warm = False
+        t0 = time.perf_counter()
+        got = run()
+        walls.append(time.perf_counter() - t0)
+        # the query vector itself is not excluded by the operator; drop it
+        # from both sides for the recall denominator
+        recalls.append(len((got - {qid}) & truth[qid]) / K)
+    return statistics.mean(recalls), statistics.median(walls)
+
+
 def main() -> None:
     spark = get_spark("ann-quality-r7")
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,10 +75,6 @@ def main() -> None:
     n_cells = emb.select("label").distinct().count()
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="ann_quality_")
-    books = clustering.build_ivfpq_index(
-        emb, path, m=4, k=16, max_iters=2, train_fraction=0.2, round_decimals=6
-    )
     queries = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.orderBy("vec_id").limit(N_QUERIES).collect()
@@ -63,39 +84,44 @@ def main() -> None:
         for qid, _ in queries
     }
 
+    # Part 1 — the COMPRESSION lever: recall vs m at a fixed generous probe.
+    # The sf embeddings are (deliberately) near-structureless random vectors
+    # — the hardest ANN case: true neighbors are only weakly separated, so
+    # ADC quantization error dominates unless the code is fine enough.
+    indexes = {}
     print(
-        f"## IVF-PQ accuracy/latency dial ({N_QUERIES} queries, k={K}, "
-        f"{n_cells} cells, m=4 k_codes=16)"
+        f"## IVF-PQ compression lever ({N_QUERIES} queries, k={K}, "
+        f"{n_cells} cells, n_probe=4, refine=8, k_codes=16)"
+    )
+    print("| m | code bytes/vec | compression vs 256 B floats | recall@10 |")
+    print("|---|---|---|---|")
+    for m in (4, 8, 16, 32):
+        path = tempfile.mkdtemp(prefix=f"ann_quality_m{m}_")
+        books = clustering.build_ivfpq_index(
+            emb, path, m=m, k=16, max_iters=2, train_fraction=0.2,
+            round_decimals=6,
+        )
+        indexes[m] = (path, books)
+        recall, _ = _measure(spark, path, books, queries, truth, 4, 8)
+        print(
+            f"| {m} | {m} | {256 // m}x | {recall:.3f} |",
+            flush=True,
+        )
+
+    # Part 2 — the probe/refine dial at the best-fidelity code (m=32)
+    path, books = indexes[32]
+    print(
+        f"\n## IVF-PQ probe/refine dial (m=32, k_codes=16, {n_cells} cells)"
     )
     print("| n_probe | refine | recall@10 | median search (s) |")
     print("|---|---|---|---|")
     for n_probe in (1, 2, 4, 8):
         for refine in (1, 4, 8):
-            recalls, walls = [], []
-            warm = True
-            for qid, qvec in queries:
-                def run():
-                    return {
-                        r.vec_id
-                        for r in clustering.ivfpq_topk_indexed(
-                            spark, path, qvec, k=K, n_probe=n_probe,
-                            refine=refine, codebooks=books,
-                        ).collect()
-                    }
-
-                if warm:
-                    run()
-                    warm = False
-                t0 = time.perf_counter()
-                got = run()
-                walls.append(time.perf_counter() - t0)
-                # the query vector itself is not excluded by the operator;
-                # drop it from both sides for the recall denominator
-                recalls.append(len((got - {qid}) & truth[qid]) / K)
+            recall, wall = _measure(
+                spark, path, books, queries, truth, n_probe, refine
+            )
             print(
-                f"| {n_probe} | {refine} | "
-                f"{statistics.mean(recalls):.3f} | "
-                f"{statistics.median(walls):.3f} |",
+                f"| {n_probe} | {refine} | {recall:.3f} | {wall:.3f} |",
                 flush=True,
             )
     print(f"loadavg_after: {os.getloadavg()[0]:.2f}")

@@ -276,6 +276,14 @@ def kmeans_df(
     past the literal form's ~10^8-float centroid bound (module docstring);
     below it, ``kmeans`` saves a join per iteration.
 
+    Switch rule, MEASURED (r7 crossover sweep, SCALING.md): there is no
+    performance crossover — the df/literal ratio WIDENS with k (1.55x at
+    k=128, 2.07x at k=512, 2.43x at k=1024 on 16x sf0.1) because the join
+    fan-out is also O(k) per row while the literal form does the same
+    compute shuffle-free inside codegen. The bound is PHYSICAL: pick
+    ``kmeans`` whenever k x dim fits the ~10^8-float plan bound, and this
+    variant only past it.
+
     Semantics mirror ``kmeans`` exactly — same stable-md5 seeding order,
     same ties-to-lowest-cluster argmin, same empty-cluster and early-stop
     rules; ``round_decimals`` uses HALF_EVEN (F.bround) where the literal
@@ -696,6 +704,14 @@ def build_ivfpq_index(
     pruning, ranks those rows with m literal-table lookups each, and reads
     float vectors for only the k*refine-row shortlist — at 100 TB the heavy
     scan is the compressed codes of the probed cells, never the corpus.
+
+    Tuning (measured, SCALING.md r7): ``m`` is the recall lever when
+    neighbors are weakly separated — on the adversarial structureless
+    corpus recall@10 doubles from m=4 (64x compression) to m=32 (8x), and
+    at m=32 / refine=8 recall exactly meets the n_probe/n_cells
+    probe-coverage bound (the ADC shortlist recovers every in-probe
+    neighbor). Order of knobs: m to the corpus's separation, n_probe for
+    recall vs scan cost, refine last (cheap — k*refine row fetches).
 
     Holds the index writer lease with a background heartbeat for the
     duration of the writes (training runs before the lease — it reads no
