@@ -1058,3 +1058,128 @@ def ivfpq_index_stats(path: str, fs=None) -> dict:
             "swap_markers": sum(1 for e in entries if e.startswith(".swap_")),
         }
     return out
+
+
+def ivfpq_topk_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """BATCH IVF-PQ search: top-k neighbors for EVERY row of a query table
+    in ONE distributed plan — the production bulk-retrieval path ("embed
+    the crawl, find neighbors for every new doc"). A driver-side loop over
+    ivfpq_topk_indexed is the collect-and-iterate anti-pattern this
+    operator exists to replace.
+
+    Plan shape (no per-query driver work at all):
+      1. probe table: queries x broadcast(centroids) -> cosine ->
+         per-query top-n_probe window; each probe row CARRIES the query's
+         ADC distance table (m x k_codes doubles, computed map-side from
+         the codebook literal) and its float vector.
+      2. candidates: codes JOIN broadcast(probe) on cell — one broadcast
+         delivers cells, distance tables, and query vectors; the parquet
+         codes scan is pruned to the UNION of probed cells via dynamic
+         partition pruning (asserted in tests/test_plans.py).
+      3. ADC: m lookups per (candidate, query) row into the joined
+         distance-table column; per-query k*refine shortlist window.
+      4. refine: vectors JOIN broadcast(shortlist) -> exact cosine ->
+         per-query top-k window.
+    Every score is rounded with id tiebreaks, so results are
+    engine-portable (DuckDB oracle re-derives all four stages) and
+    identical to per-query ivfpq_topk_indexed calls (pinned in tests).
+
+    Scale notes: the broadcast probe table is n_queries x n_probe rows
+    (each ~m*k_codes + dim doubles) — fine into the 10^5-query range;
+    past that Spark's broadcast threshold flips the joins to shuffles,
+    which is the correct plan at that scale anyway. The candidate fan-out
+    (sum over queries of probed-cell row counts) is the irreducible work
+    of batch ANN; n_probe is the lever. Returns (query_id, id, cos_sim),
+    k rows per query."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+        cosine,
+    )
+
+    if codebooks is None:
+        codebooks = pq_load_codebooks(spark, path)
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    centroids = spark.read.parquet(path + "/centroids")
+    codes = spark.read.parquet(path + "/codes")
+    vectors = spark.read.parquet(path + "/vectors")
+
+    qvec = F.col(query_vec_col).cast("array<double>")
+
+    def _sub_dists(sub: int):
+        sliced = _slice_subspace(qvec, m, sub, sub_dim)
+        return F.transform(
+            F.lit([[float(v) for v in c] for c in codebooks[sub]]),
+            lambda c: F.aggregate(
+                F.zip_with(sliced, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.array(*[_sub_dists(sub) for sub in range(m)]).alias("__dtab"),
+    )
+    from pyspark.sql import Window
+
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__c_sim"), F.asc(cell_col)
+    )
+    probe = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "__c_sim", F.round(cosine(F.col("centroid"), F.col(query_vec_col)), 6)
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, cell_col, query_vec_col, "__dtab")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col("pq_code"),
+            lambda sub, code: F.get(F.get(F.col("__dtab"), sub), code),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    short_w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("__adc"), F.asc(id_col)
+    )
+    shortlist = (
+        codes.join(F.broadcast(probe), cell_col)
+        .withColumn("__adc", F.round(adc, 6))
+        .withColumn("__sr", F.row_number().over(short_w))
+        .filter(F.col("__sr") <= k * refine)
+        .select(query_id_col, id_col, query_vec_col)
+    )
+    final_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        vectors.join(F.broadcast(shortlist), id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("__fr", F.row_number().over(final_w))
+        .filter(F.col("__fr") <= k)
+        .drop("__fr")
+    )

@@ -757,3 +757,148 @@ FROM embeddings e JOIN short USING (vec_id), q
 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {topk}"""
     )
     return "".join(parts)
+
+
+def ivfpq_topk_batch_sql(
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    train_fraction: float = 0.2,
+    sub_dim: int = 16,
+    tol: float = 1e-6,
+    rd: int = 6,
+    topk: int = 10,
+    n_probe: int = 2,
+    refine: int = 4,
+    query_filter: str = "vec_id < 3",
+) -> str:
+    """Oracle for x3_ivfpq_batch: the BATCH IVF-PQ search re-derived in
+    SQL, generic over the query set — per-query probe windows over the
+    decimal-exact centroids, the shared stable-sample codebooks (unrolled
+    Lloyd per subspace), nearest-codeword encoding of the probed-cell
+    union, per-(query, code) asymmetric distance tables via joins (the SQL
+    mirror of the carried __dtab column), per-query rounded shortlist
+    windows with id tiebreaks, and the per-query exact-cosine top-k
+    re-rank. One SQL statement covers EVERY query row, exactly as the
+    Spark plan does."""
+    cutoff = int(round(train_fraction * 10_000))
+    parts = [
+        "WITH ",
+        _EXP,
+        f""",
+samp AS (
+  SELECT vec_id FROM embeddings
+  WHERE {_BUCKET.format(key="vec_id", n=10_000)} < {cutoff}
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+cent AS (
+  SELECT l.label, e.pos,
+         CAST(SUM(CAST(e.val AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*) AS c
+  FROM exp e JOIN lab l USING (vec_id)
+  GROUP BY l.label, e.pos
+),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE {query_filter}),
+qe AS (
+  SELECT q.query_id, e.pos, e.val
+  FROM exp e JOIN qs q ON e.vec_id = q.query_id
+),
+csim AS (
+  SELECT qe.query_id, cent.label,
+         ROUND(SUM(qe.val * cent.c)
+               / (sqrt(SUM(cent.c * cent.c)) * sqrt(SUM(qe.val * qe.val))), 6)
+           AS c_sim
+  FROM cent JOIN qe USING (pos)
+  GROUP BY qe.query_id, cent.label
+),
+probe AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY c_sim DESC, label ASC) AS rn
+    FROM csim)
+  WHERE rn <= {n_probe}
+),
+candq AS (SELECT p.query_id, l.vec_id FROM lab l JOIN probe p USING (label)),
+cu AS (SELECT DISTINCT vec_id FROM candq)""",
+    ]
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f""",
+tr{s} AS (
+  SELECT e.vec_id, e.pos - {s * sub_dim} AS pos, e.val
+  FROM exp e JOIN samp USING (vec_id)
+  WHERE e.pos BETWEEN {lo} AND {hi}
+),
+fu{s} AS (
+  SELECT vec_id, pos - {s * sub_dim} AS pos, val
+  FROM exp WHERE pos BETWEEN {lo} AND {hi}
+),"""
+        )
+        parts.append(
+            _kmeans_ctes(f"s{s}_", f"tr{s}", "samp", k_codes, iters, tol, rd)
+        )
+        parts.append(
+            f""",
+enc{s} AS (
+  SELECT vec_id, cluster AS code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+  FROM (
+    SELECT e.vec_id, c.cluster, SUM((e.val - c.c) * (e.val - c.c)) AS d
+    FROM fu{s} e JOIN cu USING (vec_id) JOIN s{s}_c{iters} c USING (pos)
+    GROUP BY e.vec_id, c.cluster)
+),
+tq{s} AS (
+  SELECT q.query_id, c.cluster AS code,
+         SUM((q.val - c.c) * (q.val - c.c)) AS d
+  FROM (SELECT query_id, pos - {s * sub_dim} AS pos, val
+        FROM qe WHERE pos BETWEEN {lo} AND {hi}) q
+  JOIN s{s}_c{iters} c USING (pos)
+  GROUP BY q.query_id, c.cluster
+)"""
+        )
+    dist = " + ".join(f"t{s}.d" for s in range(m))
+    joins = "\n".join(
+        f"JOIN (SELECT vec_id, code FROM enc{s} WHERE rn = 1) e{s} "
+        f"ON e0.vec_id = e{s}.vec_id"
+        for s in range(1, m)
+    )
+    tjoins = "\n".join(
+        f"JOIN tq{s} t{s} ON t{s}.query_id = cq.query_id AND t{s}.code = e{s}.code"
+        for s in range(m)
+    )
+    parts.append(
+        f""",
+adc AS (
+  SELECT cq.query_id, e0.vec_id, ROUND({dist}, {rd}) AS approx_sq_dist
+  FROM candq cq
+  JOIN (SELECT vec_id, code FROM enc0 WHERE rn = 1) e0 ON e0.vec_id = cq.vec_id
+  {joins}
+  {tjoins}
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_sq_dist ASC, vec_id ASC) AS rn
+    FROM adc)
+  WHERE rn <= {topk * refine}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qvec
+       FROM embeddings WHERE {query_filter}),
+rer AS (
+  SELECT s.query_id, e.vec_id,
+         {_cosine("e.embedding", "q.qvec", 64)} AS cos_sim
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN qv q ON q.query_id = s.query_id
+),
+fin AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM rer
+)
+SELECT query_id, vec_id, cos_sim FROM fin WHERE rn <= {topk}"""
+    )
+    return "".join(parts)

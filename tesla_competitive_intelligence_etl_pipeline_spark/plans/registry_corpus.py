@@ -748,6 +748,40 @@ def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x3_ivfpq_batch",
+    oracle_vec.ivfpq_topk_batch_sql(
+        m=4, k_codes=16, iters=2, train_fraction=0.2, n_probe=2, refine=4,
+        query_filter="vec_id < 3",
+    ),
+)
+def x3_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 bulk retrieval (NEW r7): BATCH IVF-PQ search — top-10 neighbors
+    for EVERY query row in ONE distributed plan (clustering
+    .ivfpq_topk_batch), the "embed the crawl, retrieve for every new doc"
+    path that replaces the collect-and-loop anti-pattern. One broadcast
+    carries each query's probed cells, ADC distance table, and float
+    vector; the codes scan prunes to the union of probed cells (dynamic
+    partition pruning, pinned in tests/test_plans.py); shortlist and
+    final rank are per-query windows. Hash-checked end-to-end by a
+    query-generic oracle (oracle_vec.ivfpq_topk_batch_sql); batch ==
+    per-query ivfpq_topk_indexed is additionally pinned in tests."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    path, books, _ = _ensure_ivfpq_index(spark, sf_dir)
+    queries = (
+        src.load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    return clustering.ivfpq_topk_batch(
+        spark, path, queries, k=10, n_probe=2, refine=4, codebooks=books
+    )
+
+
 # ===========================================================================
 # X-5i: per-document keyword extraction (tf x inverse document frequency)
 # ===========================================================================

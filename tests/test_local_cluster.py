@@ -40,6 +40,7 @@ ENTRIES = DRIVER_WINDOW + [
     "x2_minhash_lsh_portable",
     "x3_kmeans_df_clusters",
     "x3_ivfpq_topk",
+    "x3_ivfpq_batch",
     "x9_stream_tumbling",
 ]
 

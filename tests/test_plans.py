@@ -183,6 +183,44 @@ def test_ivfpq_probe_prunes_codes_and_vectors(spark, sf_dir, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivfpq_batch_plan_prunes_dynamically_and_broadcasts(spark, sf_dir, tmp_path):
+    """Batch IVF-PQ search must keep its scale properties with MANY
+    queries in one plan: the codes scan is pruned to the union of probed
+    cells via DYNAMIC partition pruning (the probe set only exists at
+    runtime), every join is a broadcast of the small side (probe table,
+    shortlist), and nothing falls back to a sort-merge join."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    books = clustering.build_ivfpq_index(
+        emb, idx, m=4, k=16, max_iters=2, train_fraction=0.2, round_decimals=6
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = clustering.ivfpq_topk_batch(
+        spark, idx, queries, k=10, n_probe=2, refine=4, codebooks=books
+    )
+    plan = _plan(out)
+    assert "dynamicpruning" in plan.lower()  # probe -> codes partition prune
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # and the batch answers are EXACTLY the per-query answers
+    got = sorted((r.query_id, r.vec_id, r.cos_sim) for r in out.collect())
+    want = []
+    for qid in range(3):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        want.extend(
+            (qid, r.vec_id, r.cos_sim)
+            for r in clustering.ivfpq_topk_indexed(
+                spark, idx, qv, k=10, n_probe=2, refine=4, codebooks=books
+            ).collect()
+        )
+    assert got == sorted(want)
+
+
 def test_clustered_write_produces_tight_file_bands(spark, sf_dir, tmp_path):
     """write_parquet_clustered must put disjoint time bands in separate files
     (range partitioning + in-file sort), the layout that makes row-group
