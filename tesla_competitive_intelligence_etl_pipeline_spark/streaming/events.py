@@ -193,20 +193,136 @@ def _load_manifest(target: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS) -> dic
     return m
 
 
+_SNAPSHOT_DIR = "_snapshots"
+
+
+def _snapshot_path(target: str, tag: str) -> str:
+    import os
+
+    if not tag or "/" in tag or "\\" in tag or tag.startswith("."):
+        raise ValueError(f"invalid snapshot tag {tag!r}")
+    return os.path.join(target, _SNAPSHOT_DIR, tag + ".json")
+
+
+def _load_snapshot(
+    target: str, tag: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
+) -> dict:
+    import json
+
+    path = _snapshot_path(target, tag)
+    if not fs.exists(path):
+        raise ValueError(f"no snapshot {tag!r} at {target}")
+    m = json.loads(fs.read_bytes(path).decode())
+    if "buckets" not in m or not isinstance(m["buckets"], dict):
+        raise ValueError(f"corrupt snapshot at {path}: {m!r}")
+    return m
+
+
+def snapshot_merge_table(
+    target: str, tag: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
+) -> dict:
+    """Pin the CURRENT committed state of a merge gold table under an
+    immutable named snapshot — data versioning for reproducibility: a
+    training run snapshots the corpus state it read, and that exact state
+    stays readable (``read_merged(..., snapshot=tag)``) and
+    vacuum-protected no matter how many merges land afterwards. The
+    snapshot is one tiny manifest copy (bucket-version POINTERS, no data
+    copied — store/ versions are immutable by the commit protocol).
+    Created with put_if_absent: tags are create-once, a concurrent
+    duplicate loses loudly. Returns the pinned manifest."""
+    import json
+
+    manifest = _load_manifest(target, fs)
+    if manifest is None:
+        raise ValueError(f"no committed state to snapshot at {target}")
+    if not fs.put_if_absent(
+        _snapshot_path(target, tag), json.dumps(manifest).encode()
+    ):
+        raise ValueError(f"snapshot {tag!r} already exists at {target}")
+    return manifest
+
+
+def list_snapshots(
+    target: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
+) -> list[str]:
+    """Tags of every retained snapshot, sorted."""
+    import os
+
+    d = os.path.join(target, _SNAPSHOT_DIR)
+    if not fs.isdir(d):
+        return []
+    return sorted(
+        f[: -len(".json")] for f in fs.listdir(d) if f.endswith(".json")
+    )
+
+
+def drop_snapshot(
+    target: str, tag: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
+) -> bool:
+    """Release a snapshot's pin (its exclusive store versions become
+    vacuum-reclaimable debris). Returns whether the tag existed."""
+    path = _snapshot_path(target, tag)
+    if not fs.exists(path):
+        return False
+    fs.rmtree(path)
+    return True
+
+
+def rollback_merge_table(
+    target: str,
+    tag: str,
+    fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
+    lease_owner: str | None = None,
+) -> dict:
+    """Atomically restore the table to a snapshot's state: ONE manifest
+    put flips every reader to the pinned bucket versions (instant, no data
+    movement — the rollback twin of the commit itself). The superseded
+    versions become unreferenced and are reclaimed by the next vacuum
+    (unless another snapshot retains them). A writer operation: takes the
+    table's writer lease so a rollback cannot interleave with a live
+    merge/vacuum. Returns the restored manifest."""
+    import json
+
+    token = merge_fs.acquire_writer_lease(fs, target, owner=lease_owner)
+    try:
+        manifest = _load_snapshot(target, tag, fs)
+        fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
+        return manifest
+    finally:
+        merge_fs.release_writer_lease(fs, target, token)
+
+
+def _retained_rels(target: str, fs: merge_fs.MergeFS) -> set[str]:
+    """Every store version referenced by the CURRENT manifest OR any
+    retained snapshot — the ONE definition of 'not debris', shared by
+    vacuum_merge_table and merge_table_stats."""
+    manifest = _load_manifest(target, fs)
+    refs = _referenced_rels(manifest) if manifest is not None else set()
+    for tag in list_snapshots(target, fs):
+        refs |= _referenced_rels(_load_snapshot(target, tag, fs))
+    return refs
+
+
 def read_merged(
     spark: SparkSession,
     target: str,
     buckets: list[int] | None = None,
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
+    snapshot: str | None = None,
 ):
     """Read the committed state of a merge gold table. ``buckets`` prunes the
     read to those buckets' committed dirs (manifest-level partition pruning —
     the read cost is proportional to the touched buckets, not the table).
+    ``snapshot`` reads a PINNED state (snapshot_merge_table) instead of the
+    current one — the time-travel read for reproducing a training run.
     Returns None when the table (or every requested bucket) has no committed
     state yet."""
     import os
 
-    manifest = _load_manifest(target, fs)
+    if snapshot is not None:
+        manifest = _load_snapshot(target, snapshot, fs)
+    else:
+        manifest = _load_manifest(target, fs)
     if manifest is None:
         return None
     want = None if buckets is None else {str(b) for b in buckets}
@@ -251,12 +367,14 @@ def vacuum_merge_table(
     lease_owner: str | None = None,
     lease_ttl_sec: float = 3600.0,
 ) -> list[str]:
-    """Garbage-collect a merge gold table: remove everything the committed
-    manifest does not reference — leftover ``.staging`` trees and orphaned
-    ``store`` versions (debris of batches that crashed between phase 1 and
-    the manifest swap; the crash-safety contract is that such debris is
-    invisible, and this reclaims its disk). No-op when the table has no
-    committed manifest yet (a first batch may be mid-flight — note
+    """Garbage-collect a merge gold table: remove everything neither the
+    committed manifest NOR any retained snapshot references — leftover
+    ``.staging`` trees and orphaned ``store`` versions (debris of batches
+    that crashed between phase 1 and the manifest swap; the crash-safety
+    contract is that such debris is invisible, and this reclaims its
+    disk). Snapshot-pinned versions survive until their snapshot is
+    dropped (snapshot_merge_table / drop_snapshot). No-op when the table
+    has no committed manifest yet (a first batch may be mid-flight — note
     merge_table_stats DOES still report such pre-first-commit state, so the
     operator can see it; vacuum just refuses to race it). The single-writer
     contract is ENFORCED via the table's writer lease (VERDICT r5 item 7):
@@ -277,7 +395,7 @@ def vacuum_merge_table(
         if fs.isdir(staging):
             fs.rmtree(staging)
             removed.append(staging)
-        for rel, is_ref in _store_versions(target, fs, _referenced_rels(manifest)):
+        for rel, is_ref in _store_versions(target, fs, _retained_rels(target, fs)):
             if not is_ref:
                 fs.rmtree(os.path.join(target, rel))
                 removed.append(os.path.join(target, rel))
@@ -306,22 +424,28 @@ def merge_table_stats(
 
     manifest = _load_manifest(target, fs)
     referenced = _referenced_rels(manifest) if manifest is not None else set()
+    retained = _retained_rels(target, fs)
     stats = {
         "committed_buckets": len(referenced),
         "live_files": 0,
         "debris_versions": 0,
         "staging_dirs": 0,
+        "snapshots": len(list_snapshots(target, fs)),
+        "snapshot_only_versions": 0,
     }
     staging = os.path.join(target, ".staging")
     if fs.isdir(staging):
         stats["staging_dirs"] = len(fs.listdir(staging))
-    for rel, is_ref in _store_versions(target, fs, referenced):
-        if is_ref:
+    for rel, is_kept in _store_versions(target, fs, retained):
+        if rel in referenced:
             stats["live_files"] += sum(
                 1
                 for f in fs.listdir(os.path.join(target, rel))
                 if f.endswith(".parquet")
             )
+        elif is_kept:
+            # pinned only by a snapshot: vacuum-protected, not debris
+            stats["snapshot_only_versions"] += 1
         else:
             stats["debris_versions"] += 1
     return stats
@@ -438,9 +562,15 @@ def _merge_locked(latest, target: str, touched: list[int], fs) -> None:
     # THE commit point: one atomic full-object put of the manifest
     fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
 
-    # best-effort GC of superseded versions + staging (never part of commit)
+    # best-effort GC of superseded versions + staging (never part of
+    # commit). A version pinned by a retained SNAPSHOT must survive being
+    # superseded — time-travel reads depend on it; it becomes reclaimable
+    # only when its snapshot is dropped (then vacuum takes it).
+    pinned: set[str] = set()
+    for tag in list_snapshots(target, fs):
+        pinned |= _referenced_rels(_load_snapshot(target, tag, fs))
     for b, rel in old_rels.items():
-        if rel and rel != new_rels[b]:
+        if rel and rel != new_rels[b] and os.path.normpath(rel) not in pinned:
             fs.rmtree(os.path.join(target, rel))
     fs.rmtree(staging)
 

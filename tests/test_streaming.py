@@ -663,3 +663,81 @@ def test_streaming_ivfpq_ingest_is_exactly_once_and_matches_batch(
     got = clustering.ivfpq_topk_indexed(spark, streamed, query, k=10).collect()
     want = clustering.ivfpq_topk_indexed(spark, batch_ref, query, k=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_snapshot_read_rollback_and_vacuum_retention(spark, tmp_path):
+    """Data versioning on the merge gold table: a snapshot pins the exact
+    committed state (readable via read_merged(snapshot=...) no matter how
+    many merges land after), vacuum spares snapshot-pinned versions and
+    reports them distinctly from debris, rollback restores the pinned
+    state with ONE atomic manifest put, and dropping the snapshot makes
+    its exclusive versions reclaimable."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    strm.merge_micro_batch(
+        _ev(spark, [(1, 100, 1, "a", 1.0), (2, 200, 2, "a", 2.0)]),
+        target, n_buckets=4,
+    )
+    state_v1 = sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    )
+    strm.snapshot_merge_table(target, "train-run-1")
+    with pytest.raises(ValueError):  # tags are create-once
+        strm.snapshot_merge_table(target, "train-run-1")
+    assert strm.list_snapshots(target) == ["train-run-1"]
+
+    # two more merges advance users 1/2 and add user 3
+    strm.merge_micro_batch(
+        _ev(spark, [(3, 300, 1, "a", 3.0), (4, 400, 3, "a", 4.0)]),
+        target, n_buckets=4,
+    )
+    strm.merge_micro_batch(
+        _ev(spark, [(5, 500, 2, "a", 5.0)]), target, n_buckets=4
+    )
+    now = sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    )
+    assert now == [(1, 3), (2, 5), (3, 4)]
+    # the pinned state is still exactly batch-1
+    pinned = sorted(
+        (r.user_id, r.event_id)
+        for r in strm.read_merged(spark, target, snapshot="train-run-1").collect()
+    )
+    assert pinned == state_v1 == [(1, 1), (2, 2)]
+
+    # vacuum spares snapshot-pinned versions; stats report them as pinned
+    stats = strm.merge_table_stats(target)
+    assert stats["snapshots"] == 1
+    assert stats["snapshot_only_versions"] > 0
+    assert stats["debris_versions"] == 0
+    strm.vacuum_merge_table(target)
+    assert sorted(
+        (r.user_id, r.event_id)
+        for r in strm.read_merged(spark, target, snapshot="train-run-1").collect()
+    ) == state_v1
+
+    # rollback: one atomic manifest put restores the pinned state
+    strm.rollback_merge_table(target, "train-run-1")
+    assert sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    ) == state_v1
+    # the superseded post-snapshot versions are now unreferenced debris
+    stats = strm.merge_table_stats(target)
+    assert stats["debris_versions"] > 0
+    removed = strm.vacuum_merge_table(target)
+    assert removed
+    assert sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    ) == state_v1
+
+    # drop the snapshot: its pin is gone, current manifest still protects
+    # the (identical) versions it references
+    assert strm.drop_snapshot(target, "train-run-1")
+    assert not strm.drop_snapshot(target, "train-run-1")
+    assert strm.vacuum_merge_table(target) == []
+    assert sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    ) == state_v1
