@@ -65,6 +65,14 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
 
+    # Load hygiene (VERDICT r4 item 6 / r5 item 6): sample the box's 1-min
+    # load BEFORE the session and warmup spin up 32 threads — the question
+    # the stamp answers is "was something ELSE loading the box", and
+    # reading after warmup conflates bench's own burst with contamination
+    # (r7: the IVF-PQ index build in warmup false-positived the stamp on an
+    # idle box).
+    load_before = round(os.getloadavg()[0], 2)
+
     from tesla_competitive_intelligence_etl_pipeline_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -115,14 +123,12 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    # Load hygiene (VERDICT r4 item 6 / r5 item 6): record the box's 1-min
-    # load average around the run so round-over-round comparisons can discard
-    # contaminated runs (r4's x7_cube showed a phantom 1.3x regression from a
-    # loaded box; r5's round artifact itself was recorded at loadavg 4.5).
-    load_before = round(os.getloadavg()[0], 2)
     # A busy box inflates every number — stamp the artifact LOUDLY instead of
     # exiting (the driver must still get its JSON line). This box idles ~1
-    # with the test JVMs parked; >2 means a concurrent heavy process.
+    # with the test JVMs parked; >2 at PROCESS START (sampled above, before
+    # the session/warmup) means a concurrent heavy process. r4's x7_cube
+    # showed a phantom 1.3x regression from a loaded box; r5's round artifact
+    # itself was recorded at loadavg 4.5.
     contaminated = load_before > 2.0
     if contaminated:
         print(

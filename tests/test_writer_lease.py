@@ -359,3 +359,32 @@ def test_build_past_ttl_not_reclaimed_midrun(spark, tmp_path):
     # completed build released its lease; centroids landed
     assert not os.path.exists(lease_path)
     assert spark.read.parquet(path + "/centroids").count() == 1
+
+
+def test_rollback_refuses_concurrent_writer(spark, tmp_path):
+    """rollback_merge_table is a writer op: under a held lease it must fail
+    loudly with the manifest untouched (a rollback racing a live merge
+    would resurrect superseded bucket versions mid-commit)."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    ev = spark.createDataFrame(
+        [(1, 100, 1, "a", 1.0)],
+        "event_id long, ts_s long, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    strm.merge_micro_batch(ev, target, n_buckets=2)
+    strm.snapshot_merge_table(target, "t1")
+    before = strm._load_manifest(target)
+
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, target, owner="writer-a")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        strm.rollback_merge_table(target, "t1")
+    assert strm._load_manifest(target) == before
+    mfs.release_writer_lease(mfs.LOCAL_FS, target, "writer-a")
+    assert strm.rollback_merge_table(target, "t1") == before
+    assert not os.path.exists(os.path.join(target, mfs.LEASE_NAME))
