@@ -113,3 +113,69 @@ def x9_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = strm.stream_events(spark, sf_dir)
     out = strm.foreach_batch_merge_latest(spark, ev)
     return out.select("user_id", "last_event_type", "last_value")
+
+
+@register(
+    "x9_merge_cdc",
+    """
+    WITH l2 AS (
+      SELECT user_id, event_type AS last_event_type, value AS last_value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    s2 AS (SELECT user_id, last_event_type, last_value, event_id FROM l2 WHERE rn = 1),
+    l1 AS (
+      SELECT user_id, event_type AS last_event_type, value AS last_value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+    ),
+    s1 AS (SELECT user_id, last_event_type, last_value, event_id FROM l1 WHERE rn = 1)
+    SELECT n.user_id, n.last_event_type, n.last_value, n.event_id,
+           'insert' AS _change_type
+    FROM s2 n LEFT JOIN s1 o ON n.user_id = o.user_id WHERE o.user_id IS NULL
+    UNION ALL
+    SELECT o.user_id, o.last_event_type, o.last_value, o.event_id,
+           'update_preimage' AS _change_type
+    FROM s1 o JOIN s2 n ON o.user_id = n.user_id WHERE o.event_id <> n.event_id
+    UNION ALL
+    SELECT n.user_id, n.last_event_type, n.last_value, n.event_id,
+           'update_postimage' AS _change_type
+    FROM s1 o JOIN s2 n ON o.user_id = n.user_id WHERE o.event_id <> n.event_id
+    UNION ALL
+    SELECT o.user_id, o.last_event_type, o.last_value, o.event_id,
+           'delete' AS _change_type
+    FROM s1 o LEFT JOIN s2 n ON o.user_id = n.user_id WHERE n.user_id IS NULL
+    """,
+)
+def x9_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9g: CDC incremental read over the merge gold table
+    (streaming/events.py read_changes) — merge the first two weeks of
+    events, snapshot (the state a training run read), merge the rest, then
+    read the delta since the snapshot: inserts, plus update pre/post-image
+    pairs where a later event advanced a user's state. Batches are split on
+    event time because merge_upsert is MERGE-semantics (the incoming batch
+    wins per key) — the contract assumes in-order ingestion, so the oracle's
+    "latest event overall" equals the merged state. The oracle recomputes
+    both pinned states from the raw events and diffs them in SQL; the
+    winning event's identity (event_id) decides row difference, exactly as
+    the engine's full-row compare does (the event row IS the payload). Diff
+    I/O is manifest-pruned to changed buckets (proven in
+    tests/test_streaming.py); the single shuffle is the key-equi full-outer
+    join."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+
+    ev = io_mod.load_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    target = tempfile.mkdtemp(prefix="cdc_") + "/gold"
+    strm.merge_micro_batch(ev.filter(F.col("ts") < cutoff), target)
+    strm.snapshot_merge_table(target, "base")
+    strm.merge_micro_batch(ev.filter(F.col("ts") >= cutoff), target)
+    return strm.read_changes(spark, target, since="base").select(
+        "user_id", "last_event_type", "last_value", "event_id", "_change_type"
+    )
