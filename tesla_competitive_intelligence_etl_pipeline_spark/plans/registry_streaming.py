@@ -179,3 +179,68 @@ def x9_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strm.read_changes(spark, target, since="base").select(
         "user_id", "last_event_type", "last_value", "event_id", "_change_type"
     )
+
+
+@register(
+    "x1_cdc_incremental_dedup",
+    """
+    WITH crawl AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' (revised)' AS text
+      FROM documents WHERE doc_id >= 50 AND doc_id < 100
+    ),
+    base_h AS (SELECT DISTINCT md5(text) AS h FROM documents)
+    SELECT c.doc_id, (b.h IS NOT NULL) AS is_dup
+    FROM (SELECT doc_id, md5(text) AS h FROM crawl) c
+    LEFT JOIN base_h b ON c.h = b.h
+    """,
+)
+def x1_cdc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-1/X-9 composition — the incremental-crawl story end to end: the
+    corpus lives in a schema-generic merge gold table keyed by doc_id
+    (merge_table); a training run snapshots it; a new crawl batch (50 exact
+    copies under fresh ids + 50 revised texts) merges in; read_changes
+    yields ONLY the inserted docs, and exact dedup flags each against the
+    PINNED base state by md5 — so steady-state dedup cost is O(delta), not
+    O(corpus). Hashes are projected before the join (the shuffle carries
+    (doc_id, 16-byte md5), never text — the dedup discipline); the base
+    side is NOT broadcast (at 100 TB it is the full corpus hash set). The
+    oracle recomputes the crawl and the flag in SQL."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    crawl = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" (revised)")).alias("text"),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="cdc_docs_") + "/corpus"
+    strm.merge_table(docs, target, keys=["doc_id"], order_cols=["doc_id"])
+    strm.snapshot_merge_table(target, "base")
+    strm.merge_table(crawl, target, keys=["doc_id"], order_cols=["doc_id"])
+
+    new_docs = strm.read_changes(spark, target, since="base").filter(
+        F.col("_change_type") == "insert"
+    )
+    base_h = (
+        strm.read_merged(spark, target, snapshot="base")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        new_docs.select("doc_id", F.md5("text").alias("h"))
+        .join(base_h, "h", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup")
+        )
+    )

@@ -333,6 +333,17 @@ def read_merged(
     ]
     if not paths:
         return None
+    if "schema" in manifest:
+        # schema evolution: the manifest records the table schema AS OF its
+        # commit (snapshots pin it too — a time-travel read gets the as-of
+        # schema). Reading with the EXPLICIT schema makes buckets whose
+        # files predate a later-added column null-fill it by name, without
+        # the per-file footer merge of mergeSchema.
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(manifest["schema"])
+        ).parquet(*paths)
     return spark.read.parquet(*paths)
 
 
@@ -375,22 +386,33 @@ def read_changes(
         new_m = _load_manifest(target, fs)
         if new_m is None:
             raise ValueError(f"no committed state at {target}")
-    keys = keys or ["user_id"]
+    if keys is None:
+        params = _table_params(target, fs)
+        # pre-sidecar tables are the events gold schema
+        keys = params["keys"] if params else ["user_id"]
 
     old_b, new_b = old_m["buckets"], new_m["buckets"]
     changed = sorted(
         b for b in set(old_b) | set(new_b) if old_b.get(b) != new_b.get(b)
     )
 
-    def _side(man_buckets: dict) -> DataFrame | None:
+    def _side(man: dict) -> DataFrame | None:
         paths = [
-            os.path.join(target, man_buckets[b])
+            os.path.join(target, man["buckets"][b])
             for b in changed
-            if b in man_buckets
+            if b in man["buckets"]
         ]
-        return spark.read.parquet(*paths) if paths else None
+        if not paths:
+            return None
+        if "schema" in man:  # each side reads with ITS as-of schema
+            from pyspark.sql.types import StructType
 
-    old_df, new_df = _side(old_b), _side(new_b)
+            return spark.read.schema(
+                StructType.fromJson(man["schema"])
+            ).parquet(*paths)
+        return spark.read.parquet(*paths)
+
+    old_df, new_df = _side(old_m), _side(new_m)
     if old_df is None and new_df is None:
         # identical manifests — empty diff with the current-state schema
         ref = read_merged(spark, target, fs=fs, snapshot=since)
@@ -400,6 +422,18 @@ def read_changes(
         old_df = spark.createDataFrame([], new_df.schema)
     elif new_df is None:
         new_df = spark.createDataFrame([], old_df.schema)
+
+    # schema evolution across the diff: the output uses the UNTIL side's
+    # schema (Delta-CDF convention); columns it added since ``since`` are
+    # typed nulls on the old side, columns it dropped are not emitted
+    new_fields = {f.name: f.dataType for f in new_df.schema.fields}
+    old_have = set(old_df.columns)
+    old_df = old_df.select(
+        *[
+            F.col(c) if c in old_have else F.lit(None).cast(t).alias(c)
+            for c, t in new_fields.items()
+        ]
+    )
 
     # __bucket is write-routing metadata, not data — keep it out of both the
     # change comparison and the output
@@ -562,21 +596,72 @@ def merge_table_stats(
     return stats
 
 
-def merge_micro_batch(
+_PARAMS = "_PARAMS.json"
+
+
+def _table_params(
+    target: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
+) -> dict | None:
+    """The table's pinned merge parameters (keys, order_cols, n_buckets),
+    written once at creation. None => table predates the sidecar (or no
+    table yet)."""
+    import json
+    import os
+
+    path = os.path.join(target, _PARAMS)
+    if not fs.exists(path):
+        return None
+    return json.loads(fs.read_bytes(path).decode())
+
+
+def _check_or_pin_params(
+    target: str, fs, keys: list[str], order_cols: list, n_buckets: int
+) -> None:
+    """Guard against a merge that silently shreds the table: bucket routing
+    is pmod(xxhash64(*keys), n_buckets), so merging with DIFFERENT keys or
+    n_buckets than the table was created with would route the same logical
+    key to a different bucket and duplicate it. The first (leased) merge
+    pins the parameters in a _PARAMS.json sidecar; every later merge
+    validates against it and raises on mismatch (same pattern as the LSH
+    signature table's hash-family guard). Called under the writer lease, so
+    create-then-validate cannot race another merger."""
+    import json
+    import os
+
+    want = {"keys": list(keys), "order_cols": [str(c) for c in order_cols],
+            "n_buckets": int(n_buckets)}
+    have = _table_params(target, fs)
+    if have is None:
+        fs.put_atomic(os.path.join(target, _PARAMS), json.dumps(want).encode())
+        return
+    if have != want:
+        raise ValueError(
+            f"merge parameters {want} do not match the table's pinned "
+            f"parameters {have} at {target} — merging with different keys "
+            "or n_buckets would mis-route rows; create a new table instead"
+        )
+
+
+def merge_table(
     batch: DataFrame,
     target: str,
+    keys: list[str],
+    order_cols: list,
     n_buckets: int = 16,
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
     lease_owner: str | None = None,
     lease_ttl_sec: float = 3600.0,
 ) -> None:
-    """MERGE one (micro-)batch into the bucket-versioned gold table at
-    ``target`` with a TWO-PHASE commit (VERDICT r3 item 7 — the previous
-    dynamic-partition-overwrite committed per partition, so a crash between
-    two bucket swaps could expose a torn batch).
+    """MERGE one (micro-)batch of ANY schema into the bucket-versioned gold
+    table at ``target``, keyed by ``keys``, with a TWO-PHASE commit
+    (VERDICT r3 item 7 — the previous dynamic-partition-overwrite committed
+    per partition, so a crash between two bucket swaps could expose a torn
+    batch). MERGE semantics: the incoming batch wins per key (ties inside
+    the batch broken by ``order_cols`` descending) — the contract assumes
+    in-order ingestion, as micro-batch pipelines provide.
 
     I/O stays proportional to the batch's key range, not the table:
-    - keys hash to ``__bucket = pmod(xxhash64(user_id), n_buckets)``;
+    - keys hash to ``__bucket = pmod(xxhash64(*keys), n_buckets)``;
     - only the buckets PRESENT IN THE BATCH are read back (manifest-pruned)
       and merged;
     - phase 1 writes the merged buckets to ``.staging/<version>`` and moves
@@ -598,20 +683,16 @@ def merge_micro_batch(
     query id pass it as ``lease_owner`` to re-enter their own lease; a
     lease stranded by a crash expires after ``lease_ttl_sec`` (or
     break_writer_lease after confirming the writer died).
+
+    The first merge pins (keys, order_cols, n_buckets) in a _PARAMS.json
+    sidecar; later merges with different parameters raise instead of
+    mis-routing rows (_check_or_pin_params).
     """
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
 
     latest = topk.dedup_last_write_wins(
-        batch.select(
-            "user_id",
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
-            "ts",
-            "event_id",
-        ),
-        keys=["user_id"],
-        order_cols=["ts", "event_id"],
-    ).withColumn("__bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
+        batch, keys=keys, order_cols=order_cols
+    ).withColumn("__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)))
     # tiny driver-side list (<= n_buckets values) used for manifest pruning
     touched = sorted(r["__bucket"] for r in latest.select("__bucket").distinct().collect())
     if not touched:
@@ -625,14 +706,46 @@ def merge_micro_batch(
         # buckets can outlive a conservative TTL; the background re-stamp
         # keeps the lease live for the whole read-merge-commit body.
         with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
-            _merge_locked(latest, target, touched, fs)
+            _check_or_pin_params(target, fs, keys, order_cols, n_buckets)
+            _merge_locked(latest, target, touched, fs, keys, order_cols)
     finally:
         merge_fs.release_writer_lease(fs, target, token)
 
 
-def _merge_locked(latest, target: str, touched: list[int], fs) -> None:
-    """merge_micro_batch's read-merge-commit body, run under the writer
-    lease."""
+def merge_micro_batch(
+    batch: DataFrame,
+    target: str,
+    n_buckets: int = 16,
+    fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
+    lease_owner: str | None = None,
+    lease_ttl_sec: float = 3600.0,
+) -> None:
+    """The events gold table (latest event per user): project the events
+    batch to the gold schema and MERGE keyed by user_id — a thin wrapper
+    over the schema-generic merge_table (see it for the commit protocol,
+    lease, and scale contract)."""
+    merge_table(
+        batch.select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            "ts",
+            "event_id",
+        ),
+        target,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        n_buckets=n_buckets,
+        fs=fs,
+        lease_owner=lease_owner,
+        lease_ttl_sec=lease_ttl_sec,
+    )
+
+
+def _merge_locked(
+    latest, target: str, touched: list[int], fs, keys: list[str], order_cols: list
+) -> None:
+    """merge_table's read-merge-commit body, run under the writer lease."""
     import os
 
     sess = latest.sparkSession
@@ -642,8 +755,21 @@ def _merge_locked(latest, target: str, touched: list[int], fs) -> None:
         current = sess.createDataFrame([], latest.schema)
     else:
         current = current.filter(F.col("__bucket").isin(touched))
+    # schema evolution guard: a batch may ADD columns (old rows null-fill)
+    # or omit columns (incoming rows get null there — MERGE replaces the
+    # whole row), but a same-named column changing TYPE would corrupt the
+    # explicit-schema read of untouched buckets — refuse loudly.
+    cur_types = {f.name: f.dataType for f in current.schema.fields}
+    for f in latest.schema.fields:
+        if f.name in cur_types and cur_types[f.name] != f.dataType:
+            raise ValueError(
+                f"column {f.name!r} changes type "
+                f"{cur_types[f.name].simpleString()} -> "
+                f"{f.dataType.simpleString()}; schema evolution supports "
+                "adding columns, not retyping them"
+            )
     merged = merge_mod.merge_upsert(
-        current, latest, keys=["user_id"], order_cols=["ts", "event_id"]
+        current, latest, keys=keys, order_cols=order_cols
     )
 
     # ---- phase 1: stage the new bucket versions (reader-invisible) --------
@@ -668,6 +794,14 @@ def _merge_locked(latest, target: str, touched: list[int], fs) -> None:
     # ---- phase 2: atomic commit ------------------------------------------
     old_rels = {b: manifest["buckets"].get(b) for b in new_rels}
     manifest["buckets"].update(new_rels)
+    # the table schema AS OF this commit (all-nullable: evolved columns are
+    # null in pre-evolution rows) — snapshots copy the manifest, so every
+    # pinned state carries its own schema
+    from pyspark.sql.types import StructField, StructType
+
+    manifest["schema"] = StructType(
+        [StructField(f.name, f.dataType, True) for f in merged.schema.fields]
+    ).jsonValue()
     import json
 
     # THE commit point: one atomic full-object put of the manifest

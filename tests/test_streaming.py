@@ -812,3 +812,116 @@ def test_read_changes_cdc_between_snapshots(spark, tmp_path):
     same = strm.read_changes(spark, target, since="v2", until="v2")
     assert same.count() == 0
     assert same.columns[-1] == "_change_type"
+
+
+def test_generic_merge_table_params_guard_and_cdc(spark, tmp_path):
+    """merge_table is schema-generic: a documents gold table keyed by
+    doc_id merges/snapshots/CDCs exactly like the events one; the _PARAMS
+    sidecar pins (keys, order_cols, n_buckets) at creation and a later
+    merge with different parameters raises instead of mis-routing rows."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    target = str(tmp_path / "docs_gold")
+    docs = spark.createDataFrame(
+        [(1, "alpha", "web"), (2, "beta", "web"), (3, "gamma", "book")],
+        "doc_id long, text string, source string",
+    )
+    strm.merge_table(docs, target, keys=["doc_id"], order_cols=["doc_id"],
+                     n_buckets=4)
+    assert strm._table_params(target) == {
+        "keys": ["doc_id"], "order_cols": ["doc_id"], "n_buckets": 4,
+    }
+    strm.snapshot_merge_table(target, "base")
+
+    # different n_buckets / keys / order_cols all refuse; table untouched
+    more = spark.createDataFrame(
+        [(4, "delta", "web"), (2, "beta v2", "web")],
+        "doc_id long, text string, source string",
+    )
+    for kw in ({"n_buckets": 8}, {"keys": ["source"]},
+               {"order_cols": ["source"]}):
+        args = {"keys": ["doc_id"], "order_cols": ["doc_id"], "n_buckets": 4}
+        args.update(kw)
+        with pytest.raises(ValueError, match="pinned"):
+            strm.merge_table(more, target, **args)
+    assert strm.read_merged(spark, target).count() == 3
+
+    # matching params merge fine; CDC defaults its keys from the sidecar
+    strm.merge_table(more, target, keys=["doc_id"], order_cols=["doc_id"],
+                     n_buckets=4)
+    ch = sorted(
+        (r.doc_id, r._change_type, r.text)
+        for r in strm.read_changes(spark, target, since="base").collect()
+    )
+    assert ch == [
+        (2, "update_postimage", "beta v2"),
+        (2, "update_preimage", "beta"),
+        (4, "insert", "delta"),
+    ]
+
+    # the lease serializes the param pin itself
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, target, owner="other")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        strm.merge_table(more, target, keys=["doc_id"], order_cols=["doc_id"],
+                         n_buckets=4)
+    mfs.release_writer_lease(mfs.LOCAL_FS, target, "other")
+
+
+def test_merge_table_schema_evolution(spark, tmp_path):
+    """Adding a column in a later batch evolves the table: the manifest
+    records the schema as of each commit, so current reads null-fill the
+    new column for buckets whose files predate it, a snapshot's time-travel
+    read keeps its AS-OF schema (no new column), CDC across the evolution
+    emits the until-side schema with typed nulls in pre-evolution images,
+    and a same-named column changing TYPE refuses loudly."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "docs_gold")
+    v1 = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(8)], "doc_id long, text string"
+    )
+    strm.merge_table(v1, target, keys=["doc_id"], order_cols=["doc_id"],
+                     n_buckets=4)
+    strm.snapshot_merge_table(target, "v1")
+
+    # evolved batch: updates doc 1, inserts doc 99, adds `quality`
+    v2 = spark.createDataFrame(
+        [(1, "text-1 v2", 0.9), (99, "fresh", 0.5)],
+        "doc_id long, text string, quality double",
+    )
+    strm.merge_table(v2, target, keys=["doc_id"], order_cols=["doc_id"],
+                     n_buckets=4)
+
+    cur = strm.read_merged(spark, target)
+    assert "quality" in cur.columns
+    got = {r.doc_id: (r.text, r.quality) for r in cur.collect()}
+    assert got[1] == ("text-1 v2", 0.9) and got[99] == ("fresh", 0.5)
+    # rows in buckets NEVER rewritten since evolution still read, null-filled
+    assert len(got) == 9 and got[5] == ("text-5", None)
+
+    # the pinned snapshot keeps its as-of schema: no quality column at all
+    pinned = strm.read_merged(spark, target, snapshot="v1")
+    assert "quality" not in pinned.columns
+    assert pinned.count() == 8
+
+    # CDC across the evolution: until-side schema, typed nulls in preimages
+    ch = {(r.doc_id, r._change_type): (r.text, r.quality)
+          for r in strm.read_changes(spark, target, since="v1").collect()}
+    assert ch == {
+        (1, "update_preimage"): ("text-1", None),
+        (1, "update_postimage"): ("text-1 v2", 0.9),
+        (99, "insert"): ("fresh", 0.5),
+    }
+
+    # retyping an existing column refuses before any write
+    bad = spark.createDataFrame([(2, 123, 0.1)],
+                                "doc_id long, text long, quality double")
+    with pytest.raises(ValueError, match="changes type"):
+        strm.merge_table(bad, target, keys=["doc_id"], order_cols=["doc_id"],
+                         n_buckets=4)
+    assert {r.doc_id: r.text for r in strm.read_merged(spark, target).collect()}[2] == "text-2"
