@@ -1585,3 +1585,89 @@ def near_dedup_canonical_portable(
     )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def append_signature_table(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fs=None,
+    lease_owner: str | None = None,
+) -> int:
+    """Incremental signature maintenance — the crawl-loop closer: after an
+    increment is deduped against the stored table
+    (cross_corpus_neardup_indexed), its surviving docs' signatures append
+    HERE, so the NEXT increment dedups against base + all prior increments.
+    Cost is O(batch) shingling plus the append write — the existing
+    corpus's text and signatures are never re-read, keeping steady-state
+    ingest flat in corpus size (SCALING.md's measured property).
+
+    Parameters (num_hashes, shingle_n, hash family) are read FROM the
+    table's ``_params`` sidecar — an append cannot be mis-parameterized the
+    way a query can, it simply computes whatever the table stores; both
+    the xxhash64 production family and the md5-portable family are
+    supported. A table without a sidecar refuses (an append cannot guess).
+
+    Crash-safe like ivf_index_append: the batch stages in a dot-prefixed
+    dir and commits through the atomic-marker protocol
+    (operators/index_commit) — a crash leaves the table exactly pre- or
+    post-append, healed by recover_signature_table on restart. Serialized
+    against rebuilds and other appenders on the sibling writer lease
+    (write_signature_table's lock scope). Returns rows appended, observed
+    on the same evaluation as the write."""
+    from pyspark.sql import Observation
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    spark = new_docs.sparkSession
+    lock_scope = path.rstrip("/") + ".lock"
+    token = mfs.acquire_writer_lease(fs, lock_scope, owner=lease_owner)
+    try:
+        with mfs.lease_heartbeat(fs, lock_scope, token):
+            stored = spark.read.parquet(path + "/_params").first()
+            num_hashes = int(stored["num_hashes"])
+            shingle_n = int(stored["shingle_n"])
+            family = stored.asDict().get("family")
+            if family == "md5":
+                assert shingle_n == 3, "portable shingles are trigram-only"
+                sigs = new_docs.select(
+                    F.col(id_col).alias("doc_id"),
+                    portable_hashed_shingles(F.col(text_col)).alias("sh"),
+                ).withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes))
+            elif family == "xxhash64":
+                sigs = _with_shingles_and_sig(
+                    new_docs, text_col, id_col, num_hashes, shingle_n
+                )
+            else:
+                raise ValueError(
+                    f"signature table at {path} has family={family!r}; "
+                    "appending needs a known hash family ('xxhash64' or "
+                    "'md5') — rebuild the table to stamp one"
+                )
+            obs = Observation()
+            sigs = sigs.observe(obs, F.count(F.lit(1)).alias("n"))
+            tag, staging = index_commit.new_staging(path)
+            sigs.write.parquet(staging)
+            index_commit.commit_staged_append(fs, path, tag)
+            return int(obs.get["n"])
+    finally:
+        mfs.release_writer_lease(fs, lock_scope, token)
+
+
+def recover_signature_table(path: str, fs=None) -> dict:
+    """Restart healing for append_signature_table: roll every marked append
+    forward, drop marker-less staging as pre-commit debris. Idempotent;
+    takes the same sibling writer lease as the builders/appenders."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    lock_scope = path.rstrip("/") + ".lock"
+    token = mfs.acquire_writer_lease(fs, lock_scope)
+    try:
+        return index_commit.recover_appends(fs, path)
+    finally:
+        mfs.release_writer_lease(fs, lock_scope, token)

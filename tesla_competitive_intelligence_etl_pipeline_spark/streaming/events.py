@@ -387,8 +387,9 @@ def read_changes(
         if new_m is None:
             raise ValueError(f"no committed state at {target}")
     if keys is None:
-        params = _table_params(target, fs)
-        # pre-sidecar tables are the events gold schema
+        # the until side's recorded params (pre-params manifests are the
+        # events gold schema)
+        params = new_m.get("params")
         keys = params["keys"] if params else ["user_id"]
 
     old_b, new_b = old_m["buckets"], new_m["buckets"]
@@ -596,50 +597,41 @@ def merge_table_stats(
     return stats
 
 
-_PARAMS = "_PARAMS.json"
-
-
 def _table_params(
     target: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
 ) -> dict | None:
-    """The table's pinned merge parameters (keys, order_cols, n_buckets),
-    written once at creation. None => table predates the sidecar (or no
-    table yet)."""
-    import json
-    import os
-
-    path = os.path.join(target, _PARAMS)
-    if not fs.exists(path):
-        return None
-    return json.loads(fs.read_bytes(path).decode())
+    """The table's merge parameters (keys, order_cols, n_buckets), recorded
+    IN the manifest at every commit — versioned state, not a sidecar, so a
+    rollback to a snapshot restores the bucketing that was in force when it
+    was pinned (a rebucket_merge_table between pin and rollback would
+    otherwise leave stale routing parameters behind). None => no table yet
+    (or a pre-params manifest)."""
+    m = _load_manifest(target, fs)
+    return None if m is None else m.get("params")
 
 
-def _check_or_pin_params(
-    target: str, fs, keys: list[str], order_cols: list, n_buckets: int
+def _check_params(
+    manifest: dict, target: str, keys: list[str], order_cols: list, n_buckets: int
 ) -> None:
     """Guard against a merge that silently shreds the table: bucket routing
     is pmod(xxhash64(*keys), n_buckets), so merging with DIFFERENT keys or
-    n_buckets than the table was created with would route the same logical
-    key to a different bucket and duplicate it. The first (leased) merge
-    pins the parameters in a _PARAMS.json sidecar; every later merge
-    validates against it and raises on mismatch (same pattern as the LSH
-    signature table's hash-family guard). Called under the writer lease, so
-    create-then-validate cannot race another merger."""
-    import json
-    import os
-
+    n_buckets than the table's current manifest records would route the
+    same logical key to a different bucket and duplicate it. The first
+    merge pins the parameters into the manifest; every later merge
+    validates and raises on mismatch (same pattern as the LSH signature
+    table's hash-family guard). Runs under the writer lease, before any
+    staging I/O."""
     want = {"keys": list(keys), "order_cols": [str(c) for c in order_cols],
             "n_buckets": int(n_buckets)}
-    have = _table_params(target, fs)
-    if have is None:
-        fs.put_atomic(os.path.join(target, _PARAMS), json.dumps(want).encode())
-        return
-    if have != want:
+    have = manifest.get("params")
+    if have is not None and have != want:
         raise ValueError(
             f"merge parameters {want} do not match the table's pinned "
             f"parameters {have} at {target} — merging with different keys "
-            "or n_buckets would mis-route rows; create a new table instead"
+            "or n_buckets would mis-route rows; rebucket_merge_table "
+            "changes n_buckets atomically, or create a new table"
         )
+    manifest["params"] = want  # written by the commit's manifest put
 
 
 def merge_table(
@@ -706,8 +698,7 @@ def merge_table(
         # buckets can outlive a conservative TTL; the background re-stamp
         # keeps the lease live for the whole read-merge-commit body.
         with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
-            _check_or_pin_params(target, fs, keys, order_cols, n_buckets)
-            _merge_locked(latest, target, touched, fs, keys, order_cols)
+            _merge_locked(latest, target, touched, fs, keys, order_cols, n_buckets)
     finally:
         merge_fs.release_writer_lease(fs, target, token)
 
@@ -742,14 +733,131 @@ def merge_micro_batch(
     )
 
 
+def _nullable_schema_json(schema) -> dict:
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    ).jsonValue()
+
+
+def _stage_bucket_versions(
+    df, target: str, buckets: list[int], fs
+) -> tuple[dict, str]:
+    """Phase-1 of the commit protocol: write ``df`` (carrying __bucket) to a
+    dot-prefixed staging dir, one sub-dir per bucket, and move each present
+    bucket dir to ``store/<bucket>/<version>`` — all invisible to readers
+    until a manifest names it. Returns ({bucket: rel_path}, staging_dir)."""
+    import os
+
+    version = uuid.uuid4().hex[:12]
+    staging = os.path.join(target, ".staging", version)
+    # __bucket stays a DATA column in the files; __bucket_p only routes the
+    # write into one dir per bucket for the per-bucket moves below
+    df.withColumn("__bucket_p", F.col("__bucket")).write.partitionBy(
+        "__bucket_p"
+    ).parquet(staging)
+    new_rels: dict[str, str] = {}
+    for i, b in enumerate(buckets):
+        src_dir = os.path.join(staging, f"__bucket_p={b}")
+        dst_rel = os.path.join("store", str(b), version)
+        dst = os.path.join(target, dst_rel)
+        if fs.exists(src_dir):
+            fs.rename(src_dir, dst)  # may be copy+delete — still invisible
+            new_rels[str(b)] = dst_rel
+        if _after_bucket_move_hook is not None:
+            _after_bucket_move_hook(i, len(buckets))
+    return new_rels, staging
+
+
+def rebucket_merge_table(
+    spark: SparkSession,
+    target: str,
+    n_buckets: int,
+    fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
+    lease_owner: str | None = None,
+    lease_ttl_sec: float = 3600.0,
+) -> dict:
+    """Change the table's bucket count in ONE atomic commit — the scale-up
+    path for a table whose creation-time ``n_buckets`` no longer fits its
+    volume (a 100 TB table stuck at 16 buckets makes every merge rewrite
+    ~1/16th of the table; re-spreading to 4096 restores
+    batch-proportional merge I/O). The whole table is re-routed through
+    ``pmod(xxhash64(*keys), n_buckets)`` — deliberately O(table), the one
+    full-rewrite maintenance op, like a table-format OPTIMIZE — staged
+    invisibly and committed with a single manifest put that also updates
+    the pinned params, so readers flip atomically and a crash anywhere
+    leaves the old bucketing intact. Snapshot-pinned versions survive
+    (their manifests keep the OLD bucket map and params; time-travel reads
+    and rollbacks restore the old bucketing wholesale). CDC across a
+    rebucket sees every bucket as changed and degrades to a full-table
+    diff — correct, but schedule CDC consumers before the rebucket.
+    Returns the new manifest."""
+    import json
+    import os
+
+    token = merge_fs.acquire_writer_lease(
+        fs, target, owner=lease_owner, ttl_sec=lease_ttl_sec
+    )
+    try:
+        with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
+            manifest = _load_manifest(target, fs)
+            if manifest is None:
+                raise ValueError(f"no committed state to rebucket at {target}")
+            params = manifest.get("params")
+            if params is None:
+                raise ValueError(
+                    f"table at {target} predates pinned params; merge once "
+                    "to record them before rebucketing"
+                )
+            if int(n_buckets) == int(params["n_buckets"]):
+                return manifest
+            keys = params["keys"]
+            cur = read_merged(spark, target, fs=fs)
+            df = cur.drop("__bucket").withColumn(
+                "__bucket", F.pmod(F.xxhash64(*keys), F.lit(int(n_buckets)))
+            )
+            new_rels, staging = _stage_bucket_versions(
+                df, target, list(range(int(n_buckets))), fs
+            )
+            old_rels = dict(manifest["buckets"])
+            new_manifest = {
+                "buckets": new_rels,
+                "params": {**params, "n_buckets": int(n_buckets)},
+                "schema": _nullable_schema_json(df.schema),
+            }
+            # THE commit point — readers flip to the new bucketing atomically
+            fs.put_atomic(
+                _manifest_path(target), json.dumps(new_manifest).encode()
+            )
+            # best-effort GC of the entire old generation (spare pins)
+            pinned: set[str] = set()
+            for tag in list_snapshots(target, fs):
+                pinned |= _referenced_rels(_load_snapshot(target, tag, fs))
+            for rel in old_rels.values():
+                if os.path.normpath(rel) not in pinned:
+                    fs.rmtree(os.path.join(target, rel))
+            fs.rmtree(staging)
+            return new_manifest
+    finally:
+        merge_fs.release_writer_lease(fs, target, token)
+
+
 def _merge_locked(
-    latest, target: str, touched: list[int], fs, keys: list[str], order_cols: list
+    latest,
+    target: str,
+    touched: list[int],
+    fs,
+    keys: list[str],
+    order_cols: list,
+    n_buckets: int,
 ) -> None:
     """merge_table's read-merge-commit body, run under the writer lease."""
     import os
 
     sess = latest.sparkSession
     manifest = _load_manifest(target, fs) or {"buckets": {}}
+    _check_params(manifest, target, keys, order_cols, n_buckets)
     current = read_merged(sess, target, buckets=touched, fs=fs)
     if current is None:  # none of the touched buckets committed yet
         current = sess.createDataFrame([], latest.schema)
@@ -773,23 +881,7 @@ def _merge_locked(
     )
 
     # ---- phase 1: stage the new bucket versions (reader-invisible) --------
-    version = uuid.uuid4().hex[:12]
-    staging = os.path.join(target, ".staging", version)
-    # __bucket stays a DATA column in the files; __bucket_p only routes the
-    # write into one dir per bucket for the per-bucket moves below
-    merged.withColumn("__bucket_p", F.col("__bucket")).write.partitionBy(
-        "__bucket_p"
-    ).parquet(staging)
-    new_rels: dict[str, str] = {}
-    for i, b in enumerate(touched):
-        src_dir = os.path.join(staging, f"__bucket_p={b}")
-        dst_rel = os.path.join("store", str(b), version)
-        dst = os.path.join(target, dst_rel)
-        if fs.exists(src_dir):
-            fs.rename(src_dir, dst)  # may be copy+delete — still invisible
-            new_rels[str(b)] = dst_rel
-        if _after_bucket_move_hook is not None:
-            _after_bucket_move_hook(i, len(touched))
+    new_rels, staging = _stage_bucket_versions(merged, target, touched, fs)
 
     # ---- phase 2: atomic commit ------------------------------------------
     old_rels = {b: manifest["buckets"].get(b) for b in new_rels}
@@ -797,11 +889,7 @@ def _merge_locked(
     # the table schema AS OF this commit (all-nullable: evolved columns are
     # null in pre-evolution rows) — snapshots copy the manifest, so every
     # pinned state carries its own schema
-    from pyspark.sql.types import StructField, StructType
-
-    manifest["schema"] = StructType(
-        [StructField(f.name, f.dataType, True) for f in merged.schema.fields]
-    ).jsonValue()
+    manifest["schema"] = _nullable_schema_json(merged.schema)
     import json
 
     # THE commit point: one atomic full-object put of the manifest

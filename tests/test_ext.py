@@ -1505,3 +1505,68 @@ def test_compact_ivfpq_index_compacts_both_tables_and_preserves_search(
         ).collect()
     ]
     assert after_topk == before_topk
+
+
+def test_append_signature_table_closes_the_crawl_loop(spark, tmp_path):
+    """After increment A is deduped and APPENDED, an increment B that
+    near-dups ONLY A (not the base corpus) must be caught by the stored
+    table — and the appended table must row-equal a from-scratch rebuild
+    over base+A (deterministic signatures). Both hash families; parameters
+    come from the _params sidecar; a paramless table refuses; a held
+    sibling lease refuses."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    base_text = " ".join(f"tok{j}" for j in range(40))
+    other = " ".join(f"w{j}" for j in range(40))
+    a_text = " ".join(f"z{j}" for j in range(40))
+    existing = spark.createDataFrame(
+        [(100, base_text), (102, other)], "doc_id long, text string"
+    )
+    inc_a = spark.createDataFrame([(1, a_text)], "doc_id long, text string")
+    inc_b = spark.createDataFrame(
+        [(2, a_text + " fresh")], "doc_id long, text string"
+    )
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, tuple(r.sh), tuple(r.sig)) for r in df.collect()
+        )
+
+    cases = [
+        (dd.write_signature_table, dd.cross_corpus_neardup_indexed, "xxhash64"),
+        (dd.write_signature_table_portable,
+         dd.cross_corpus_neardup_indexed_portable, "md5"),
+    ]
+    for writer, query, fam in cases:
+        sig_path = str(tmp_path / f"sigs_{fam}")
+        writer(existing, sig_path)
+        # A is genuinely new vs the base...
+        assert query(inc_a, spark, sig_path, threshold=0.5).count() == 0
+        assert dd.append_signature_table(inc_a, sig_path) == 1
+        # ...and B, which near-dups only A, is caught by the stored table
+        pairs = query(inc_b, spark, sig_path, threshold=0.5).collect()
+        assert {(p.doc_id, p.match_id) for p in pairs} == {(2, 1)}
+
+        # appended table == from-scratch rebuild over base+A
+        rebuilt = str(tmp_path / f"rebuilt_{fam}")
+        writer(existing.unionByName(inc_a), rebuilt)
+        assert canon(spark.read.parquet(sig_path)) == canon(
+            spark.read.parquet(rebuilt)
+        )
+
+    # a held sibling lease refuses the append
+    sig_path = str(tmp_path / "sigs_xxhash64")
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, sig_path + ".lock", owner="other")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        dd.append_signature_table(inc_b, sig_path)
+    mfs.release_writer_lease(mfs.LOCAL_FS, sig_path + ".lock", "other")
+
+    # a paramless table refuses — an append cannot guess its family
+    import shutil
+
+    shutil.rmtree(sig_path + "/_params")
+    with pytest.raises(AnalysisException):
+        dd.append_signature_table(inc_b, sig_path)

@@ -242,3 +242,80 @@ def test_ivfpq_append_crash_at_every_op_never_tears_either_table(
         ).collect()
     ]
     assert got == want
+
+
+def test_signature_append_crash_at_every_op_never_tears(spark, tmp_path):
+    """append_signature_table commits through the same atomic-marker
+    protocol as the index appends — crash after EVERY mutating fs op, heal
+    with recover_signature_table, and require the stored table to be
+    exactly pre- or post-append, with both sides of the commit point
+    exercised and a clean retry after every rollback."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, " ".join(f"new_{j}" for j in range(30))),
+         (101, " ".join(f"other_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+
+    def sig_rows(path):
+        return sorted(
+            (r.doc_id, tuple(r.sh), tuple(r.sig))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    pristine = str(tmp_path / "pristine")
+    dd.write_signature_table(base, pristine)
+    before = sig_rows(pristine)
+
+    probe = str(tmp_path / "probe")
+    shutil.copytree(pristine, probe)
+    probe_fs = mfs.NonAtomicRenameFS()
+    assert dd.append_signature_table(batch, probe, fs=probe_fs) == 2
+    after = sig_rows(probe)
+    assert len(after) == len(before) + 2
+    total_ops = probe_fs.ops
+    assert total_ops >= 3
+
+    outcomes = set()
+    for crash_at in range(total_ops):
+        path = str(tmp_path / f"run{crash_at}")
+        shutil.copytree(pristine, path)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            dd.append_signature_table(batch, path, fs=fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            mfs.break_writer_lease(mfs.LOCAL_FS, path + ".lock")
+        dd.recover_signature_table(path)
+        got = sig_rows(path)
+        assert got in (before, after), f"torn append at crash op {crash_at}"
+        outcomes.add("rolled_back" if got == before else "rolled_forward")
+        if got == before:
+            assert dd.append_signature_table(batch, path) == 2
+            assert sig_rows(path) == after
+        shutil.rmtree(path)
+    assert outcomes == {"rolled_back", "rolled_forward"}
+
+    # the healed table answers the crawl-dedup query identically to the
+    # never-crashed one
+    healed = str(tmp_path / "healed")
+    shutil.copytree(pristine, healed)
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=total_ops - 1)
+    try:
+        dd.append_signature_table(batch, healed, fs=fs)
+    except mfs.NonAtomicRenameFS.InjectedCrash:
+        mfs.break_writer_lease(mfs.LOCAL_FS, healed + ".lock")
+    dd.recover_signature_table(healed)
+    probe_q = spark.createDataFrame(
+        [(7, " ".join(f"new_{j}" for j in range(30)) + " tail")],
+        "doc_id long, text string",
+    )
+    want = sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
+        probe_q, spark, probe, threshold=0.5).collect())
+    got = sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
+        probe_q, spark, healed, threshold=0.5).collect())
+    assert got == want and len(got) == 1

@@ -925,3 +925,62 @@ def test_merge_table_schema_evolution(spark, tmp_path):
         strm.merge_table(bad, target, keys=["doc_id"], order_cols=["doc_id"],
                          n_buckets=4)
     assert {r.doc_id: r.text for r in strm.read_merged(spark, target).collect()}[2] == "text-2"
+
+
+def test_rebucket_merge_table(spark, tmp_path):
+    """rebucket_merge_table re-spreads the whole table to a new bucket
+    count in ONE atomic commit: content identical, pinned params updated
+    (so the old n_buckets now refuses to merge and the new one works),
+    snapshot-pinned versions survive with their OLD bucketing, CDC across
+    the rebucket is an empty delta (content equality, not pointer
+    equality), and rollback restores bucketing wholesale."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    target = str(tmp_path / "docs_gold")
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(16)], "doc_id long, text string"
+    )
+    strm.merge_table(docs, target, keys=["doc_id"], order_cols=["doc_id"],
+                     n_buckets=2)
+    strm.snapshot_merge_table(target, "pre")
+    before = sorted((r.doc_id, r.text) for r in strm.read_merged(spark, target).collect())
+
+    m = strm.rebucket_merge_table(spark, target, 8)
+    assert m["params"]["n_buckets"] == 8
+    assert len(m["buckets"]) > 2  # actually spread wider
+    assert sorted(
+        (r.doc_id, r.text) for r in strm.read_merged(spark, target).collect()
+    ) == before
+
+    # old bucketing refuses, new works; no-op rebucket returns the manifest
+    more = spark.createDataFrame([(99, "fresh")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pinned"):
+        strm.merge_table(more, target, keys=["doc_id"], order_cols=["doc_id"],
+                         n_buckets=2)
+    assert strm.rebucket_merge_table(spark, target, 8)["params"]["n_buckets"] == 8
+
+    # CDC pre -> post-rebucket: every bucket changed, zero rows changed
+    assert strm.read_changes(spark, target, since="pre").count() == 0
+
+    strm.merge_table(more, target, keys=["doc_id"], order_cols=["doc_id"],
+                     n_buckets=8)
+    assert strm.read_merged(spark, target).count() == 17
+
+    # the pinned snapshot still reads through its OLD bucket map
+    assert strm.read_merged(spark, target, snapshot="pre").count() == 16
+
+    # rollback restores the old bucketing wholesale: n_buckets=2 merges again
+    strm.rollback_merge_table(target, "pre")
+    assert strm._table_params(target)["n_buckets"] == 2
+    strm.merge_table(more, target, keys=["doc_id"], order_cols=["doc_id"],
+                     n_buckets=2)
+    assert strm.read_merged(spark, target).count() == 17
+
+    # writer op: a held lease refuses the rebucket
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, target, owner="other")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        strm.rebucket_merge_table(spark, target, 4)
+    mfs.release_writer_lease(mfs.LOCAL_FS, target, "other")
