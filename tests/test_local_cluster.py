@@ -42,6 +42,11 @@ ENTRIES = DRIVER_WINDOW + [
     "x3_ivfpq_topk",
     "x3_ivfpq_batch",
     "x9_stream_tumbling",
+    # r7 merge-table additions: generic merge + snapshot + CDC diff
+    # (driver-side manifest pruning + the full-outer change join) must be
+    # value-identical when bucket files live on separate executors
+    "x9_merge_cdc",
+    "x1_cdc_incremental_dedup",
 ]
 
 
