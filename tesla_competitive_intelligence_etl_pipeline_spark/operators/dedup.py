@@ -1594,6 +1594,7 @@ def append_signature_table(
     id_col: str = "doc_id",
     fs=None,
     lease_owner: str | None = None,
+    coalesce_files: int = 8,
 ) -> int:
     """Incremental signature maintenance — the crawl-loop closer: after an
     increment is deduped against the stored table
@@ -1615,7 +1616,15 @@ def append_signature_table(
     post-append, healed by recover_signature_table on restart. Serialized
     against rebuilds and other appenders on the sibling writer lease
     (write_signature_table's lock scope). Returns rows appended, observed
-    on the same evaluation as the write."""
+    on the same evaluation as the write.
+
+    Each append lands at most ``coalesce_files`` parquet files (code review
+    r7: the signature plan otherwise inherits the session's parallelism and
+    a tiny increment would land ~32 part files — the same small-file
+    accumulation the IVF compactors exist for); raise it for genuinely
+    large increments. The compaction path for a fragmented signature table
+    is a rebuild (write_signature_table over the full corpus — signatures
+    are deterministic, so a rebuild is value-identical)."""
     from pyspark.sql import Observation
 
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
@@ -1648,7 +1657,9 @@ def append_signature_table(
                     "'md5') — rebuild the table to stamp one"
                 )
             obs = Observation()
-            sigs = sigs.observe(obs, F.count(F.lit(1)).alias("n"))
+            sigs = sigs.coalesce(int(coalesce_files)).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
             tag, staging = index_commit.new_staging(path)
             sigs.write.parquet(staging)
             index_commit.commit_staged_append(fs, path, tag)

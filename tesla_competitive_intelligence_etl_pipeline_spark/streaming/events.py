@@ -219,7 +219,10 @@ def _load_snapshot(
 
 
 def snapshot_merge_table(
-    target: str, tag: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
+    target: str,
+    tag: str,
+    fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
+    lease_owner: str | None = None,
 ) -> dict:
     """Pin the CURRENT committed state of a merge gold table under an
     immutable named snapshot — data versioning for reproducibility: a
@@ -229,17 +232,29 @@ def snapshot_merge_table(
     snapshot is one tiny manifest copy (bucket-version POINTERS, no data
     copied — store/ versions are immutable by the commit protocol).
     Created with put_if_absent: tags are create-once, a concurrent
-    duplicate loses loudly. Returns the pinned manifest."""
+    duplicate loses loudly.
+
+    A WRITER operation (code review r7): it pins versions against the
+    GC that merge/rebucket/vacuum run, so it takes the table's writer
+    lease — a lease-free snapshot could read the pre-commit manifest,
+    lose the race to a rebucket's whole-generation GC, and pin bucket
+    paths that no longer exist. (drop_snapshot stays lease-free: releasing
+    a pin mid-GC only makes the GC spare too much, never delete too much.)
+    Returns the pinned manifest."""
     import json
 
-    manifest = _load_manifest(target, fs)
-    if manifest is None:
-        raise ValueError(f"no committed state to snapshot at {target}")
-    if not fs.put_if_absent(
-        _snapshot_path(target, tag), json.dumps(manifest).encode()
-    ):
-        raise ValueError(f"snapshot {tag!r} already exists at {target}")
-    return manifest
+    token = merge_fs.acquire_writer_lease(fs, target, owner=lease_owner)
+    try:
+        manifest = _load_manifest(target, fs)
+        if manifest is None:
+            raise ValueError(f"no committed state to snapshot at {target}")
+        if not fs.put_if_absent(
+            _snapshot_path(target, tag), json.dumps(manifest).encode()
+        ):
+            raise ValueError(f"snapshot {tag!r} already exists at {target}")
+        return manifest
+    finally:
+        merge_fs.release_writer_lease(fs, target, token)
 
 
 def list_snapshots(
@@ -676,12 +691,16 @@ def merge_table(
     lease stranded by a crash expires after ``lease_ttl_sec`` (or
     break_writer_lease after confirming the writer died).
 
-    The first merge pins (keys, order_cols, n_buckets) in a _PARAMS.json
-    sidecar; later merges with different parameters raise instead of
-    mis-routing rows (_check_or_pin_params).
+    The first merge pins (keys, order_cols, n_buckets) INSIDE the manifest
+    (versioned with the state — see _table_params); later merges with
+    different parameters raise instead of mis-routing rows (_check_params).
     """
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
 
+    if int(n_buckets) < 1:
+        # ANSI is off: pmod(x, 0) would be NULL, staging nothing and
+        # committing a manifest that silently drops the batch
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     latest = topk.dedup_last_write_wins(
         batch, keys=keys, order_cols=order_cols
     ).withColumn("__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)))
@@ -733,12 +752,26 @@ def merge_micro_batch(
     )
 
 
-def _nullable_schema_json(schema) -> dict:
-    from pyspark.sql.types import StructField, StructType
+def _as_nullable(dt):
+    """Normalize nullability RECURSIVELY (code review r7: top-level-only
+    normalization let ArrayType.containsNull / nested StructField.nullable
+    leak into the stored schema and the retype guard, spuriously rejecting
+    equal-typed batches that differ only in inferred nullability)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
-    return StructType(
-        [StructField(f.name, f.dataType, True) for f in schema.fields]
-    ).jsonValue()
+    if isinstance(dt, StructType):
+        return StructType(
+            [StructField(f.name, _as_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, _as_nullable(dt.valueType), True)
+    return dt
+
+
+def _nullable_schema_json(schema) -> dict:
+    return _as_nullable(schema).jsonValue()
 
 
 def _stage_bucket_versions(
@@ -796,6 +829,10 @@ def rebucket_merge_table(
     import json
     import os
 
+    if int(n_buckets) < 1:
+        # pmod(x, 0) is NULL with ANSI off: the staged write would land
+        # nothing and the commit + GC below would erase the whole table
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     token = merge_fs.acquire_writer_lease(
         fs, target, owner=lease_owner, ttl_sec=lease_ttl_sec
     )
@@ -860,16 +897,29 @@ def _merge_locked(
     _check_params(manifest, target, keys, order_cols, n_buckets)
     current = read_merged(sess, target, buckets=touched, fs=fs)
     if current is None:  # none of the touched buckets committed yet
-        current = sess.createDataFrame([], latest.schema)
+        # the empty current MUST carry the table's committed schema, not
+        # the batch's (code review r7): a batch touching only uncommitted
+        # buckets would otherwise re-commit manifest['schema'] as the
+        # batch-only schema — silently hiding evolved columns table-wide
+        # and letting a retyped column slip past the guard below
+        if "schema" in manifest:
+            from pyspark.sql.types import StructType
+
+            current = sess.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
+        else:
+            current = sess.createDataFrame([], latest.schema)
     else:
         current = current.filter(F.col("__bucket").isin(touched))
     # schema evolution guard: a batch may ADD columns (old rows null-fill)
     # or omit columns (incoming rows get null there — MERGE replaces the
     # whole row), but a same-named column changing TYPE would corrupt the
     # explicit-schema read of untouched buckets — refuse loudly.
-    cur_types = {f.name: f.dataType for f in current.schema.fields}
+    # Nullability is normalized out of the comparison (_as_nullable).
+    cur_types = {f.name: _as_nullable(f.dataType) for f in current.schema.fields}
     for f in latest.schema.fields:
-        if f.name in cur_types and cur_types[f.name] != f.dataType:
+        if f.name in cur_types and cur_types[f.name] != _as_nullable(f.dataType):
             raise ValueError(
                 f"column {f.name!r} changes type "
                 f"{cur_types[f.name].simpleString()} -> "

@@ -816,9 +816,9 @@ def test_read_changes_cdc_between_snapshots(spark, tmp_path):
 
 def test_generic_merge_table_params_guard_and_cdc(spark, tmp_path):
     """merge_table is schema-generic: a documents gold table keyed by
-    doc_id merges/snapshots/CDCs exactly like the events one; the _PARAMS
-    sidecar pins (keys, order_cols, n_buckets) at creation and a later
-    merge with different parameters raises instead of mis-routing rows."""
+    doc_id merges/snapshots/CDCs exactly like the events one; the manifest
+    pins (keys, order_cols, n_buckets) at first commit and a later merge
+    with different parameters raises instead of mis-routing rows."""
     import pytest
 
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
@@ -984,3 +984,71 @@ def test_rebucket_merge_table(spark, tmp_path):
     with pytest.raises(mfs.ConcurrentWriterError):
         strm.rebucket_merge_table(spark, target, 4)
     mfs.release_writer_lease(mfs.LOCAL_FS, target, "other")
+
+
+def test_merge_preserves_evolved_schema_and_guards_edge_cases(spark, tmp_path):
+    """Code-review r7 regressions: (1) a batch touching only UNCOMMITTED
+    buckets must not narrow the committed schema (the empty `current` is
+    built from manifest['schema'], not the batch); the retype guard holds
+    on that path too; (2) n_buckets < 1 refuses up front in merge and
+    rebucket (pmod(x, 0) is NULL with ANSI off — it would stage nothing
+    and commit/GC data away); (3) nullability — top-level or nested
+    (ArrayType.containsNull) — is normalized out of the retype guard."""
+    import pytest
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    mk = lambda rows, schema: spark.createDataFrame(rows, schema)
+    args = {"keys": ["doc_id"], "order_cols": ["doc_id"], "n_buckets": 64}
+
+    strm.merge_table(mk([(1, "one")], "doc_id long, text string"),
+                     target, **args)
+    # evolution adds `quality`
+    strm.merge_table(
+        mk([(2, "two", 0.5)], "doc_id long, text string, quality double"),
+        target, **args)
+    # a batch WITHOUT quality whose key lands in a fresh bucket: schema kept
+    for k in range(3, 200):
+        bucket = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(k).cast("long")), F.lit(64)).alias("b")
+        ).first()["b"]
+        committed = set(strm._load_manifest(target)["buckets"])
+        if str(bucket) not in committed:
+            break
+    strm.merge_table(mk([(k, "fresh")], "doc_id long, text string"),
+                     target, **args)
+    cur = {r.doc_id: r.quality for r in strm.read_merged(spark, target).collect()}
+    assert cur == {1: None, 2: 0.5, k: None}  # quality survived table-wide
+
+    # retype via an uncommitted bucket must STILL refuse
+    with pytest.raises(ValueError, match="changes type"):
+        strm.merge_table(mk([(k + 1000, 7)], "doc_id long, text long"),
+                         target, **args)
+
+    # n_buckets < 1 refuses before any I/O
+    with pytest.raises(ValueError, match="n_buckets"):
+        strm.merge_table(mk([(9, "x")], "doc_id long, text string"),
+                         target, keys=["doc_id"], order_cols=["doc_id"],
+                         n_buckets=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        strm.rebucket_merge_table(spark, target, 0)
+    assert strm.read_merged(spark, target).count() == 3
+
+    # nested nullability differences are NOT a retype
+    t2 = str(tmp_path / "gold2")
+    s_nonnull = StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("tags", ArrayType(LongType(), False), True),
+    ])
+    s_null = StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("tags", ArrayType(LongType(), True), True),
+    ])
+    strm.merge_table(spark.createDataFrame([(1, [1, 2])], s_nonnull), t2, **args)
+    strm.merge_table(spark.createDataFrame([(2, [3])], s_null), t2, **args)
+    got = {r.doc_id: list(r.tags) for r in strm.read_merged(spark, t2).collect()}
+    assert got == {1: [1, 2], 2: [3]}

@@ -388,3 +388,32 @@ def test_rollback_refuses_concurrent_writer(spark, tmp_path):
     mfs.release_writer_lease(mfs.LOCAL_FS, target, "writer-a")
     assert strm.rollback_merge_table(target, "t1") == before
     assert not os.path.exists(os.path.join(target, mfs.LEASE_NAME))
+
+
+def test_snapshot_refuses_concurrent_writer(spark, tmp_path):
+    """snapshot_merge_table is a writer op (code review r7): a lease-free
+    snapshot racing a rebucket's whole-generation GC could pin bucket
+    paths that were just deleted. Under a held lease it fails loudly; a
+    released lease lets it pin."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    ev = spark.createDataFrame(
+        [(1, 100, 1, "a", 1.0)],
+        "event_id long, ts_s long, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    strm.merge_micro_batch(ev, target, n_buckets=2)
+
+    mfs.acquire_writer_lease(mfs.LOCAL_FS, target, owner="writer-a")
+    with pytest.raises(mfs.ConcurrentWriterError):
+        strm.snapshot_merge_table(target, "t1")
+    assert strm.list_snapshots(target) == []
+    mfs.release_writer_lease(mfs.LOCAL_FS, target, "writer-a")
+    strm.snapshot_merge_table(target, "t1")
+    assert strm.list_snapshots(target) == ["t1"]
+    assert not os.path.exists(os.path.join(target, mfs.LEASE_NAME))
