@@ -357,3 +357,85 @@ def rare_token_stats(
         )
         .orderBy(id_col)
     )
+
+
+def bpe_train(
+    docs,
+    text_col: str = "text",
+    n_merges: int = 3,
+    max_word_len: int = 64,
+    reliable: bool = False,
+):
+    """Distributed BPE tokenizer training (Sennrich-style word-frequency
+    formulation): ONE corpus-scale pass builds the (word, freq) dictionary
+    — the only shuffle that grows with data volume — and every merge round
+    then runs over that vocab-sized table, so training cost at 100 TB is
+    one groupBy(word) plus n_merges tiny jobs, not n_merges corpus scans.
+
+    Each round: adjacent symbol pairs weighted by word frequency →
+    argmax (count DESC, pair ASC — deterministic tie-break) → merge the
+    winning pair in every word's symbol string. The merge applies
+    leftmost non-overlapping replacement REPEATED TO FIXPOINT (3 passes
+    cover words <= 64 symbols; measured bound is 2) — a well-defined
+    variant of greedy BPE that both Spark's and DuckDB's replace()
+    implement identically, which is what makes the trainer hash-checkable
+    end-to-end against an unrolled SQL oracle (same precedent as the
+    unrolled-Lloyd k-means). No end-of-word marker (documented
+    simplification; add one by suffixing words before training).
+
+    Driver-held state is ONE (pair, count) row per round — the argmax
+    scalar, like kmeans' convergence check — never the dictionary.
+    Returns (merge_rank, pair, merged, pair_count), the learned merge
+    ops in order. ``reliable`` swaps the per-round lineage truncation to
+    real checkpoints (see operators/dedup._truncate_lineage)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.dedup import _truncate_lineage
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter((F.col("word") != "") & (F.length("word") <= max_word_len))
+    )
+    wf = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("sym"),
+            F.col("freq"),
+        )
+    )
+    merges = []
+    for rank in range(1, int(n_merges) + 1):
+        wf = _truncate_lineage(wf, reliable)
+        arr = F.split(F.col("sym"), " ")
+        pair_col = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            wf.select(F.explode(pair_col).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .first()
+        )
+        if best is None:
+            break
+        pair, cnt = best["pair"], int(best["cnt"])
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, cnt))
+        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        for _ in range(3):  # leftmost non-overlapping, to fixpoint
+            padded = F.replace(
+                padded, F.lit(f" {pair} "), F.lit(f" {merged} ")
+            )
+        wf = wf.select(F.trim(padded).alias("sym"), "freq")
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merged string, pair_count long"
+    )

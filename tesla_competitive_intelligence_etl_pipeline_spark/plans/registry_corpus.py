@@ -1026,3 +1026,68 @@ def x_mix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "source", "lang")
     )
+
+
+# ===========================================================================
+# X-5k: distributed BPE tokenizer training (text.bpe_train)
+# ===========================================================================
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled merge rounds (the unrolled-Lloyd precedent): each round is
+    a pair-count CTE, an argmax CTE (count DESC, pair ASC), and a
+    symbol-table rewrite via 3x leftmost non-overlapping replace — the
+    exact fixpoint semantics the engine uses (see text.bpe_train)."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        rep = (
+            "' ' || (SELECT pair FROM b{r}) || ' ', "
+            "' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '"
+        ).format(r=r)
+        inner = "' ' || sym || ' '"
+        for _ in range(3):
+            inner = "replace({inner}, {rep})".format(inner=inner, rep=rep)
+        rounds.append(
+            """
+    pc{r} AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT a.freq, a.arr[g.i] || ' ' || a.arr[g.i + 1] AS pair
+        FROM (SELECT string_split(sym, ' ') AS arr, freq FROM wf{p}) a,
+             LATERAL (SELECT unnest(generate_series(1, len(a.arr) - 1)) AS i) g
+      ) GROUP BY pair
+    ),
+    b{r} AS (SELECT pair, cnt FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    wf{r} AS (SELECT trim({inner}) AS sym, freq FROM wf{p})""".format(
+                r=r, p=p, inner=inner
+            )
+        )
+    final = "\n    UNION ALL ".join(
+        "SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged, "
+        "cnt AS pair_count FROM b{r}".format(r=r)
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        """
+    WITH wf0 AS (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' AND length(word) <= 64
+      GROUP BY 1
+    ),"""
+        + ",".join(rounds)
+        + "\n    "
+        + final
+    )
+
+
+@register("x5_bpe_train", _bpe_oracle_sql(3))
+def x5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5k: BPE tokenizer training over the documents corpus — the first
+    3 learned merges with their weighted pair counts, hash-checked against
+    the unrolled-rounds DuckDB oracle. One corpus-scale groupBy(word);
+    every merge round runs on the vocab-sized symbol table (see
+    text.bpe_train's 100 TB cost model)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, n_merges=3)

@@ -186,3 +186,63 @@ def test_mixing_weights_custom_targets(spark):
     assert all(abs(r["target_share"] - 1 / 3) < 1e-6 for r in uni.values())
     # budget defaults to doc counts
     assert uni["a"]["budget"] == 6.0
+
+
+def test_bpe_train_matches_reference_and_handles_runs(spark):
+    """text.bpe_train == a pure-Python reference implementing the same
+    word-frequency BPE with leftmost-nonoverlapping-replace-to-fixpoint
+    merge semantics — including same-symbol runs ('aaaa'), the
+    (count DESC, pair ASC) tie-break, and merges built on merges."""
+    import collections
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "aaaa aaaa the",
+        "zzz zzz zzz",  # 'z z' weighted 6 — exact tie with 'a a'
+    ]
+
+    def reference(texts, n_merges):
+        wf = collections.Counter()
+        for t in texts:
+            for w in t.lower().split():
+                if w and len(w) <= 64:
+                    wf[" ".join(w)] += 1
+        out = []
+        for rank in range(1, n_merges + 1):
+            pc = collections.Counter()
+            for sym, freq in wf.items():
+                s = sym.split(" ")
+                for i in range(len(s) - 1):
+                    pc[s[i] + " " + s[i + 1]] += freq
+            if not pc:
+                break
+            pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merged = pair.replace(" ", "")
+            out.append((rank, pair, merged, cnt))
+            new = collections.Counter()
+            for sym, freq in wf.items():
+                s = " " + sym + " "
+                while True:  # leftmost non-overlapping, to fixpoint
+                    s2 = s.replace(f" {pair} ", f" {merged} ")
+                    if s2 == s:
+                        break
+                    s = s2
+                new[s.strip()] += freq
+            wf = new
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (1, 3, 6):
+        got = sorted(tuple(r) for r in tx.bpe_train(docs, n_merges=n).collect())
+        want = sorted(reference(texts, n))
+        assert got == want, (n, got, want)
+    # tie-break pinned: 'a a' (from the aaaa runs, weighted 6) and 'z z'
+    # (from zzz x3, weighted 6) tie on count; pair ASC picks 'a a' first
+    ranks = {r.merge_rank: (r.pair, r.pair_count)
+             for r in tx.bpe_train(docs, n_merges=2).collect()}
+    assert ranks[1] == ("a a", 6) and ranks[2] == ("z z", 6)
