@@ -365,6 +365,7 @@ def bpe_train(
     n_merges: int = 3,
     max_word_len: int = 64,
     reliable: bool = False,
+    return_vocab: bool = False,
 ):
     """Distributed BPE tokenizer training (Sennrich-style word-frequency
     formulation): ONE corpus-scale pass builds the (word, freq) dictionary
@@ -386,7 +387,8 @@ def bpe_train(
     Driver-held state is ONE (pair, count) row per round — the argmax
     scalar, like kmeans' convergence check — never the dictionary.
     Returns (merge_rank, pair, merged, pair_count), the learned merge
-    ops in order. ``reliable`` swaps the per-round lineage truncation to
+    ops in order; with ``return_vocab=True`` also the final (word, sym)
+    vocabulary for bpe_token_counts. ``reliable`` swaps the per-round lineage truncation to
     real checkpoints (see operators/dedup._truncate_lineage)."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators.dedup import _truncate_lineage
 
@@ -401,6 +403,7 @@ def bpe_train(
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("sym"),
             F.col("freq"),
         )
@@ -435,7 +438,48 @@ def bpe_train(
             padded = F.replace(
                 padded, F.lit(f" {pair} "), F.lit(f" {merged} ")
             )
-        wf = wf.select(F.trim(padded).alias("sym"), "freq")
-    return spark.createDataFrame(
+        wf = wf.select("word", F.trim(padded).alias("sym"), "freq")
+    merges_df = spark.createDataFrame(
         merges, "merge_rank int, pair string, merged string, pair_count long"
+    )
+    if return_vocab:
+        return merges_df, wf.select("word", "sym")
+    return merges_df
+
+
+def bpe_token_counts(
+    docs,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Token counting under a LEARNED tokenizer: encode each doc with the
+    final BPE vocabulary (``vocab`` = (word, sym) from
+    ``bpe_train(..., return_vocab=True)``) and return per-doc BPE token
+    and word counts — the budget signal an LLM-data pipeline actually
+    bills by, vs the whitespace proxy of token_count.
+
+    Encoding is a join, not a re-derivation: words explode once, join the
+    vocab on word (shuffle carries (doc_id, word) — at 100 TB the vocab is
+    itself large, so no broadcast), and a word's token count is the symbol
+    count of its trained spelling. Words outside the vocab (longer than
+    the trainer's max_word_len) fall back to character count — the
+    byte-level-BPE convention of degrading to base symbols, applied
+    identically in the SQL oracle."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    v = vocab.select(
+        "word", F.size(F.split("sym", " ")).alias("n_sym")
+    )
+    return (
+        words.join(v, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.coalesce(F.col("n_sym").cast("long"), F.length("word").cast("long"))
+            ).alias("bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
     )

@@ -1032,7 +1032,7 @@ def x_mix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X-5k: distributed BPE tokenizer training (text.bpe_train)
 # ===========================================================================
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_oracle_sql(n_merges: int, encode: bool = False) -> str:
     """Unrolled merge rounds (the unrolled-Lloyd precedent): each round is
     a pair-count CTE, an argmax CTE (count DESC, pair ASC), and a
     symbol-table rewrite via 3x leftmost non-overlapping replace — the
@@ -1057,19 +1057,35 @@ def _bpe_oracle_sql(n_merges: int) -> str:
       ) GROUP BY pair
     ),
     b{r} AS (SELECT pair, cnt FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
-    wf{r} AS (SELECT trim({inner}) AS sym, freq FROM wf{p})""".format(
+    wf{r} AS (SELECT word, trim({inner}) AS sym, freq FROM wf{p})""".format(
                 r=r, p=p, inner=inner
             )
         )
-    final = "\n    UNION ALL ".join(
-        "SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged, "
-        "cnt AS pair_count FROM b{r}".format(r=r)
-        for r in range(1, n_merges + 1)
+    if encode:
+        final = (
+            """
+    docwords AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> ''
     )
+    SELECT dw.doc_id,
+           CAST(SUM(COALESCE(len(string_split(v.sym, ' ')), length(dw.word))) AS BIGINT) AS bpe_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM docwords dw LEFT JOIN wf{n} v ON dw.word = v.word
+    GROUP BY dw.doc_id"""
+        ).format(n=n_merges)
+    else:
+        final = "\n    UNION ALL ".join(
+            "SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged, "
+            "cnt AS pair_count FROM b{r}".format(r=r)
+            for r in range(1, n_merges + 1)
+        )
     return (
         """
     WITH wf0 AS (
-      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
              CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
             FROM documents)
@@ -1077,9 +1093,22 @@ def _bpe_oracle_sql(n_merges: int) -> str:
       GROUP BY 1
     ),"""
         + ",".join(rounds)
+        + ("," if encode else "")
         + "\n    "
         + final
     )
+
+
+@register("x5_bpe_encode", _bpe_oracle_sql(3, encode=True))
+def x5_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5l: per-doc token counts under the LEARNED tokenizer — train 3
+    merges, then encode every document by joining its words to the final
+    vocabulary (out-of-vocab words fall back to character count). The
+    oracle re-derives the vocabulary with the same unrolled rounds and
+    applies the identical join + fallback."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    _, vocab = tx.bpe_train(docs, n_merges=3, return_vocab=True)
+    return tx.bpe_token_counts(docs, vocab)
 
 
 @register("x5_bpe_train", _bpe_oracle_sql(3))

@@ -246,3 +246,23 @@ def test_bpe_train_matches_reference_and_handles_runs(spark):
     ranks = {r.merge_rank: (r.pair, r.pair_count)
              for r in tx.bpe_train(docs, n_merges=2).collect()}
     assert ranks[1] == ("a a", 6) and ranks[2] == ("z z", 6)
+
+
+def test_bpe_token_counts_vocab_join_and_oov_fallback(spark):
+    """bpe_token_counts encodes via the trained vocabulary: merged words
+    count their symbol count, out-of-vocab words (longer than the
+    trainer's max_word_len) fall back to character count."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    long_word = "q" * 70  # excluded from training (max_word_len=64)
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa"), (2, "aaaa " + long_word), (3, "xy")],
+        "doc_id long, text string",
+    )
+    merges, vocab = tx.bpe_train(docs, n_merges=2, return_vocab=True)
+    got_merges = [(r.pair, r.merged) for r in merges.orderBy("merge_rank").collect()]
+    assert got_merges == [("a a", "aa"), ("aa aa", "aaaa")]
+    out = {r.doc_id: (r.bpe_tokens, r.n_words)
+           for r in tx.bpe_token_counts(docs, vocab).collect()}
+    # 'aaaa' -> 'aa aa' -> 'aaaa': 1 symbol; long_word OOV -> 70 chars
+    assert out == {1: (3, 3), 2: (1 + 70, 2), 3: (2, 1)}
