@@ -115,6 +115,9 @@ def main() -> None:
     # table ingest is the offline cost; the timed queries are the CDC reads
     registry_streaming._ensure_cdc_gold(spark, sf_dir)
     registry_streaming._ensure_docs_gold(spark, sf_dir)
+    # trained BPE vocabulary for x5_bpe_encode (x5_bpe_train still times
+    # the training itself)
+    registry_corpus._ensure_bpe_vocab(spark, sf_dir)
     spark.catalog.clearCache()
 
     def run(name: str) -> float:

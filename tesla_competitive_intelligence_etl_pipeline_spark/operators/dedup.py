@@ -1657,7 +1657,11 @@ def append_signature_table(
                     "'md5') — rebuild the table to stamp one"
                 )
             obs = Observation()
-            sigs = sigs.coalesce(int(coalesce_files)).observe(
+            # repartition, NOT coalesce (code review r7): coalesce would
+            # cap the parallelism of the whole shingling/minhash plan at
+            # coalesce_files tasks; the shuffle moves only (doc_id, sh,
+            # sig) rows and keeps hashing fully parallel upstream
+            sigs = sigs.repartition(int(coalesce_files)).observe(
                 obs, F.count(F.lit(1)).alias("n")
             )
             tag, staging = index_commit.new_staging(path)

@@ -1040,9 +1040,13 @@ def _bpe_oracle_sql(n_merges: int, encode: bool = False) -> str:
     rounds = []
     for r in range(1, n_merges + 1):
         p = r - 1
+        # COALESCE('') when a round finds NO pair: ' '||''||' ' = '  '
+        # never occurs in single-spaced sym, so the round is a no-op —
+        # matching the engine's loop break (code review r7: a NULL pair
+        # would NULL every sym and silently fall back to char counts)
         rep = (
-            "' ' || (SELECT pair FROM b{r}) || ' ', "
-            "' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '"
+            "' ' || COALESCE((SELECT pair FROM b{r}), '') || ' ', "
+            "' ' || COALESCE(replace((SELECT pair FROM b{r}), ' ', ''), '') || ' '"
         ).format(r=r)
         inner = "' ' || sym || ' '"
         for _ in range(3):
@@ -1099,15 +1103,37 @@ def _bpe_oracle_sql(n_merges: int, encode: bool = False) -> str:
     )
 
 
+# trained vocabulary materialized once per session/sf_dir (the tokenizer
+# ingest cost — same offline/online discipline as the sig tables and CDC
+# gold tables; bench.py warms it). x5_bpe_train remains the entry that
+# TIMES training; this cache keeps x5_bpe_encode's timed path the encode
+# join only (code review r7).
+_BPE_VOCAB: dict[str, str] = {}
+
+
+def _ensure_bpe_vocab(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _BPE_VOCAB:
+        import tempfile
+
+        docs = src.load_table(spark, sf_dir, "documents")
+        _, vocab = tx.bpe_train(docs, n_merges=3, return_vocab=True)
+        path = tempfile.mkdtemp(prefix="bpe_vocab_") + "/vocab"
+        vocab.write.parquet(path)
+        _BPE_VOCAB[sf_dir] = path
+    return _BPE_VOCAB[sf_dir]
+
+
 @register("x5_bpe_encode", _bpe_oracle_sql(3, encode=True))
 def x5_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-5l: per-doc token counts under the LEARNED tokenizer — train 3
-    merges, then encode every document by joining its words to the final
-    vocabulary (out-of-vocab words fall back to character count). The
+    """X-5l: per-doc token counts under the LEARNED tokenizer — encode
+    every document by joining its words to the trained vocabulary
+    (out-of-vocab words fall back to character count). Training is the
+    offline cost, materialized once per session (_ensure_bpe_vocab,
+    warmed by bench.py); x5_bpe_train is the entry that times it. The
     oracle re-derives the vocabulary with the same unrolled rounds and
     applies the identical join + fallback."""
     docs = src.load_table(spark, sf_dir, "documents")
-    _, vocab = tx.bpe_train(docs, n_merges=3, return_vocab=True)
+    vocab = spark.read.parquet(_ensure_bpe_vocab(spark, sf_dir))
     return tx.bpe_token_counts(docs, vocab)
 
 

@@ -231,8 +231,13 @@ def snapshot_merge_table(
     vacuum-protected no matter how many merges land afterwards. The
     snapshot is one tiny manifest copy (bucket-version POINTERS, no data
     copied — store/ versions are immutable by the commit protocol).
-    Created with put_if_absent: tags are create-once, a concurrent
-    duplicate loses loudly.
+    Created with put_if_absent: tags are create-once — EXCEPT that
+    re-pinning a tag whose stored content equals the current manifest is
+    an idempotent no-op (code review r7): foreachBatch is at-least-once
+    with a stable batch_id, so a crash between the pin and the streaming
+    checkpoint commit replays the batch — the merge is idempotent and the
+    re-pin must be too, or the query wedges on 'already exists' forever.
+    A tag whose stored content DIFFERS still loses loudly.
 
     A WRITER operation (code review r7): it pins versions against the
     GC that merge/rebucket/vacuum run, so it takes the table's writer
@@ -251,7 +256,12 @@ def snapshot_merge_table(
         if not fs.put_if_absent(
             _snapshot_path(target, tag), json.dumps(manifest).encode()
         ):
-            raise ValueError(f"snapshot {tag!r} already exists at {target}")
+            if _load_snapshot(target, tag, fs) == manifest:
+                return manifest  # idempotent replay re-pin
+            raise ValueError(
+                f"snapshot {tag!r} already exists at {target} with "
+                "different content"
+            )
         return manifest
     finally:
         merge_fs.release_writer_lease(fs, target, token)
@@ -766,7 +776,10 @@ def _as_nullable(dt):
     if isinstance(dt, ArrayType):
         return ArrayType(_as_nullable(dt.elementType), True)
     if isinstance(dt, MapType):
-        return MapType(dt.keyType, _as_nullable(dt.valueType), True)
+        # keys recurse too: a struct-keyed map's inner nullability is just
+        # as inferred-and-meaningless as anywhere else (map keys themselves
+        # are never null, but their FIELDS carry nullability flags)
+        return MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
     return dt
 
 

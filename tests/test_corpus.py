@@ -266,3 +266,38 @@ def test_bpe_token_counts_vocab_join_and_oov_fallback(spark):
            for r in tx.bpe_token_counts(docs, vocab).collect()}
     # 'aaaa' -> 'aa aa' -> 'aaaa': 1 symbol; long_word OOV -> 70 chars
     assert out == {1: (3, 3), 2: (1 + 70, 2), 3: (2, 1)}
+
+
+def test_bpe_oracle_noop_rounds_match_engine(spark):
+    """When a merge round finds NO pair (fewer pairs than n_merges), the
+    engine breaks out of the loop keeping the completed rounds' vocab; the
+    unrolled oracle's remaining rounds must be no-ops — not NULL out every
+    symbol (the COALESCE('') guard) — so train AND encode stay parity-green
+    on degenerate corpora."""
+    import duckdb
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry_corpus import (
+        _bpe_oracle_sql,
+    )
+
+    rows = [(1, "ab ab x"), (2, "ab")]  # exactly ONE learnable pair: 'a b'
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    # train: engine stops after round 1; oracle emits rows only from b1
+    merges, vocab = tx.bpe_train(docs, n_merges=3, return_vocab=True)
+    got = sorted(tuple(r) for r in merges.collect())
+    want = sorted(con.execute(_bpe_oracle_sql(3)).fetchall())
+    assert got == want == [(1, "a b", "ab", 3)]
+    # encode: merged words count 1 symbol, not their char-count fallback
+    enc = sorted(
+        tuple(r) for r in tx.bpe_token_counts(docs, vocab).collect()
+    )
+    want_enc = sorted(con.execute(_bpe_oracle_sql(3, encode=True)).fetchall())
+    assert enc == want_enc == [(1, 3, 3), (2, 1, 1)]

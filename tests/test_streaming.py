@@ -685,8 +685,8 @@ def test_snapshot_read_rollback_and_vacuum_retention(spark, tmp_path):
         (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
     )
     strm.snapshot_merge_table(target, "train-run-1")
-    with pytest.raises(ValueError):  # tags are create-once
-        strm.snapshot_merge_table(target, "train-run-1")
+    # same-content re-pin is an idempotent no-op (foreachBatch replay)
+    strm.snapshot_merge_table(target, "train-run-1")
     assert strm.list_snapshots(target) == ["train-run-1"]
 
     # two more merges advance users 1/2 and add user 3
@@ -701,6 +701,9 @@ def test_snapshot_read_rollback_and_vacuum_retention(spark, tmp_path):
         (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
     )
     assert now == [(1, 3), (2, 5), (3, 4)]
+    # re-pinning the tag NOW (state advanced => different content) refuses
+    with pytest.raises(ValueError, match="different content"):
+        strm.snapshot_merge_table(target, "train-run-1")
     # the pinned state is still exactly batch-1
     pinned = sorted(
         (r.user_id, r.event_id)
