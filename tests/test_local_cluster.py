@@ -47,6 +47,10 @@ ENTRIES = DRIVER_WINDOW + [
     # value-identical when bucket files live on separate executors
     "x9_merge_cdc",
     "x1_cdc_incremental_dedup",
+    # r7 BPE: per-round argmax scalar + localCheckpoint lineage truncation
+    # + the vocab join must be value-identical across executor JVMs
+    "x5_bpe_train",
+    "x5_bpe_encode",
 ]
 
 
