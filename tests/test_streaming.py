@@ -1138,3 +1138,56 @@ def test_streaming_cdc_consumer_loop(spark, tmp_path):
         for u in (2, 4)
     }
     assert changed == want
+
+
+def test_rebucket_crash_at_every_op_never_tears(spark, tmp_path):
+    """rebucket_merge_table under crash injection at EVERY mutating fs op
+    (S3 semantics): readers see exactly the old bucketing or the new one —
+    same rows either way, never torn; pre-commit debris is invisible and
+    vacuum-reclaimable; a retry after any rollback lands the rebucket."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    def build(target, fs=mfs.LOCAL_FS):
+        docs = spark.createDataFrame(
+            [(i, f"text-{i}") for i in range(12)], "doc_id long, text string"
+        )
+        strm.merge_table(docs, target, keys=["doc_id"], order_cols=["doc_id"],
+                         n_buckets=2, fs=fs)
+
+    def rows(target):
+        return sorted(
+            (r.doc_id, r.text) for r in strm.read_merged(spark, target).collect()
+        )
+
+    # op budget for a full rebucket
+    probe = str(tmp_path / "probe")
+    probe_fs = mfs.NonAtomicRenameFS()
+    build(probe, probe_fs)
+    ops_build = probe_fs.ops
+    strm.rebucket_merge_table(spark, probe, 8, fs=probe_fs)
+    total_ops = probe_fs.ops - ops_build
+    assert total_ops >= 3
+    want = rows(probe)
+    assert strm._table_params(probe)["n_buckets"] == 8
+
+    for crash_at in range(total_ops):
+        target = str(tmp_path / f"run{crash_at}")
+        build(target)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            strm.rebucket_merge_table(spark, target, 8, fs=fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            mfs.break_writer_lease(mfs.LOCAL_FS, target)
+        # rows identical under EITHER bucketing at every crash point
+        assert rows(target) == want, crash_at
+        n_now = strm._table_params(target)["n_buckets"]
+        assert n_now in (2, 8), crash_at
+        if n_now == 2:
+            # rolled back: debris (staged dirs / moved-but-unreferenced
+            # versions) is invisible; vacuum reclaims it, then retry lands
+            strm.vacuum_merge_table(target)
+            assert rows(target) == want
+            strm.rebucket_merge_table(spark, target, 8)
+            assert strm._table_params(target)["n_buckets"] == 8
+            assert rows(target) == want
