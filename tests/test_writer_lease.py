@@ -417,3 +417,161 @@ def test_snapshot_refuses_concurrent_writer(spark, tmp_path):
     strm.snapshot_merge_table(target, "t1")
     assert strm.list_snapshots(target) == ["t1"]
     assert not os.path.exists(os.path.join(target, mfs.LEASE_NAME))
+
+
+class _GateFS(mfs.LocalFS):
+    """Heartbeat-hang simulation (ADVICE r7): the first lease read INSIDE a
+    beat blocks on ``gate`` (signalling ``entered`` first), modeling a beat
+    whose fs I/O stalls past the shutdown join while release runs."""
+
+    def __init__(self):
+        import threading
+
+        self.entered = threading.Event()
+        self.gate = threading.Event()
+        self.armed = True
+
+    def read_bytes(self, path: str) -> bytes:
+        if self.armed and path.endswith(mfs.LEASE_NAME):
+            self.armed = False
+            self.entered.set()
+            self.gate.wait(timeout=10.0)
+        return super().read_bytes(path)
+
+
+def test_lease_heartbeat_does_not_resurrect_after_release(tmp_path):
+    """ADVICE r7: a beat whose fs I/O hangs past the shutdown join must not
+    re-create the lease AFTER release deleted it (a resurrected stale lease
+    blocks every writer until the TTL runs out). Sequence forced here: beat
+    enters its lease read and stalls -> main thread stops the heartbeat and
+    RELEASES the lease while the beat is stalled -> beat resumes with the
+    stale pre-release record. The stop re-check before put_atomic must win:
+    the table ends unlocked."""
+    fs = _GateFS()
+    table = str(tmp_path / "tbl")
+    tok = mfs.acquire_writer_lease(fs, table, owner="hung-job", ttl_sec=60.0)
+
+    cm = mfs.lease_heartbeat(fs, table, tok, ttl_sec=60.0, interval_sec=0.05)
+    cm.__enter__()
+    assert fs.entered.wait(timeout=5.0)  # beat is now stalled mid-read
+
+    # shutdown while the beat hangs: the gate stays closed through the
+    # whole join timeout (max(5, 2*interval) = 5 s), so __exit__ gives up
+    # on the still-stalled thread and RELEASE deletes the lease — exactly
+    # the advisory's window. Only then does the gate open and the beat
+    # resume with its stale pre-release record.
+    cm.__exit__(None, None, None)  # sets stop, join times out (~5 s)
+    mfs.release_writer_lease(fs, table, tok)
+    assert mfs.lease_info(fs, table) is None
+    fs.gate.set()  # un-hang the beat AFTER the release
+
+    # give the straggling beat time to (wrongly) resurrect the lease
+    time.sleep(0.5)
+    assert mfs.lease_info(fs, table) is None, "stale lease resurrected"
+    # a new writer acquires immediately — no TTL wait
+    assert mfs.acquire_writer_lease(fs, table, owner="next") == "next"
+    mfs.release_writer_lease(fs, table, "next")
+
+
+# ---------------------------------------------------------------------------
+# CAS lease capability (VERDICT r7 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_cas_fs_put_if_match_semantics(tmp_path):
+    """The conditional-replace primitive: succeeds exactly once per etag
+    generation, fails on a stale etag and on a vanished object."""
+    fs = mfs.CASLocalFS()
+    p = str(tmp_path / "obj.json")
+    fs.put_atomic(p, b"v1")
+    _, e1 = fs.read_with_etag(p)
+    assert fs.put_if_match(p, b"v2", e1)
+    assert not fs.put_if_match(p, b"v3", e1)  # stale generation
+    data, e2 = fs.read_with_etag(p)
+    assert data == b"v2" and e2 != e1
+    fs.rmtree(p)
+    assert not fs.put_if_match(p, b"v4", e2)  # vanished
+
+
+def test_cas_expired_reclaim_admits_exactly_one(tmp_path):
+    """On a CAS store, reclaiming an expired lease is ONE conditional
+    replace — of N concurrent reclaimers exactly one wins, the rest see
+    the winner's live lease (no delete-after-create window at all)."""
+    import threading
+
+    fs = mfs.CASLocalFS()
+    table = str(tmp_path / "tbl")
+    mfs.acquire_writer_lease(fs, table, owner="dead", ttl_sec=0.05)
+    time.sleep(0.2)  # expire
+
+    results = {}
+
+    def grab(name):
+        try:
+            results[name] = mfs.acquire_writer_lease(
+                fs, table, owner=name, ttl_sec=60.0
+            )
+        except mfs.ConcurrentWriterError as e:
+            results[name] = e
+
+    threads = [threading.Thread(target=grab, args=(f"w{i}",)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [n for n, r in results.items() if not isinstance(r, Exception)]
+    assert len(winners) == 1, results
+    info = mfs.lease_info(fs, table)
+    assert info["owner"] == winners[0] and not info["expired"]
+    # losers saw the WINNER's live lease, not a torn state
+    for n, r in results.items():
+        if n != winners[0]:
+            assert isinstance(r, mfs.ConcurrentWriterError)
+    mfs.release_writer_lease(fs, table, winners[0])
+
+
+class _GateCASFS(mfs.CASLocalFS):
+    """Pause the FIRST lease put_if_match between its caller's read and
+    the conditional put — the exact heartbeat-vs-reclaim interleaving."""
+
+    def __init__(self):
+        import threading
+
+        self.entered = threading.Event()
+        self.gate = threading.Event()
+        self.armed = True
+
+    def put_if_match(self, path: str, data: bytes, etag: str) -> bool:
+        if self.armed and path.endswith(mfs.LEASE_NAME):
+            self.armed = False
+            self.entered.set()
+            self.gate.wait(timeout=10.0)
+        return super().put_if_match(path, data, etag)
+
+
+def test_cas_heartbeat_loses_to_reclaimer_instead_of_stomping(tmp_path):
+    """The race ADVICE r6 documented as open: the heartbeat READS its own
+    (by now expired) record, a reclaimer takes the lease, then the
+    heartbeat writes. On a CAS store the write is conditional on the
+    pre-reclaim etag, so it FAILS and the new holder's record survives —
+    forced deterministically here by gating the beat between its read and
+    its put."""
+    fs = _GateCASFS()
+    table = str(tmp_path / "tbl")
+    tok = mfs.acquire_writer_lease(fs, table, owner="paused", ttl_sec=0.15)
+    with mfs.lease_heartbeat(fs, table, tok, ttl_sec=0.15, interval_sec=0.05):
+        assert fs.entered.wait(timeout=5.0)  # beat read its record, now gated
+        time.sleep(0.3)  # lease expires while the beat is paused
+        # reclaimer takes the expired lease (armed flag already consumed,
+        # so ITS conditional put runs ungated)
+        assert (
+            mfs.acquire_writer_lease(fs, table, owner="reclaimer", ttl_sec=60.0)
+            == "reclaimer"
+        )
+        fs.gate.set()  # paused beat resumes: put_if_match must fail
+        time.sleep(0.3)
+        info = mfs.lease_info(fs, table)
+        assert info["owner"] == "reclaimer", "heartbeat stomped the reclaimer"
+    info = mfs.lease_info(fs, table)
+    assert info["owner"] == "reclaimer"
+    mfs.release_writer_lease(fs, table, "reclaimer")
