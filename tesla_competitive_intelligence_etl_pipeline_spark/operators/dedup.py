@@ -792,7 +792,13 @@ def write_signature_table_portable(
     sibling-scoped writer lease as write_signature_table."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
-    assert shingle_n == 3, "portable shingles are written for trigrams"
+    if shingle_n != 3:
+        # ValueError, not assert (ADVICE r7): under python -O an assert is
+        # stripped and the md5 family would silently write trigram
+        # signatures for a different claimed granularity.
+        raise ValueError(
+            f"portable (md5) shingles are trigram-only; got shingle_n={shingle_n}"
+        )
     lock_scope = path.rstrip("/") + ".lock"
     token = mfs.acquire_writer_lease(mfs.LOCAL_FS, lock_scope)
     try:
@@ -1641,7 +1647,17 @@ def append_signature_table(
             shingle_n = int(stored["shingle_n"])
             family = stored.asDict().get("family")
             if family == "md5":
-                assert shingle_n == 3, "portable shingles are trigram-only"
+                if shingle_n != 3:
+                    # ValueError, not assert (ADVICE r7): stripped under
+                    # python -O, which would let an append to a table whose
+                    # _params record a different shingle_n silently compute
+                    # trigram signatures — wrong granularity, silent recall
+                    # loss.
+                    raise ValueError(
+                        f"signature table at {path} records shingle_n="
+                        f"{shingle_n}, but the portable (md5) family is "
+                        "trigram-only — the table's params are inconsistent"
+                    )
                 sigs = new_docs.select(
                     F.col(id_col).alias("doc_id"),
                     portable_hashed_shingles(F.col(text_col)).alias("sh"),

@@ -218,11 +218,49 @@ def _load_snapshot(
     return m
 
 
+def _same_state_modulo_versions(a: dict, b: dict) -> bool:
+    """Whether two manifests describe the same table state up to bucket
+    VERSION paths: identical bucket keysets, params, and schema. This is
+    the replay-re-pin test (ADVICE r7): a replayed merge re-stages the
+    identical rows under fresh version uuids, so pointer equality is too
+    strict — but a replay can never change WHICH buckets are committed,
+    the pinned params, or the schema, so structural equality is the
+    discriminator between a replay and genuine tag misuse. (Row-level
+    equality under different pointers is not checkable without reading
+    data; structural match + the at-least-once replay contract is the
+    documented trust boundary.)"""
+    return (
+        set(a["buckets"]) == set(b["buckets"])
+        and a.get("params") == b.get("params")
+        and a.get("schema") == b.get("schema")
+    )
+
+
+def _load_snapshot_if_exists(
+    target: str, tag: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS
+) -> dict | None:
+    """Tolerant twin of _load_snapshot for enumeration loops (ADVICE r7):
+    drop_snapshot is deliberately lease-free, so a tag listed a moment ago
+    may be gone by the time it is read — vacuum/stats/GC pin collection must
+    SKIP a vanished tag (its pins are released; sparing nothing for it is
+    exactly right), not crash mid-deletion. A present-but-CORRUPT snapshot
+    still raises — that is damage, not a race."""
+    try:
+        return _load_snapshot(target, tag, fs)
+    except (ValueError, FileNotFoundError) as e:
+        # _load_snapshot raises ValueError("no snapshot ...") when the file
+        # is absent; FileNotFoundError covers the exists()->read race.
+        if isinstance(e, ValueError) and "no snapshot" not in str(e):
+            raise  # corrupt content, not a concurrent drop
+        return None
+
+
 def snapshot_merge_table(
     target: str,
     tag: str,
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
     lease_owner: str | None = None,
+    if_exists: str = "error",
 ) -> dict:
     """Pin the CURRENT committed state of a merge gold table under an
     immutable named snapshot — data versioning for reproducibility: a
@@ -231,13 +269,28 @@ def snapshot_merge_table(
     vacuum-protected no matter how many merges land afterwards. The
     snapshot is one tiny manifest copy (bucket-version POINTERS, no data
     copied — store/ versions are immutable by the commit protocol).
-    Created with put_if_absent: tags are create-once — EXCEPT that
-    re-pinning a tag whose stored content equals the current manifest is
-    an idempotent no-op (code review r7): foreachBatch is at-least-once
-    with a stable batch_id, so a crash between the pin and the streaming
-    checkpoint commit replays the batch — the merge is idempotent and the
-    re-pin must be too, or the query wedges on 'already exists' forever.
-    A tag whose stored content DIFFERS still loses loudly.
+    Created with put_if_absent: tags are create-once. Collision handling
+    is declared by the CALLER via ``if_exists``, because a stored tag
+    whose content differs from the current manifest is ambiguous — it can
+    be an at-least-once REPLAY (expected, must converge) or tag MISUSE
+    (must fail loudly), and no structural comparison can tell a replayed
+    merge from a genuinely advanced state with the same bucket layout
+    (ADVICE r7):
+
+    - ``if_exists='error'`` (default, for human/run tags): re-pinning a
+      tag whose stored content EQUALS the current manifest is an
+      idempotent no-op (a pin-only replay is provably the same state);
+      anything else raises.
+    - ``if_exists='return_existing'`` (for foreachBatch batch_id-derived
+      tags): the FIRST pin is authoritative — it is the state the
+      consumer read — and is returned unchanged. This is the replay-safe
+      mode for merge-then-pin compositions: a replayed batch re-merges
+      the same rows under FRESH version uuids before the re-pin runs, so
+      the current manifest's bucket pointers legitimately differ from the
+      stored snapshot; the stored snapshot's versions still exist because
+      the replay's GC spares snapshot-pinned versions. A stored tag that
+      differs STRUCTURALLY (bucket keyset / params / schema — a different
+      table generation) still raises: no replay can change those.
 
     A WRITER operation (code review r7): it pins versions against the
     GC that merge/rebucket/vacuum run, so it takes the table's writer
@@ -248,6 +301,8 @@ def snapshot_merge_table(
     Returns the pinned manifest."""
     import json
 
+    if if_exists not in ("error", "return_existing"):
+        raise ValueError(f"if_exists must be 'error' or 'return_existing', got {if_exists!r}")
     token = merge_fs.acquire_writer_lease(fs, target, owner=lease_owner)
     try:
         manifest = _load_manifest(target, fs)
@@ -256,8 +311,18 @@ def snapshot_merge_table(
         if not fs.put_if_absent(
             _snapshot_path(target, tag), json.dumps(manifest).encode()
         ):
-            if _load_snapshot(target, tag, fs) == manifest:
-                return manifest  # idempotent replay re-pin
+            stored = _load_snapshot(target, tag, fs)
+            if stored == manifest:
+                return manifest  # idempotent pin-only replay
+            if if_exists == "return_existing":
+                if _same_state_modulo_versions(stored, manifest):
+                    # merge-then-pin replay: first pin is authoritative
+                    return stored
+                raise ValueError(
+                    f"snapshot {tag!r} at {target} pins a structurally "
+                    "different table generation (buckets/params/schema "
+                    "differ) — tag collision, not a replay re-pin"
+                )
             raise ValueError(
                 f"snapshot {tag!r} already exists at {target} with "
                 "different content"
@@ -320,12 +385,33 @@ def rollback_merge_table(
 def _retained_rels(target: str, fs: merge_fs.MergeFS) -> set[str]:
     """Every store version referenced by the CURRENT manifest OR any
     retained snapshot — the ONE definition of 'not debris', shared by
-    vacuum_merge_table and merge_table_stats."""
+    vacuum_merge_table and merge_table_stats. Concurrency: a snapshot
+    dropped between the listing and its read is skipped
+    (_load_snapshot_if_exists) — its pins were just released, so sparing
+    nothing for it is correct, and a lease-free drop_snapshot must not
+    crash a running vacuum or stats read (ADVICE r7)."""
     manifest = _load_manifest(target, fs)
     refs = _referenced_rels(manifest) if manifest is not None else set()
     for tag in list_snapshots(target, fs):
-        refs |= _referenced_rels(_load_snapshot(target, tag, fs))
+        snap = _load_snapshot_if_exists(target, tag, fs)
+        if snap is not None:
+            refs |= _referenced_rels(snap)
     return refs
+
+
+def _pinned_rels(target: str, fs: merge_fs.MergeFS) -> set[str]:
+    """Store versions pinned by any retained snapshot — what post-commit GC
+    must spare (shared by _merge_locked / rebucket_merge_table /
+    delete_from_merge_table). Tags dropped concurrently are skipped
+    (lease-free drop_snapshot, ADVICE r7)."""
+    import os
+
+    pinned: set[str] = set()
+    for tag in list_snapshots(target, fs):
+        snap = _load_snapshot_if_exists(target, tag, fs)
+        if snap is not None:
+            pinned |= _referenced_rels(snap)
+    return pinned
 
 
 def read_merged(
@@ -400,8 +486,9 @@ def read_changes(
     shuffle is the key-equi full-outer join over those buckets' rows.
 
     Works in either direction: since=newer/until=older yields the inverse
-    diff (merges can't delete, but a rollback target diffed against a later
-    snapshot reports the rows the rollback removed as deletes)."""
+    diff. Delete records arise from delete_from_merge_table (r8), from
+    rollbacks diffed against a later snapshot, and from inverse-direction
+    reads."""
     import os
 
     old_m = _load_snapshot(target, since, fs)
@@ -645,7 +732,17 @@ def _check_params(
     merge pins the parameters into the manifest; every later merge
     validates and raises on mismatch (same pattern as the LSH signature
     table's hash-family guard). Runs under the writer lease, before any
-    staging I/O."""
+    staging I/O.
+
+    A NON-EMPTY manifest that predates pinned params (built by an older
+    merge_micro_batch) is refused outright (ADVICE r7): adopting the
+    caller's params unvalidated would pin whatever (keys, n_buckets) the
+    first post-upgrade merge happened to pass — if that n_buckets differs
+    from the legacy layout, the same logical key routes to a different
+    bucket and silently duplicates, exactly the mis-route this guard
+    exists to prevent. Legacy tables migrate via adopt_table_params,
+    which READS the table back and proves every row hashes into its
+    recorded bucket before pinning."""
     want = {"keys": list(keys), "order_cols": [str(c) for c in order_cols],
             "n_buckets": int(n_buckets)}
     have = manifest.get("params")
@@ -656,7 +753,186 @@ def _check_params(
             "or n_buckets would mis-route rows; rebucket_merge_table "
             "changes n_buckets atomically, or create a new table"
         )
+    if have is None and manifest.get("buckets"):
+        raise ValueError(
+            f"table at {target} has committed state but no pinned merge "
+            "parameters (pre-params layout); merging would adopt "
+            f"{want} unvalidated and could mis-route keys across the "
+            "existing buckets. Run adopt_table_params once to verify the "
+            "layout and pin the parameters."
+        )
     manifest["params"] = want  # written by the commit's manifest put
+
+
+def adopt_table_params(
+    spark: SparkSession,
+    target: str,
+    keys: list[str],
+    order_cols: list,
+    n_buckets: int,
+    fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
+    lease_owner: str | None = None,
+) -> dict:
+    """One-time migration for a merge table whose manifest predates pinned
+    params (ADVICE r7): VERIFY the claimed (keys, n_buckets) against the
+    committed data, then pin them into the manifest so future merges pass
+    _check_params. Verification is one pruned read of the committed
+    buckets asserting that EVERY row's pmod(xxhash64(*keys), n_buckets)
+    equals its recorded __bucket — the property merge routing depends on;
+    a single mismatching row means the claimed layout is wrong and
+    adoption raises without writing anything. Also refuses committed
+    bucket ids outside [0, n_buckets) (cheap driver-side pre-check, no
+    scan needed to reject an obviously-wrong n_buckets). A writer
+    operation under the table lease. Returns the updated manifest."""
+    import json
+
+    if int(n_buckets) < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    want = {"keys": list(keys), "order_cols": [str(c) for c in order_cols],
+            "n_buckets": int(n_buckets)}
+    token = merge_fs.acquire_writer_lease(fs, target, owner=lease_owner)
+    try:
+        manifest = _load_manifest(target, fs)
+        if manifest is None:
+            raise ValueError(f"no committed state at {target}")
+        have = manifest.get("params")
+        if have == want:
+            return manifest  # idempotent re-run
+        if have is not None:
+            raise ValueError(
+                f"table at {target} already pins params {have}; "
+                "rebucket_merge_table changes n_buckets atomically"
+            )
+        bad_ids = [b for b in manifest["buckets"] if not 0 <= int(b) < int(n_buckets)]
+        if bad_ids:
+            raise ValueError(
+                f"committed bucket ids {sorted(bad_ids)} fall outside "
+                f"[0, {n_buckets}) — claimed n_buckets does not match the "
+                f"table layout at {target}"
+            )
+        cur = read_merged(spark, target, fs=fs)
+        mismatched = cur.filter(
+            ~F.col("__bucket").eqNullSafe(
+                F.pmod(F.xxhash64(*keys), F.lit(int(n_buckets)))
+            )
+        ).count()
+        if mismatched:
+            raise ValueError(
+                f"{mismatched} committed rows do not hash into their "
+                f"recorded bucket under keys={list(keys)}, "
+                f"n_buckets={n_buckets} — wrong keys or wrong n_buckets "
+                f"for the table at {target}"
+            )
+        manifest["params"] = want
+        fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
+        return manifest
+    finally:
+        merge_fs.release_writer_lease(fs, target, token)
+
+
+def delete_from_merge_table(
+    spark: SparkSession,
+    target: str,
+    keys: DataFrame | None = None,
+    predicate: str | None = None,
+    fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
+    lease_owner: str | None = None,
+    lease_ttl_sec: float = 3600.0,
+) -> int:
+    """DELETE rows from a merge gold table — the missing third of the
+    Delta/Iceberg DML triangle (merge_table upserts, rollback restores,
+    this removes): retention enforcement, GDPR erasure, pulling
+    contaminated documents out of a training corpus. Exactly one of:
+
+    - ``keys``: a DataFrame carrying the table's key columns — every
+      matching key's row is removed. I/O ∝ the KEYS' bucket span, the
+      merge discipline: keys route through the same
+      pmod(xxhash64(*keys), n_buckets), only those buckets are read back
+      and anti-joined, untouched buckets keep their exact files.
+    - ``predicate``: a SQL boolean over the table's columns (GDPR-style
+      content predicate that key routing cannot prune). One pruning scan
+      counts matches per bucket first, so only buckets that actually
+      CONTAIN matches are rewritten — a selective predicate still
+      rewrites few buckets; a table-wide one degrades to the honest
+      O(table) rewrite.
+
+    Same two-phase commit as merge: rewritten buckets stage invisibly,
+    ONE atomic manifest put flips readers (a bucket emptied by the delete
+    leaves the manifest entirely), superseded versions are GC'd unless
+    snapshot-pinned. CDC composes: read_changes(pre_delete_snapshot)
+    reports the removed rows as ``_change_type='delete'``. A writer
+    operation under the table lease. Returns the number of rows deleted."""
+    import json
+    import os
+
+    if (keys is None) == (predicate is None):
+        raise ValueError("pass exactly one of keys= or predicate=")
+    token = merge_fs.acquire_writer_lease(
+        fs, target, owner=lease_owner, ttl_sec=lease_ttl_sec
+    )
+    try:
+        with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
+            manifest = _load_manifest(target, fs)
+            if manifest is None:
+                return 0
+            params = manifest.get("params")
+            if params is None:
+                raise ValueError(
+                    f"table at {target} predates pinned params; run "
+                    "adopt_table_params before deleting"
+                )
+            key_cols, n_buckets = params["keys"], int(params["n_buckets"])
+            if keys is not None:
+                kdf = keys.select(*key_cols).distinct().withColumn(
+                    "__bucket", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+                )
+                touched = sorted(
+                    r["__bucket"]
+                    for r in kdf.select("__bucket").distinct().collect()
+                )
+                touched = [b for b in touched if str(b) in manifest["buckets"]]
+                if not touched:
+                    return 0
+                cur = read_merged(spark, target, buckets=touched, fs=fs)
+                remaining = cur.join(
+                    kdf.drop("__bucket"), on=key_cols, how="left_anti"
+                )
+            else:
+                cur_all = read_merged(spark, target, fs=fs)
+                if cur_all is None:
+                    return 0
+                # pruning pass: <= n_buckets rows to the driver
+                hits = (
+                    cur_all.filter(F.expr(predicate))
+                    .groupBy("__bucket")
+                    .count()
+                    .collect()
+                )
+                touched = sorted(int(r["__bucket"]) for r in hits if r["count"])
+                if not touched:
+                    return 0
+                cur = read_merged(spark, target, buckets=touched, fs=fs)
+                remaining = cur.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+            n_before = cur.count()
+            new_rels, staging = _stage_bucket_versions(
+                remaining, target, touched, fs
+            )
+            old_rels = {str(b): manifest["buckets"].get(str(b)) for b in touched}
+            for b in touched:  # emptied buckets leave the manifest
+                manifest["buckets"].pop(str(b), None)
+            manifest["buckets"].update(new_rels)
+            # THE commit point
+            fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
+            pinned = _pinned_rels(target, fs)
+            for b, rel in old_rels.items():
+                if rel and rel != new_rels.get(b) and os.path.normpath(rel) not in pinned:
+                    fs.rmtree(os.path.join(target, rel))
+            fs.rmtree(staging)
+            after = read_merged(spark, target, buckets=touched, fs=fs)
+            n_after = 0 if after is None else after.count()
+            return n_before - n_after
+    finally:
+        merge_fs.release_writer_lease(fs, target, token)
 
 
 def merge_table(
@@ -881,9 +1157,7 @@ def rebucket_merge_table(
                 _manifest_path(target), json.dumps(new_manifest).encode()
             )
             # best-effort GC of the entire old generation (spare pins)
-            pinned: set[str] = set()
-            for tag in list_snapshots(target, fs):
-                pinned |= _referenced_rels(_load_snapshot(target, tag, fs))
+            pinned = _pinned_rels(target, fs)
             for rel in old_rels.values():
                 if os.path.normpath(rel) not in pinned:
                     fs.rmtree(os.path.join(target, rel))
@@ -962,9 +1236,7 @@ def _merge_locked(
     # commit). A version pinned by a retained SNAPSHOT must survive being
     # superseded — time-travel reads depend on it; it becomes reclaimable
     # only when its snapshot is dropped (then vacuum takes it).
-    pinned: set[str] = set()
-    for tag in list_snapshots(target, fs):
-        pinned |= _referenced_rels(_load_snapshot(target, tag, fs))
+    pinned = _pinned_rels(target, fs)
     for b, rel in old_rels.items():
         if rel and rel != new_rels[b] and os.path.normpath(rel) not in pinned:
             fs.rmtree(os.path.join(target, rel))

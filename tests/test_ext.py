@@ -1570,3 +1570,30 @@ def test_append_signature_table_closes_the_crawl_loop(spark, tmp_path):
     shutil.rmtree(sig_path + "/_params")
     with pytest.raises(AnalysisException):
         dd.append_signature_table(inc_b, sig_path)
+
+
+def test_portable_signature_shingle_n_guard_is_not_an_assert(spark, tmp_path):
+    """ADVICE r7: the md5 family's trigram-only constraint must survive
+    python -O — both the writer and the appender raise ValueError (never a
+    strippable assert) on a non-trigram shingle_n."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="trigram"):
+        dd.write_signature_table_portable(docs, str(tmp_path / "sigs"), shingle_n=4)
+
+    # an append against a table whose _params record an impossible
+    # (md5, shingle_n=4) combination refuses instead of silently
+    # computing trigram signatures at the wrong claimed granularity
+    sig_path = str(tmp_path / "sigs_bad")
+    dd.write_signature_table_portable(docs, sig_path)
+    dd._write_sig_params(spark, sig_path, num_hashes=32, shingle_n=4, family="md5")
+    with pytest.raises(ValueError, match="trigram"):
+        dd.append_signature_table(
+            spark.createDataFrame([(2, "six seven eight nine")], "doc_id long, text string"),
+            sig_path,
+        )

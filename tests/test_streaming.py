@@ -1083,7 +1083,10 @@ def test_streaming_cdc_consumer_loop(spark, tmp_path):
 
     def merge_and_pin(batch, batch_id):
         strm.merge_micro_batch(batch, target, n_buckets=4)
-        strm.snapshot_merge_table(target, f"b{batch_id:03d}")
+        # batch_id-derived tag under at-least-once foreachBatch: the
+        # replay-safe mode (first pin authoritative — ADVICE r7)
+        strm.snapshot_merge_table(target, f"b{batch_id:03d}",
+                                  if_exists="return_existing")
 
     raw = (
         spark.readStream.schema(
@@ -1191,3 +1194,347 @@ def test_rebucket_crash_at_every_op_never_tears(spark, tmp_path):
             strm.rebucket_merge_table(spark, target, 8)
             assert strm._table_params(target)["n_buckets"] == 8
             assert rows(target) == want
+
+
+def test_snapshot_repin_replay_safe_mode(spark, tmp_path):
+    """ADVICE r7: a foreachBatch merge-then-pin batch replayed by the
+    at-least-once contract re-merges the same rows under FRESH version
+    uuids, so the re-pin sees a manifest whose pointers differ from the
+    stored snapshot. if_exists='return_existing' treats the FIRST pin as
+    authoritative and converges; the default mode still loses loudly; a
+    structurally different generation raises in BOTH modes."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    batch = [(1, 100, 1, "a", 1.0), (2, 200, 2, "a", 2.0)]
+    strm.merge_micro_batch(_ev(spark, batch), target, n_buckets=4)
+    pinned = strm.snapshot_merge_table(target, "b000", if_exists="return_existing")
+
+    # replay: identical batch re-merges -> fresh version uuids, same rows
+    strm.merge_micro_batch(_ev(spark, batch), target, n_buckets=4)
+    assert strm._load_manifest(target) != pinned  # pointers really moved
+
+    # default mode wedges exactly as the advisory described...
+    with pytest.raises(ValueError, match="different content"):
+        strm.snapshot_merge_table(target, "b000")
+    # ...the replay-safe mode returns the authoritative first pin
+    again = strm.snapshot_merge_table(target, "b000", if_exists="return_existing")
+    assert again == pinned
+    # and the pinned state stays readable with the original content
+    got = sorted(
+        (r.user_id, r.event_id)
+        for r in strm.read_merged(spark, target, snapshot="b000").collect()
+    )
+    assert got == [(1, 1), (2, 2)]
+
+    # a structurally different state (new bucket committed) is tag misuse
+    strm.merge_micro_batch(
+        _ev(spark, [(9, 900, 7, "a", 9.0)]), target, n_buckets=4
+    )
+    if set(strm._load_manifest(target)["buckets"]) != set(pinned["buckets"]):
+        with pytest.raises(ValueError, match="different table generation"):
+            strm.snapshot_merge_table(target, "b000", if_exists="return_existing")
+
+
+def test_adopt_table_params_migrates_legacy_manifest(spark, tmp_path):
+    """ADVICE r7: a pre-params manifest (legacy layout) must not silently
+    adopt whatever params the first post-upgrade merge passes. The merge
+    refuses; adopt_table_params verifies the claimed layout against the
+    committed rows (and rejects wrong n_buckets/keys) before pinning."""
+    import json
+    import os
+
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    # event_id deliberately != user_id so the wrong-keys probe below hashes
+    # rows into DIFFERENT buckets than the recorded user_id routing
+    strm.merge_micro_batch(
+        _ev(spark, [(1000 + i, 2000 + i, i, "a", float(i)) for i in range(8)]),
+        target, n_buckets=4,
+    )
+    # simulate the legacy layout: strip params from the committed manifest
+    mpath = strm._manifest_path(target)
+    m = json.loads(open(mpath).read())
+    del m["params"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+
+    # merging into the legacy table refuses to adopt params unvalidated
+    with pytest.raises(ValueError, match="adopt_table_params"):
+        strm.merge_micro_batch(
+            _ev(spark, [(100, 5000, 1, "b", 1.0)]), target, n_buckets=8
+        )
+
+    # wrong n_buckets: committed bucket ids don't fit -> cheap refusal
+    with pytest.raises(ValueError, match="outside"):
+        strm.adopt_table_params(
+            spark, target, keys=["user_id"],
+            order_cols=["ts", "event_id"], n_buckets=2,
+        )
+    # wrong keys: rows don't hash into their recorded buckets -> refusal
+    with pytest.raises(ValueError, match="do not hash"):
+        strm.adopt_table_params(
+            spark, target, keys=["event_id"],
+            order_cols=["ts", "event_id"], n_buckets=4,
+        )
+    assert strm._table_params(target) is None  # nothing pinned by failures
+
+    # correct layout: verified adoption pins params; merges work again
+    strm.adopt_table_params(
+        spark, target, keys=["user_id"], order_cols=["ts", "event_id"],
+        n_buckets=4,
+    )
+    assert strm._table_params(target)["n_buckets"] == 4
+    strm.merge_micro_batch(
+        _ev(spark, [(100, 5000, 1, "b", 1.0)]), target, n_buckets=4
+    )
+    row = strm.read_merged(spark, target).filter("user_id = 1").first()
+    assert row.event_id == 100
+    # idempotent re-run returns the manifest unchanged
+    strm.adopt_table_params(
+        spark, target, keys=["user_id"], order_cols=["ts", "event_id"],
+        n_buckets=4,
+    )
+
+
+def test_vacuum_and_stats_tolerate_concurrent_snapshot_drop(spark, tmp_path, monkeypatch):
+    """ADVICE r7: drop_snapshot is lease-free, so a tag can vanish between
+    list_snapshots and its read. vacuum/stats/GC must skip it, not crash."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    strm.merge_micro_batch(
+        _ev(spark, [(1, 100, 1, "a", 1.0)]), target, n_buckets=2
+    )
+    strm.snapshot_merge_table(target, "keep")
+
+    real_list = strm.list_snapshots
+
+    def ghost_list(t, fs=strm.merge_fs.LOCAL_FS):
+        # a tag that was listed but dropped before the read
+        return real_list(t, fs) + ["ghost"]
+
+    monkeypatch.setattr(strm, "list_snapshots", ghost_list)
+    # none of these may raise on the vanished tag
+    strm.vacuum_merge_table(target)
+    stats = strm.merge_table_stats(target)
+    assert stats["snapshots"] == 2  # the listing still counted the ghost
+    strm.merge_micro_batch(  # _merge_locked's GC pin loop
+        _ev(spark, [(2, 200, 1, "a", 2.0)]), target, n_buckets=2
+    )
+    strm.rebucket_merge_table(spark, target, 4)  # rebucket's GC pin loop
+    assert strm.read_merged(spark, target).count() == 1
+
+
+def test_cdc_index_refresh_equals_direct_append_and_survives_crash(spark, sf_dir, tmp_path):
+    """VERDICT r7 item 3 — the CDC -> ANN-index-refresh production loop:
+    feeding ivfpq_index_append from read_changes(base) must land the index
+    in EXACTLY the state of a direct bulk append of the same increment
+    (CDC is discovery, not transformation), the refreshed rows must be
+    searchable, and a crash mid-CDC-append heals through the existing
+    recover + re-append path to the same final state."""
+    import shutil
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    emb = io_mod.load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 160
+    ).select("vec_id", "embedding", "label")
+    base = emb.filter(F.col("vec_id") % 16 != 0)
+    inc = emb.filter(F.col("vec_id") % 16 == 0)
+
+    target = str(tmp_path / "corpus")
+    strm.merge_table(base, target, keys=["vec_id"], order_cols=["vec_id"])
+    strm.snapshot_merge_table(target, "base")
+    pristine = str(tmp_path / "index")
+    clustering.build_ivfpq_index(
+        strm.read_merged(spark, target, snapshot="base").select(
+            "vec_id", "embedding", "label"
+        ),
+        pristine, m=4, k=8, max_iters=2, round_decimals=6,
+    )
+    strm.merge_table(inc, target, keys=["vec_id"], order_cols=["vec_id"])
+    cdc = strm.read_changes(spark, target, since="base")
+    # the diff of an insert-only increment is pure inserts
+    assert cdc.filter(F.col("_change_type") != "insert").count() == 0
+    changed = cdc.filter(F.col("_change_type") == "insert").select(
+        "vec_id", "embedding"
+    )
+    n_inc = inc.count()
+
+    # CDC-fed refresh == direct bulk append of the same increment
+    refreshed = str(tmp_path / "refreshed")
+    shutil.copytree(pristine, refreshed)
+    assert clustering.ivfpq_index_append(spark, refreshed, changed) == n_inc
+    direct = str(tmp_path / "direct")
+    shutil.copytree(pristine, direct)
+    assert clustering.ivfpq_index_append(
+        spark, direct, inc.select("vec_id", "embedding")
+    ) == n_inc
+
+    def rows(path, table):
+        return sorted(tuple(r) for r in spark.read.parquet(path + table).collect())
+
+    for table in ("/vectors", "/codes"):
+        assert rows(refreshed, table) == rows(direct, table), table
+
+    # the refreshed rows are searchable: vec_id 0 arrived via CDC and is
+    # its own nearest neighbor
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = clustering.ivfpq_topk_indexed(
+        spark, refreshed, query, k=10, n_probe=2, refine=4
+    ).collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cos_sim"] - 1.0) < 1e-6
+    assert [tuple(r) for r in got] == [
+        tuple(r)
+        for r in clustering.ivfpq_topk_indexed(
+            spark, direct, query, k=10, n_probe=2, refine=4
+        ).collect()
+    ]
+
+    # one crash point mid-CDC-append (the full per-op sweep lives in
+    # tests/test_index_append_crash.py): recover, re-append the SAME CDC
+    # read, converge on the identical final state
+    crashed = str(tmp_path / "crashed")
+    shutil.copytree(pristine, crashed)
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=2)
+    try:
+        clustering.ivfpq_index_append(spark, crashed, changed, fs=fs)
+        crashed_mid = False
+    except mfs.NonAtomicRenameFS.InjectedCrash:
+        crashed_mid = True
+        mfs.break_writer_lease(mfs.LOCAL_FS, crashed)
+    assert crashed_mid
+    clustering.recover_ivfpq_index(crashed)
+    if rows(crashed, "/vectors") != rows(direct, "/vectors"):
+        assert clustering.ivfpq_index_append(spark, crashed, changed) == n_inc
+    for table in ("/vectors", "/codes"):
+        assert rows(crashed, table) == rows(direct, table), table
+
+
+def test_delete_from_merge_table_modes_pins_and_crash(spark, tmp_path):
+    """X-9h (r8): DELETE on the merge gold table. Keys-mode touches only
+    the keys' buckets (untouched buckets keep their exact files);
+    predicate-mode rewrites only buckets containing matches; an emptied
+    bucket leaves the manifest; the pre-delete snapshot still time-travels
+    to the full state; CDC reports the removals as deletes; a crash before
+    the manifest put leaves the table intact."""
+    import glob
+    import os
+
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    target = str(tmp_path / "gold")
+    # 32 users across 8 buckets, value == user_id for predicate targeting
+    strm.merge_micro_batch(
+        _ev(spark, [(i, 1000 + i, i, "seed", float(i)) for i in range(32)]),
+        target, n_buckets=8,
+    )
+    strm.snapshot_merge_table(target, "pre")
+
+    def files():
+        out = {}
+        for p in glob.glob(target + "/store/*/*/*.parquet"):
+            b = p.split("/store/")[1].split("/")[0]
+            out.setdefault(b, set()).add(os.path.relpath(p, target))
+        return out
+
+    before = files()
+
+    # exactly one of keys/predicate
+    with pytest.raises(ValueError, match="exactly one"):
+        strm.delete_from_merge_table(spark, target)
+
+    # keys-mode: remove user 3 — only its bucket gets a new version
+    k = spark.createDataFrame([(3,)], "user_id long")
+    assert strm.delete_from_merge_table(spark, target, keys=k) == 1
+    after = files()
+    user3_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(3).cast("long")), F.lit(8)).cast("string").alias("b")
+    ).first()["b"]
+    assert {b for b in before if before[b] != after.get(b)} == {user3_bucket}
+    assert strm.read_merged(spark, target).filter("user_id = 3").count() == 0
+    # absent keys: no-op
+    assert strm.delete_from_merge_table(
+        spark, target, keys=spark.createDataFrame([(999,)], "user_id long")
+    ) == 0
+
+    # predicate-mode: pruning pass rewrites only buckets WITH matches
+    before2 = files()
+    n = strm.delete_from_merge_table(
+        spark, target, predicate="last_value >= 28"
+    )
+    assert n == 4  # users 28..31
+    after2 = files()
+    hit_buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(u,) for u in (28, 29, 30, 31)], "u long")
+        .select(F.pmod(F.xxhash64(F.col("u")), F.lit(8)).cast("string").alias("b"))
+        .collect()
+    }
+    assert {b for b in before2 if before2[b] != after2.get(b)} == hit_buckets
+
+    # empty a whole bucket: its manifest entry disappears
+    bucket0_users = [
+        u for u in range(32)
+        if spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(u).cast("long")), F.lit(8)).alias("b")
+        ).first()["b"] == int(user3_bucket) and u != 3 and u < 28
+    ]
+    strm.delete_from_merge_table(
+        spark, target,
+        keys=spark.createDataFrame([(u,) for u in bucket0_users], "user_id long"),
+    )
+    assert user3_bucket not in strm._load_manifest(target)["buckets"]
+
+    # time travel: the 'pre' snapshot still reads the FULL original state
+    assert strm.read_merged(spark, target, snapshot="pre").count() == 32
+    # CDC: everything removed so far surfaces as deletes
+    ch = strm.read_changes(spark, target, since="pre")
+    assert ch.filter("_change_type <> 'delete'").count() == 0
+    assert ch.count() == 1 + 4 + len(bucket0_users)
+
+    # crash before the manifest put: committed state untouched, debris
+    # invisible, vacuum reclaims
+    state = sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    )
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=1)
+    with pytest.raises(mfs.NonAtomicRenameFS.InjectedCrash):
+        strm.delete_from_merge_table(
+            spark, target, predicate="last_value >= 0", fs=fs
+        )
+    mfs.break_writer_lease(mfs.LOCAL_FS, target)
+    assert sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    ) == state
+    strm.vacuum_merge_table(target)
+    assert sorted(
+        (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
+    ) == state
+
+    # pre-params table refuses
+    legacy = str(tmp_path / "legacy")
+    strm.merge_micro_batch(_ev(spark, [(1, 100, 1, "a", 1.0)]), legacy, n_buckets=2)
+    import json
+
+    mp = strm._manifest_path(legacy)
+    m = json.loads(open(mp).read())
+    del m["params"]
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="adopt_table_params"):
+        strm.delete_from_merge_table(
+            spark, legacy, keys=spark.createDataFrame([(1,)], "user_id long")
+        )
