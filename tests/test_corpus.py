@@ -301,3 +301,184 @@ def test_bpe_oracle_noop_rounds_match_engine(spark):
     )
     want_enc = sorted(con.execute(_bpe_oracle_sql(3, encode=True)).fetchall())
     assert enc == want_enc == [(1, 3, 3), (2, 1, 1)]
+
+
+def test_bpe_apply_merges_is_trainer_consistent_and_oov_capable(spark):
+    """VERDICT r7 item 1: encoding applies the LEARNED merges in rank
+    order (the trainer's own rewrite), so (a) every in-vocab word
+    re-encodes to exactly its trained spelling, (b) out-of-vocab words
+    get real merge application instead of the char-count fallback, and
+    (c) the Arrow-batched udf twin is byte-identical to the expression
+    form."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "banana banana cabana")],
+        "doc_id long, text string",
+    )
+    merges_df, vocab = tx.bpe_train(docs, n_merges=3, return_vocab=True)
+    merges = [(r.pair, r.merged) for r in merges_df.orderBy("merge_rank").collect()]
+
+    # (a) trainer-consistency: re-encoding the vocab's own words
+    # reproduces the trained spellings exactly, both forms
+    expr = vocab.select(
+        "word", "sym",
+        tx.bpe_apply_merges(F.col("word"), merges).alias("re_expr"),
+        tx.bpe_apply_merges_udf(merges)(F.col("word")).alias("re_udf"),
+    ).collect()
+    for r in expr:
+        assert r.re_expr == r.sym, (r.word, r.re_expr, r.sym)
+        assert r.re_udf == r.sym, (r.word, r.re_udf, r.sym)
+
+    # (b) an OOV word exercises the merges: token counts under
+    # merges= differ from the char-count fallback
+    heldout = spark.createDataFrame(
+        [(9, "bananarama")], "doc_id long, text string"
+    )
+    with_merges = tx.bpe_token_counts(heldout, vocab, merges=merges_df).first()
+    char_fallback = tx.bpe_token_counts(heldout, vocab).first()
+    assert char_fallback.bpe_tokens == 10  # legacy: length of the word
+    assert with_merges.bpe_tokens < 10  # merges genuinely compress
+    # and equals a direct application of the merge list
+    n_direct = len(
+        spark.range(1)
+        .select(tx.bpe_apply_merges(F.lit("bananarama"), merges).alias("s"))
+        .first()["s"].split(" ")
+    )
+    assert with_merges.bpe_tokens == n_direct
+
+    # (c) expression-form cap: past BPE_EXPR_MAX_MERGES the expression
+    # builder refuses (use the udf twin)
+    import pytest
+
+    too_many = [(f"q{i} r{i}", f"q{i}r{i}") for i in range(tx.BPE_EXPR_MAX_MERGES + 1)]
+    with pytest.raises(ValueError, match="expression-form"):
+        tx.bpe_apply_merges(F.lit("x"), too_many)
+
+
+def test_bpe_train_eow_marker_matches_reference(spark):
+    """VERDICT r7 item 2: eow='</w>' appends the marker as ONE atomic
+    symbol, so end-of-word merges are learned distinctly — pinned against
+    the same pure-Python reference with the marker appended, and the
+    trained syms all terminate in the marker (or a merge absorbing it)."""
+    import collections
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    texts = ["low lower lowest", "low low newer newest", "wider wide wide"]
+
+    def reference(texts, n_merges, eow):
+        wf = collections.Counter()
+        for t in texts:
+            for w in t.lower().split():
+                if w and len(w) <= 64:
+                    wf[" ".join(list(w) + [eow])] += 1
+        out = []
+        for rank in range(1, n_merges + 1):
+            pc = collections.Counter()
+            for sym, freq in wf.items():
+                s = sym.split(" ")
+                for i in range(len(s) - 1):
+                    pc[s[i] + " " + s[i + 1]] += freq
+            if not pc:
+                break
+            pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merged = pair.replace(" ", "")
+            out.append((rank, pair, merged, cnt))
+            new = collections.Counter()
+            for sym, freq in wf.items():
+                s = " " + sym + " "
+                while True:
+                    s2 = s.replace(f" {pair} ", f" {merged} ")
+                    if s2 == s:
+                        break
+                    s = s2
+                new[s.strip()] += freq
+            wf = new
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (1, 4):
+        got = sorted(
+            tuple(r) for r in tx.bpe_train(docs, n_merges=n, eow="</w>").collect()
+        )
+        want = sorted(reference(texts, n, "</w>"))
+        assert got == want, (n, got, want)
+
+    # marker survives as a whole symbol in the vocab (never split)
+    _, vocab = tx.bpe_train(docs, n_merges=2, eow="</w>", return_vocab=True)
+    for r in vocab.collect():
+        assert r.sym.endswith("</w>"), r
+        assert "< /" not in r.sym and "/ w" not in r.sym
+
+    # encoder mirrors the marker: in-vocab words re-encode exactly
+    merges_df, vocab = tx.bpe_train(docs, n_merges=3, eow="</w>", return_vocab=True)
+    merges = [(r.pair, r.merged) for r in merges_df.orderBy("merge_rank").collect()]
+    from pyspark.sql import functions as F
+
+    for r in vocab.select(
+        "sym", tx.bpe_apply_merges(F.col("word"), merges, eow="</w>").alias("re")
+    ).collect():
+        assert r.re == r.sym
+
+    # a space-containing marker is rejected (it would split into symbols)
+    import pytest
+
+    with pytest.raises(ValueError, match="spaces"):
+        tx.bpe_train(docs, n_merges=1, eow="< w>").collect()
+
+
+def test_bpe_encode_ids_roundtrip_and_unk(spark):
+    """X-5n: token-id sequences are order-exact and, with the eow marker,
+    losslessly decodable — decode(encode(x)) == whitespace-normalized
+    lowercased x; symbols outside the trained alphabet encode as -1 and
+    decode as '<unk>'; markerless decode glues symbols (boundaries are
+    unrecoverable without the marker, which is the point of having one)."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    texts = ["Banana bandana", "cabana banana banana", "abba dab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges_df, vocab = tx.bpe_train(
+        docs, n_merges=3, eow="</w>", return_vocab=True
+    )
+    enc = tx.bpe_encode_ids(docs, vocab, merges=merges_df, eow="</w>")
+    dec = {
+        r.doc_id: r.text
+        for r in tx.bpe_decode(enc, vocab, eow="</w>").collect()
+    }
+    for i, t in enumerate(texts):
+        assert dec[i] == " ".join(t.lower().split()), (i, dec[i])
+
+    # ids are dense over the trained alphabet, sequences ordered: encoding
+    # the same doc twice is deterministic
+    a = {r.doc_id: r.token_ids for r in enc.collect()}
+    b = {
+        r.doc_id: r.token_ids
+        for r in tx.bpe_encode_ids(docs, vocab, merges=merges_df, eow="</w>").collect()
+    }
+    assert a == b
+    symtab = {r.symbol: r.tok_id for r in tx.bpe_symbol_table(vocab).collect()}
+    assert sorted(symtab.values()) == list(range(len(symtab)))
+
+    # unk: digits never appeared in training -> -1 -> '<unk>'
+    held = spark.createDataFrame([(9, "banana42")], "doc_id long, text string")
+    enc9 = tx.bpe_encode_ids(held, vocab, merges=merges_df, eow="</w>")
+    ids = enc9.first()["token_ids"]
+    assert -1 in ids
+    out9 = tx.bpe_decode(enc9, vocab, eow="</w>").first()["text"]
+    assert "<unk>" in out9
+
+    # markerless decode glues symbols (no boundary information)
+    m2, v2 = tx.bpe_train(docs, n_merges=2, return_vocab=True)
+    e2 = tx.bpe_encode_ids(docs, v2, merges=m2)
+    glued = {r.doc_id: r.text for r in tx.bpe_decode(e2, v2).collect()}
+    for i, t in enumerate(texts):
+        assert glued[i] == "".join(t.lower().split()), (i, glued[i])
