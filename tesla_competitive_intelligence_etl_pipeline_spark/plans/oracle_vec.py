@@ -659,6 +659,7 @@ def ivfpq_topk_sql(
     topk: int = 10,
     n_probe: int = 2,
     refine: int = 4,
+    base_pred: str | None = None,
 ) -> str:
     """Oracle for x3_ivfpq_topk: the combined IVF-PQ + exact-refine search
     re-derived end-to-end in SQL — the per-cell decimal-exact mean
@@ -669,23 +670,63 @@ def ivfpq_topk_sql(
     asymmetric-distance k*refine shortlist with id tiebreaks, and the exact
     cosine re-rank of the shortlist. A regression in the probe, the
     training, the encoding, the shortlist boundary, or the refine join all
-    surface as a hash mismatch. Query = vec_id 0's embedding."""
+    surface as a hash mismatch. Query = vec_id 0's embedding.
+
+    ``base_pred`` (VERDICT r7 item 3 — the CDC -> index-refresh twin):
+    the index was BUILT on the base subset (rows matching the predicate)
+    and the complement arrived later through ivfpq_index_append with both
+    quantizers frozen — so cell centroids and codebook training sample
+    come from the base ONLY, base rows keep their own label, and appended
+    rows take the argmax-cosine cell (round 9, ties to the GREATEST label
+    — the engine's array_max over (sim, cell-index) structs with cells
+    sorted label-ASC). Everything downstream (probe, encode, shortlist,
+    refine) then runs over the combined lab exactly as in the plain
+    oracle."""
     cutoff = int(round(train_fraction * 10_000))
+    samp_and = f" AND ({base_pred})" if base_pred else ""
     parts = [
         "WITH ",
         _EXP,
         f""",
 samp AS (
   SELECT vec_id FROM embeddings
-  WHERE {_BUCKET.format(key="vec_id", n=10_000)} < {cutoff}
+  WHERE {_BUCKET.format(key="vec_id", n=10_000)} < {cutoff}{samp_and}
 ),
-lab AS (SELECT vec_id, label FROM embeddings),
+blab AS (SELECT vec_id, label FROM embeddings{
+            f" WHERE ({base_pred})" if base_pred else ""}),
 cent AS (
   SELECT l.label, e.pos,
          CAST(SUM(CAST(e.val AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*) AS c
-  FROM exp e JOIN lab l USING (vec_id)
+  FROM exp e JOIN blab l USING (vec_id)
   GROUP BY l.label, e.pos
+),""",
+    ]
+    if base_pred:
+        parts.append(
+            f"""
+alab AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, label DESC) AS rn
+    FROM (
+      SELECT e.vec_id, cent.label,
+             ROUND(SUM(e.val * cent.c)
+                   / (sqrt(SUM(e.val * e.val)) * sqrt(SUM(cent.c * cent.c))),
+                   9) AS s
+      FROM exp e JOIN cent ON e.pos = cent.pos
+      WHERE e.vec_id IN (SELECT vec_id FROM embeddings
+                         WHERE NOT ({base_pred}))
+      GROUP BY e.vec_id, cent.label))
+  WHERE rn = 1
 ),
+lab AS (SELECT vec_id, label FROM blab
+        UNION ALL SELECT vec_id, label FROM alab),"""
+        )
+    else:
+        parts.append("\nlab AS (SELECT vec_id, label FROM blab),")
+    parts.append(
+        f"""
 qe AS (SELECT pos, val FROM exp WHERE vec_id = 0),
 csim AS (
   SELECT cent.label,
@@ -696,8 +737,8 @@ csim AS (
   GROUP BY cent.label
 ),
 probed AS (SELECT label FROM csim ORDER BY c_sim DESC, label ASC LIMIT {n_probe}),
-cand AS (SELECT vec_id FROM lab JOIN probed USING (label))""",
-    ]
+cand AS (SELECT vec_id FROM lab JOIN probed USING (label))"""
+    )
     for s in range(m):
         lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
         parts.append(

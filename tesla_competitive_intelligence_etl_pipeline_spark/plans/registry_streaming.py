@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import _dsum, register
+from tesla_competitive_intelligence_etl_pipeline_spark.plans import oracle_vec as _oracle_vec
 from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
 
 
@@ -286,3 +287,164 @@ def _ensure_docs_gold(spark: SparkSession, sf_dir: str) -> str:
         ).distinct().write.parquet(target + "_basehash")
         _DOCS_GOLD[sf_dir] = target
     return _DOCS_GOLD[sf_dir]
+
+
+# ===========================================================================
+# X-3/X-9 composition (VERDICT r7 item 3): CDC -> ANN-index refresh — the
+# steady-state 100 TB serving loop. The embedding corpus lives in a merge
+# gold table; the IVF-PQ index is built from a pinned snapshot; each later
+# corpus increment is discovered via read_changes (O(changed buckets) diff
+# I/O) and fed to ivfpq_index_append (O(batch) assign+encode, two-table
+# atomic commit) — the index tracks the table without ever re-reading it.
+# ===========================================================================
+
+# (index_path, codebooks, query_vec) per (session, sf_dir)
+_CDC_EMB_INDEX: dict[str, tuple[str, list, list]] = {}
+
+
+def _ensure_cdc_emb_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, list]:
+    """Offline half of the CDC -> index-refresh loop, once per
+    session/sf_dir: merge the base corpus (15/16 of embeddings) into a
+    gold table, pin 'base', build the IVF-PQ index from the PINNED state,
+    merge the increment (vec_id % 16 == 0 — includes vec_id 0, so the
+    query vector itself arrives through CDC), then read_changes(base) ->
+    ivfpq_index_append. The timed entry is the SEARCH over the refreshed
+    index; CDC-fed append == direct bulk append is pinned in
+    tests/test_streaming.py."""
+    if sf_dir not in _CDC_EMB_INDEX:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+        from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+
+        emb = io_mod.load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        base = emb.filter(F.col("vec_id") % 16 != 0)
+        inc = emb.filter(F.col("vec_id") % 16 == 0)
+        root = tempfile.mkdtemp(prefix="cdc_emb_")
+        target = root + "/corpus"
+        strm.merge_table(base, target, keys=["vec_id"], order_cols=["vec_id"])
+        strm.snapshot_merge_table(target, "base")
+        path = root + "/index"
+        books = clustering.build_ivfpq_index(
+            strm.read_merged(spark, target, snapshot="base").select(
+                "vec_id", "embedding", "label"
+            ),
+            path, m=4, k=16, max_iters=2, train_fraction=0.2, round_decimals=6,
+        )
+        strm.merge_table(inc, target, keys=["vec_id"], order_cols=["vec_id"])
+        changed = strm.read_changes(spark, target, since="base").filter(
+            F.col("_change_type") == "insert"
+        ).select("vec_id", "embedding")
+        clustering.ivfpq_index_append(spark, path, changed)
+        query = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        _CDC_EMB_INDEX[sf_dir] = (path, books, query)
+    return _CDC_EMB_INDEX[sf_dir]
+
+
+@register(
+    "x3_cdc_index_refresh",
+    _oracle_vec.ivfpq_topk_sql(
+        m=4, k_codes=16, iters=2, train_fraction=0.2, n_probe=2, refine=4,
+        base_pred="vec_id % 16 <> 0",
+    ),
+)
+def x3_cdc_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3/X-9 production loop (VERDICT r7 item 3): search the IVF-PQ
+    index AFTER a CDC-driven incremental refresh — merge-table increment
+    -> read_changes diff -> ivfpq_index_append with frozen quantizers.
+    The query vector (vec_id 0) itself arrived through the CDC append,
+    so its top-1 self-hit proves the refreshed rows are searchable. The
+    oracle re-derives the ENTIRE composition in SQL: base-only cell
+    centroids and codebooks, appended rows assigned argmax-cosine
+    (round 9, ties to the greatest label — the engine's array_max
+    tie-break), then the standard probe/ADC/shortlist/refine
+    (oracle_vec.ivfpq_topk_sql base_pred variant). Offline ingest
+    (_ensure_cdc_emb_index) is warmed by bench.py; the timed path is the
+    online search."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    path, books, query = _ensure_cdc_emb_index(spark, sf_dir)
+    return clustering.ivfpq_topk_indexed(
+        spark, path, query, k=10, n_probe=2, refine=4, codebooks=books
+    )
+
+
+# ===========================================================================
+# X-9h (r8): DELETE from the merge gold table — retention / GDPR erasure /
+# corpus takedown, the missing third of the DML triangle. CDC composes:
+# the deltas since the pre-delete snapshot are pure delete records.
+# ===========================================================================
+
+_DELETE_GOLD: dict[str, str] = {}
+
+
+def _ensure_delete_gold(spark: SparkSession, sf_dir: str) -> str:
+    """Events gold table + 'pre' snapshot + BOTH delete modes applied —
+    keys-mode (user_id % 7 == 0: routes through bucket hashing, touches
+    only those keys' buckets) then predicate-mode (last_value < 50 over
+    the survivors: one pruning count pass, rewrites only buckets that
+    contain matches). Once per session/sf_dir; the timed entry is the CDC
+    read of the removed rows."""
+    if sf_dir not in _DELETE_GOLD:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+
+        ev = io_mod.load_events(spark, sf_dir)
+        target = tempfile.mkdtemp(prefix="del_gold_") + "/gold"
+        strm.merge_micro_batch(ev, target)
+        strm.snapshot_merge_table(target, "pre")
+        gone_users = (
+            ev.select("user_id").distinct().filter(F.col("user_id") % 7 == 0)
+        )
+        strm.delete_from_merge_table(spark, target, keys=gone_users)
+        strm.delete_from_merge_table(
+            spark, target, predicate="last_value < 50"
+        )
+        _DELETE_GOLD[sf_dir] = target
+    return _DELETE_GOLD[sf_dir]
+
+
+@register(
+    "x9_merge_delete",
+    """
+    WITH l AS (
+      SELECT user_id, event_type AS last_event_type, value AS last_value,
+             event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    ),
+    g AS (SELECT user_id, last_event_type, last_value, event_id
+          FROM l WHERE rn = 1)
+    SELECT user_id, last_event_type, last_value, event_id,
+           'delete' AS _change_type
+    FROM g WHERE user_id % 7 = 0 OR last_value < 50
+    """,
+)
+def x9_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9h (r8): DELETE on the merge gold table, observed through CDC —
+    keys-mode erasure (user_id % 7 == 0; I/O ∝ the keys' bucket span)
+    followed by predicate-mode erasure (last_value < 50; a pruning count
+    pass rewrites only buckets containing matches), each a two-phase
+    commit whose superseded versions stay pinned by the 'pre' snapshot.
+    read_changes(since='pre') then reports exactly the removed rows as
+    _change_type='delete' (the full-outer diff's old-side-only branch).
+    The oracle recomputes latest-per-user and the union of both delete
+    conditions in SQL. Table build + deletes are offline
+    (_ensure_delete_gold, warmed by bench.py); the timed query is the CDC
+    read."""
+    target = _ensure_delete_gold(spark, sf_dir)
+    return strm.read_changes(spark, target, since="pre").select(
+        "user_id", "last_event_type", "last_value", "event_id", "_change_type"
+    )
