@@ -31,7 +31,13 @@ DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q18_large_orders",
-    "q_corr_subquery_avg",
+    # r8 rotation (VERDICT r7 item 8): q_corr_subquery_avg -> x5_bpe_train.
+    # The decorrelated per-group-average shape stays driver-covered by
+    # tpch_suite's Q17 branch (and q_corr_subquery_avg itself stays
+    # registered + locally parity-checked); the slot now drives the newest
+    # machinery — distributed BPE training against its unrolled-rounds
+    # oracle.
+    "x5_bpe_train",
     # round-3 composites (VERDICT r2 item 2): fold the oracle-backed extras
     # that sat outside the window; q5/q6/q12/q14 moved INTO tpch_suite.
     "tpch_suite",
