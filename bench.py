@@ -120,6 +120,9 @@ def main() -> None:
     registry_streaming._ensure_cdc_emb_index(spark, sf_dir)
     # events gold + both DELETE modes (r8): the timed query is the CDC read
     registry_streaming._ensure_delete_gold(spark, sf_dir)
+    # three-commit gold with captured deltas (r8): the timed query is the
+    # O(delta) commit-log read
+    registry_streaming._ensure_commit_log_gold(spark, sf_dir)
     # trained BPE vocabulary for x5_bpe_encode (x5_bpe_train still times
     # the training itself)
     registry_corpus._ensure_bpe_vocab(spark, sf_dir)

@@ -83,9 +83,9 @@ def _refresh(spark, target: str, index: str, lo: int, hi: int, tag_ix: int) -> f
     )
     strm.snapshot_merge_table(target, cur)
     t0 = time.monotonic()
-    changed = strm.read_changes(spark, target, since=prev, until=cur).filter(
-        F.col("_change_type") == "insert"
-    ).select("vec_id", "embedding")
+    changed = strm.read_commit_changes(
+        spark, target, since=prev, until=cur
+    ).filter(F.col("_change_type") == "insert").select("vec_id", "embedding")
     n = clustering.ivfpq_index_append(spark, index, changed)
     dt = time.monotonic() - t0
     assert n == hi - lo, (n, hi - lo)
@@ -121,13 +121,26 @@ def main() -> None:
         tag += 1
 
     # ---- sweep B: fixed increment, growing base --------------------------
-    print("base_rows refresh_sec_8k_increment")
+    # Also times the two CDC read paths for the SAME 8k-increment range:
+    # the state diff re-reads every changed bucket's full content on both
+    # sides (8k hash-scattered keys touch all buckets -> it grows with the
+    # base), while the commit-log read unions only the captured delta
+    # files (expected flat — the r8 fix for exactly this curve).
+    print("base_rows refresh_sec_8k statediff_read_sec commitlog_read_sec")
     for n_base in (50_000, 200_000, 800_000):
         tmp = tempfile.mkdtemp(prefix=f"cdcidx_b{n_base}_")
         target, index = _setup(spark, n_base, tmp)
         _refresh(spark, target, index, n_base, n_base + 1000, 1)  # warm
         dt = _refresh(spark, target, index, n_base + 1000, n_base + 9000, 2)
-        print(f"{n_base} {dt:.2f}")
+        t0 = time.monotonic()
+        strm.read_changes(spark, target, since="s1", until="s2").count()
+        dt_diff = time.monotonic() - t0
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        strm.read_commit_changes(spark, target, since="s1", until="s2").count()
+        dt_log = time.monotonic() - t0
+        spark.catalog.clearCache()
+        print(f"{n_base} {dt:.2f} {dt_diff:.2f} {dt_log:.2f}")
 
 
 if __name__ == "__main__":

@@ -336,7 +336,12 @@ def _ensure_cdc_emb_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, 
             path, m=4, k=16, max_iters=2, train_fraction=0.2, round_decimals=6,
         )
         strm.merge_table(inc, target, keys=["vec_id"], order_cols=["vec_id"])
-        changed = strm.read_changes(spark, target, since="base").filter(
+        # consume the COMMIT LOG (r8): O(delta) regardless of how the
+        # increment's keys scatter across buckets — the state-diff
+        # read_changes would re-read every touched bucket's full content
+        # (measured growing with base size, SCALING.md r8); both readers
+        # yield the identical insert set here, pinned in tests
+        changed = strm.read_commit_changes(spark, target, since="base").filter(
             F.col("_change_type") == "insert"
         ).select("vec_id", "embedding")
         clustering.ivfpq_index_append(spark, path, changed)
@@ -447,4 +452,111 @@ def x9_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _ensure_delete_gold(spark, sf_dir)
     return strm.read_changes(spark, target, since="pre").select(
         "user_id", "last_event_type", "last_value", "event_id", "_change_type"
+    )
+
+
+# ===========================================================================
+# X-9i (r8): commit-log CDC — the O(delta) incremental read. The state-diff
+# read_changes re-reads every changed bucket's FULL content on both sides,
+# which degrades toward O(table) when an increment's keys hash-scatter
+# across all buckets (measured, SCALING.md r8). Merges/deletes therefore
+# capture their change rows AT COMMIT TIME; read_commit_changes unions the
+# per-commit deltas along the manifest chain — I/O is exactly the change
+# rows in the range, independent of table size.
+# ===========================================================================
+
+_COMMIT_LOG_GOLD: dict[str, str] = {}
+
+
+def _ensure_commit_log_gold(spark: SparkSession, sf_dir: str) -> str:
+    """Events gold table built as THREE time-ordered merges with 'base'
+    pinned after the first — commits 2 and 3 then carry per-commit
+    deltas; a user whose latest event moves in both windows appears in
+    both (per-commit granularity, unlike the compacted state diff)."""
+    if sf_dir not in _COMMIT_LOG_GOLD:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+
+        ev = io_mod.load_events(spark, sf_dir)
+        c1 = F.lit("2024-01-11").cast("timestamp")
+        c2 = F.lit("2024-01-21").cast("timestamp")
+        target = tempfile.mkdtemp(prefix="clog_") + "/gold"
+        strm.merge_micro_batch(ev.filter(F.col("ts") < c1), target)
+        strm.snapshot_merge_table(target, "base")
+        strm.merge_micro_batch(
+            ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)), target
+        )
+        strm.merge_micro_batch(ev.filter(F.col("ts") >= c2), target)
+        _COMMIT_LOG_GOLD[sf_dir] = target
+    return _COMMIT_LOG_GOLD[sf_dir]
+
+
+def _clog_state(alias: str, upper: str | None) -> str:
+    """Latest-per-user CTE over events below an optional ts bound."""
+    where = (
+        f"WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{upper}'" if upper else ""
+    )
+    return f"""
+    {alias} AS (
+      SELECT user_id, last_event_type, last_value, event_id FROM (
+        SELECT user_id, event_type AS last_event_type, value AS last_value,
+               event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                           event_id DESC) AS rn
+        FROM events {where}
+      ) WHERE rn = 1
+    )"""
+
+
+def _clog_diff(seq: int, old: str, new: str) -> str:
+    """Per-commit delta between two latest-per-user states, as SQL."""
+    return f"""
+    SELECT n.user_id, n.last_event_type, n.last_value, n.event_id,
+           'insert' AS _change_type, {seq} AS _commit_seq
+    FROM {new} n LEFT JOIN {old} o ON n.user_id = o.user_id
+    WHERE o.user_id IS NULL
+    UNION ALL
+    SELECT o.user_id, o.last_event_type, o.last_value, o.event_id,
+           'update_preimage' AS _change_type, {seq} AS _commit_seq
+    FROM {old} o JOIN {new} n ON o.user_id = n.user_id
+    WHERE o.event_id <> n.event_id
+    UNION ALL
+    SELECT n.user_id, n.last_event_type, n.last_value, n.event_id,
+           'update_postimage' AS _change_type, {seq} AS _commit_seq
+    FROM {old} o JOIN {new} n ON o.user_id = n.user_id
+    WHERE o.event_id <> n.event_id"""
+
+
+@register(
+    "x9_commit_log_cdc",
+    "WITH "
+    + ",".join(
+        [
+            _clog_state("s1", "2024-01-11"),
+            _clog_state("s2", "2024-01-21"),
+            _clog_state("s3", None),
+        ]
+    )
+    + _clog_diff(1, "s1", "s2")
+    + "\n    UNION ALL"
+    + _clog_diff(2, "s2", "s3"),
+)
+def x9_commit_log_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9i (r8): read the commit log between the pinned base and the
+    current state — two commits' captured deltas, unioned with
+    _commit_seq, NO bucket data read at all (the walk reads two manifest
+    chain records plus the delta files themselves). Per-commit
+    granularity pinned by the oracle: a user updated in both windows
+    contributes a pre/post pair PER COMMIT, which the compacted state
+    diff (x9_merge_cdc) would collapse. Deltas are captured by the merges
+    themselves (one batch-proportional join each at ingest); the timed
+    query is the O(delta) log read."""
+    target = _ensure_commit_log_gold(spark, sf_dir)
+    return strm.read_commit_changes(spark, target, since="base").select(
+        "user_id", "last_event_type", "last_value", "event_id",
+        "_change_type", "_commit_seq",
     )
