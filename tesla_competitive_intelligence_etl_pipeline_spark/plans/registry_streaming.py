@@ -218,10 +218,12 @@ def x1_cdc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-1/X-9 composition — the incremental-crawl story end to end: the
     corpus lives in a schema-generic merge gold table keyed by doc_id
     (merge_table); a training run snapshots it; a new crawl batch (50 exact
-    copies under fresh ids + 50 revised texts) merges in; read_changes
-    yields ONLY the inserted docs, and exact dedup flags each against the
-    PINNED base state by md5 — so steady-state dedup cost is O(delta), not
-    O(corpus). Hashes are projected before the join (the shuffle carries
+    copies under fresh ids + 50 revised texts) merges in; the COMMIT LOG
+    (r8: read_commit_changes — O(delta) regardless of how the crawl's keys
+    scatter across buckets, unlike the state diff which re-reads every
+    touched bucket in full) yields ONLY the inserted docs, and exact dedup
+    flags each against the PINNED base state by md5 — so steady-state
+    dedup cost is O(delta), not O(corpus). Hashes are projected before the join (the shuffle carries
     (doc_id, 16-byte md5), never text — the dedup discipline); the base
     side is NOT broadcast (at 100 TB it is the full corpus hash set). The
     oracle recomputes the crawl and the flag in SQL. The corpus table +
@@ -231,7 +233,7 @@ def x1_cdc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     target = _ensure_docs_gold(spark, sf_dir)
-    new_docs = strm.read_changes(spark, target, since="base").filter(
+    new_docs = strm.read_commit_changes(spark, target, since="base").filter(
         F.col("_change_type") == "insert"
     )
     # the base corpus's distinct-md5 table is MATERIALIZED at ingest
