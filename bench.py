@@ -106,6 +106,9 @@ def main() -> None:
     registry_corpus._ensure_pq_index(spark, sf_dir)
     # the combined IVF-PQ index (r7) amortizes the same way
     registry_corpus._ensure_ivfpq_index(spark, sf_dir)
+    # its takedown twin (r8): the copy + tombstone delete is offline; the
+    # timed query is the tombstone-aware search
+    registry_corpus._ensure_takedown_index(spark, sf_dir)
     registry_ext._ensure_sig_table(spark, sf_dir)
     # ... and its md5-portable twin (VERDICT r6 item 2): without this,
     # x2_cross_corpus_indexed_portable is charged the one-time offline table

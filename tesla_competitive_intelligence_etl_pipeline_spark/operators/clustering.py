@@ -759,6 +759,7 @@ def _ivfpq_search(
     id_col: str,
     vec_col: str,
     cell_col: str,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF-PQ search core: probe the n_probe cells whose centroid is
     nearest the query (an n_probe-row collect — the standard IVF probe),
@@ -782,8 +783,16 @@ def _ivfpq_search(
         .collect()
     )
     cells = [r[cell_col] for r in probed_rows]
+    cand = codes.filter(F.col(cell_col).isin(cells))
+    if tombstones is not None:
+        # takedown (r8): ONE anti-join ahead of the ADC scan removes
+        # tombstoned ids from candidacy entirely — the shortlist (and
+        # therefore the refine join) then provably excludes them, and
+        # with frozen quantizers the results equal an index that never
+        # contained those vectors (pinned in tests).
+        cand = cand.join(tombstones.select(id_col), id_col, "left_anti")
     shortlist = pq_topk(
-        codes.filter(F.col(cell_col).isin(cells)),
+        cand,
         codebooks,
         [float(v) for v in query_vec],
         k=k * refine,
@@ -828,6 +837,7 @@ def ivfpq_topk_indexed(
         codebooks,
         query_vec,
         k, n_probe, refine, id_col, vec_col, cell_col,
+        tombstones=load_tombstones(spark, path),
     )
 
 
@@ -962,12 +972,71 @@ def ivfpq_index_append(
     return int(obs.get["n"])
 
 
+def ivfpq_index_delete(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    id_col: str = "vec_id",
+    fs=None,
+    lease_owner: str | None = None,
+) -> int:
+    """TAKEDOWN for the IVF-PQ index (r8): tombstone the given ids so
+    every subsequent search behaves exactly as if the index never
+    contained them — the propagation target for a corpus
+    delete_from_merge_table (feed read_commit_changes' delete records
+    here; composition pinned in tests). Physically the vectors/codes rows
+    stay (their cells' files are immutable); one tiny append lands the
+    distinct ids in ``tombstones/`` through the same atomic-marker commit
+    as the data appends, and both search paths anti-join it ahead of the
+    ADC scan. O(batch); ids absent from the index are harmless;
+    re-deleting is idempotent (anti-join semantics). Physical purge is
+    the scheduled re-index (build_ivfpq_index on the surviving corpus),
+    the same cadence that refreshes drifted quantizers — tombstones are
+    the cheap interim, exactly FAISS's remove-vs-rebuild trade. Returns
+    the number of tombstone ids appended."""
+    from pyspark.sql import Observation
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    obs = Observation()
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    try:
+        with mfs.lease_heartbeat(fs, path, token):
+            tdir = path + "/tombstones"
+            tag, staging = index_commit.new_staging(tdir)
+            keys.select(id_col).distinct().coalesce(1).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).write.parquet(staging)
+            index_commit.commit_staged_append(fs, tdir, tag)
+    finally:
+        mfs.release_writer_lease(fs, path, token)
+    return int(obs.get["n"])
+
+
+def load_tombstones(spark: SparkSession, path: str, fs=None) -> DataFrame | None:
+    """The index's committed tombstone ids, or None when nothing was ever
+    deleted (the common case — search plans stay byte-identical)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    tdir = path + "/tombstones"
+    if not fs.isdir(tdir) or not any(
+        f.endswith(".parquet") for f in fs.listdir(tdir)
+    ):
+        return None
+    return spark.read.parquet(tdir)
+
+
 def recover_ivfpq_index(path: str, fs=None) -> dict[str, list[str]]:
-    """Heal a combined IVF-PQ index after a crashed ivfpq_index_append or
-    compact_ivfpq_index: root-marker appends roll forward across BOTH
-    tables (vectors first); crashed compaction swaps in either table are
-    redone-or-cleared from their per-cell markers; marker-less staging is
-    dropped as pre-commit debris. Idempotent — safe to run any time."""
+    """Heal a combined IVF-PQ index after a crashed ivfpq_index_append,
+    ivfpq_index_delete, or compact_ivfpq_index: root-marker appends roll
+    forward across BOTH data tables (vectors first); tombstone appends
+    roll forward from their own in-table markers; crashed compaction
+    swaps in either table are redone-or-cleared from their per-cell
+    markers; marker-less staging is dropped as pre-commit debris.
+    Idempotent — safe to run any time."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
     from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
         _recover_swaps,
@@ -981,6 +1050,10 @@ def recover_ivfpq_index(path: str, fs=None) -> dict[str, list[str]]:
         swaps = _recover_swaps(fs, path + "/" + table)
         out["restored"].extend(swaps["restored"])
         out["removed"].extend(swaps["removed"])
+    if fs.isdir(path + "/tombstones"):
+        t = index_commit.recover_appends(fs, path + "/tombstones")
+        out["restored"].extend(t.get("completed", []))
+        out["removed"].extend(t.get("removed", []))
     return out
 
 
@@ -1040,6 +1113,12 @@ def ivfpq_index_stats(path: str, fs=None) -> dict:
     root_entries = fs.listdir(path) if fs.isdir(path) else []
     out["multi_append_markers"] = sum(
         1 for e in root_entries if e.startswith(index_commit.MULTI_MARKER_PREFIX)
+    )
+    tdir = path + "/tombstones"
+    out["tombstone_files"] = (
+        sum(1 for e in fs.listdir(tdir) if e.endswith(".parquet"))
+        if fs.isdir(tdir)
+        else 0
     )
     for table in ("vectors", "codes"):
         tdir = path + "/" + table
@@ -1115,6 +1194,11 @@ def ivfpq_topk_batch(
     centroids = spark.read.parquet(path + "/centroids")
     codes = spark.read.parquet(path + "/codes")
     vectors = spark.read.parquet(path + "/vectors")
+    tombstones = load_tombstones(spark, path)
+    if tombstones is not None:
+        # takedown (r8): same single anti-join as the per-query path —
+        # tombstoned ids never reach the ADC stage of ANY query
+        codes = codes.join(tombstones.select(id_col), id_col, "left_anti")
 
     qvec = F.col(query_vec_col).cast("array<double>")
 

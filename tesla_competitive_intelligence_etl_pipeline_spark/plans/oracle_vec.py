@@ -660,6 +660,7 @@ def ivfpq_topk_sql(
     n_probe: int = 2,
     refine: int = 4,
     base_pred: str | None = None,
+    exclude_pred: str | None = None,
 ) -> str:
     """Oracle for x3_ivfpq_topk: the combined IVF-PQ + exact-refine search
     re-derived end-to-end in SQL — the per-cell decimal-exact mean
@@ -681,9 +682,16 @@ def ivfpq_topk_sql(
     — the engine's array_max over (sim, cell-index) structs with cells
     sorted label-ASC). Everything downstream (probe, encode, shortlist,
     refine) then runs over the combined lab exactly as in the plain
-    oracle."""
+    oracle.
+
+    ``exclude_pred`` (r8 — the tombstone-takedown twin): ids matching the
+    predicate leave ``lab`` (hence candidacy, the shortlist, and the
+    refine) while centroids and codebooks stay FROZEN — exactly the
+    engine's anti-join ahead of the ADC scan over quantizers trained
+    before the delete."""
     cutoff = int(round(train_fraction * 10_000))
     samp_and = f" AND ({base_pred})" if base_pred else ""
+    excl = f" WHERE NOT ({exclude_pred})" if exclude_pred else ""
     parts = [
         "WITH ",
         _EXP,
@@ -720,11 +728,12 @@ alab AS (
       GROUP BY e.vec_id, cent.label))
   WHERE rn = 1
 ),
-lab AS (SELECT vec_id, label FROM blab
-        UNION ALL SELECT vec_id, label FROM alab),"""
+lab AS (SELECT vec_id, label FROM (
+          SELECT vec_id, label FROM blab
+          UNION ALL SELECT vec_id, label FROM alab){excl}),"""
         )
     else:
-        parts.append("\nlab AS (SELECT vec_id, label FROM blab),")
+        parts.append(f"\nlab AS (SELECT vec_id, label FROM blab{excl}),")
     parts.append(
         f"""
 qe AS (SELECT pos, val FROM exp WHERE vec_id = 0),

@@ -782,6 +782,58 @@ def x3_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Takedown twin of the IVF-PQ index (r8): a COPY of the session index with
+# tombstones for vec_id % 11 == 3 — the offline half of x3_index_takedown.
+_TAKEDOWN_INDEX: dict[str, tuple[str, list, list]] = {}
+
+
+def _ensure_takedown_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, list]:
+    if sf_dir not in _TAKEDOWN_INDEX:
+        import shutil
+        import tempfile
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+        src_path, books, query = _ensure_ivfpq_index(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="ivfpq_takedown_") + "/index"
+        shutil.copytree(src_path, path)
+        gone = (
+            src.load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 11 == 3)
+            .select("vec_id")
+        )
+        clustering.ivfpq_index_delete(spark, path, gone)
+        _TAKEDOWN_INDEX[sf_dir] = (path, books, query)
+    return _TAKEDOWN_INDEX[sf_dir]
+
+
+@register(
+    "x3_index_takedown",
+    oracle_vec.ivfpq_topk_sql(
+        m=4, k_codes=16, iters=2, train_fraction=0.2, n_probe=2, refine=4,
+        exclude_pred="vec_id % 11 = 3",
+    ),
+)
+def x3_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 takedown (r8): search the IVF-PQ index AFTER a tombstone
+    delete (ivfpq_index_delete, vec_id % 11 == 3) — removed ids must
+    never surface, without rebuilding the index: one committed tombstone
+    table, one anti-join ahead of the ADC scan, quantizers frozen. With
+    frozen quantizers the result EQUALS an index that never contained
+    the ids (pinned in tests); the oracle re-derives the search with the
+    same ids excluded from candidacy while training/centroids stay over
+    the full corpus. The corpus-side twin is delete_from_merge_table +
+    read_commit_changes feeding the same keys (composition pinned in
+    tests/test_ext.py). Offline copy + delete in _ensure_takedown_index
+    (warmed by bench.py); the timed query is the online search."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+
+    path, books, query = _ensure_takedown_index(spark, sf_dir)
+    return clustering.ivfpq_topk_indexed(
+        spark, path, query, k=10, n_probe=2, refine=4, codebooks=books
+    )
+
+
 # ===========================================================================
 # X-5i: per-document keyword extraction (tf x inverse document frequency)
 # ===========================================================================

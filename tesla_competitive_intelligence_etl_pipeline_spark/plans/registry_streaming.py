@@ -365,7 +365,8 @@ def _ensure_cdc_emb_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, 
 def x3_cdc_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3/X-9 production loop (VERDICT r7 item 3): search the IVF-PQ
     index AFTER a CDC-driven incremental refresh — merge-table increment
-    -> read_changes diff -> ivfpq_index_append with frozen quantizers.
+    -> commit-log read (read_commit_changes, O(delta)) ->
+    ivfpq_index_append with frozen quantizers.
     The query vector (vec_id 0) itself arrived through the CDC append,
     so its top-1 self-hit proves the refreshed rows are searchable. The
     oracle re-derives the ENTIRE composition in SQL: base-only cell

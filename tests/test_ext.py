@@ -1597,3 +1597,114 @@ def test_portable_signature_shingle_n_guard_is_not_an_assert(spark, tmp_path):
             spark.createDataFrame([(2, "six seven eight nine")], "doc_id long, text string"),
             sig_path,
         )
+
+
+def test_ivfpq_tombstone_takedown(spark, sf_dir, tmp_path):
+    """r8 index takedown: tombstoned ids vanish from single-query AND
+    batch search; with frozen quantizers the takedown index answers
+    EXACTLY like an index that never contained those vectors; the
+    corpus-side composition (delete_from_merge_table ->
+    read_commit_changes -> ivfpq_index_delete) propagates table deletes;
+    a crash mid-tombstone-append heals; re-deleting is idempotent."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 160
+    ).select("vec_id", "embedding", "label")
+    base = emb.filter(F.col("vec_id") < 100)
+    extra = emb.filter(F.col("vec_id") >= 100)
+    doomed = extra.filter(F.col("vec_id") % 2 == 0)  # delete half the extra
+    survivors = extra.filter(F.col("vec_id") % 2 == 1)
+
+    pristine = str(tmp_path / "pristine")
+    clustering.build_ivfpq_index(base, pristine, m=4, k=8, max_iters=2,
+                                 round_decimals=6)
+
+    # takedown index: append ALL extras, then tombstone the doomed half
+    takedown = str(tmp_path / "takedown")
+    shutil.copytree(pristine, takedown)
+    clustering.ivfpq_index_append(
+        spark, takedown, extra.select("vec_id", "embedding"))
+    n = clustering.ivfpq_index_delete(
+        spark, takedown, doomed.select("vec_id"))
+    assert n == doomed.count()
+    # survivor index: SAME quantizers, never saw the doomed ids
+    clean = str(tmp_path / "clean")
+    shutil.copytree(pristine, clean)
+    clustering.ivfpq_index_append(
+        spark, clean, survivors.select("vec_id", "embedding"))
+
+    queries = [
+        [float(x) for x in emb.filter(F.col("vec_id") == q).first()["embedding"]]
+        for q in (0, 101, 102)  # incl. a tombstoned id's own vector
+    ]
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    for qv in queries:
+        got = [tuple(r) for r in clustering.ivfpq_topk_indexed(
+            spark, takedown, qv, k=10, n_probe=2, refine=4).collect()]
+        want = [tuple(r) for r in clustering.ivfpq_topk_indexed(
+            spark, clean, qv, k=10, n_probe=2, refine=4).collect()]
+        assert got == want
+        assert not {r[0] for r in got} & doomed_ids
+
+    # batch path respects tombstones identically
+    qdf = emb.filter(F.col("vec_id").isin(0, 101, 102)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    got_b = sorted(tuple(r) for r in clustering.ivfpq_topk_batch(
+        spark, takedown, qdf, k=10, n_probe=2, refine=4).collect())
+    want_b = sorted(tuple(r) for r in clustering.ivfpq_topk_batch(
+        spark, clean, qdf, k=10, n_probe=2, refine=4).collect())
+    assert got_b == want_b
+
+    # idempotent re-delete; stats expose the tombstone table
+    clustering.ivfpq_index_delete(spark, takedown, doomed.select("vec_id"))
+    got2 = [tuple(r) for r in clustering.ivfpq_topk_indexed(
+        spark, takedown, queries[0], k=10, n_probe=2, refine=4).collect()]
+    want2 = [tuple(r) for r in clustering.ivfpq_topk_indexed(
+        spark, clean, queries[0], k=10, n_probe=2, refine=4).collect()]
+    assert got2 == want2
+    assert clustering.ivfpq_index_stats(takedown)["tombstone_files"] >= 2
+
+    # corpus-side composition: table delete -> commit-log deletes -> index
+    target = str(tmp_path / "corpus")
+    strm.merge_table(emb, target, keys=["vec_id"], order_cols=["vec_id"])
+    strm.snapshot_merge_table(target, "pre")
+    strm.delete_from_merge_table(
+        spark, target, keys=doomed.select("vec_id"))
+    cdc_gone = strm.read_commit_changes(spark, target, since="pre").filter(
+        F.col("_change_type") == "delete").select("vec_id")
+    composed = str(tmp_path / "composed")
+    shutil.copytree(pristine, composed)
+    clustering.ivfpq_index_append(
+        spark, composed, extra.select("vec_id", "embedding"))
+    clustering.ivfpq_index_delete(spark, composed, cdc_gone)
+    got3 = [tuple(r) for r in clustering.ivfpq_topk_indexed(
+        spark, composed, queries[1], k=10, n_probe=2, refine=4).collect()]
+    want3 = [tuple(r) for r in clustering.ivfpq_topk_indexed(
+        spark, clean, queries[1], k=10, n_probe=2, refine=4).collect()]
+    assert got3 == want3
+
+    # crash mid-tombstone-append: pre-marker -> rolled back (search still
+    # sees the id), retry converges; healing is recover_ivfpq_index
+    crashed = str(tmp_path / "crashed")
+    shutil.copytree(pristine, crashed)
+    clustering.ivfpq_index_append(
+        spark, crashed, extra.select("vec_id", "embedding"))
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=1)
+    with pytest.raises(mfs.NonAtomicRenameFS.InjectedCrash):
+        clustering.ivfpq_index_delete(
+            spark, crashed, doomed.select("vec_id"), fs=fs)
+    mfs.break_writer_lease(mfs.LOCAL_FS, crashed)
+    clustering.recover_ivfpq_index(crashed)
+    clustering.ivfpq_index_delete(spark, crashed, doomed.select("vec_id"))
+    got4 = [tuple(r) for r in clustering.ivfpq_topk_indexed(
+        spark, crashed, queries[0], k=10, n_probe=2, refine=4).collect()]
+    assert got4 == want2
