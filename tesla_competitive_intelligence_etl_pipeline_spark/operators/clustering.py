@@ -993,40 +993,23 @@ def ivfpq_index_delete(
     the scheduled re-index (build_ivfpq_index on the surviving corpus),
     the same cadence that refreshes drifted quantizers — tombstones are
     the cheap interim, exactly FAISS's remove-vs-rebuild trade. Returns
-    the number of tombstone ids appended."""
-    from pyspark.sql import Observation
+    the number of tombstone ids appended. (Shared primitive:
+    similarity.tombstone_ids — the plain IVF index has the same takedown
+    via similarity.ivf_index_delete.)"""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
+        tombstone_ids,
+    )
 
-    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
-    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
-
-    fs = fs or mfs.LOCAL_FS
-    obs = Observation()
-    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
-    try:
-        with mfs.lease_heartbeat(fs, path, token):
-            tdir = path + "/tombstones"
-            tag, staging = index_commit.new_staging(tdir)
-            keys.select(id_col).distinct().coalesce(1).observe(
-                obs, F.count(F.lit(1)).alias("n")
-            ).write.parquet(staging)
-            index_commit.commit_staged_append(fs, tdir, tag)
-    finally:
-        mfs.release_writer_lease(fs, path, token)
-    return int(obs.get["n"])
+    return tombstone_ids(spark, path, keys, id_col=id_col, fs=fs,
+                         lease_owner=lease_owner)
 
 
 def load_tombstones(spark: SparkSession, path: str, fs=None) -> DataFrame | None:
     """The index's committed tombstone ids, or None when nothing was ever
-    deleted (the common case — search plans stay byte-identical)."""
-    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+    deleted (alias of similarity.load_tombstones)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import similarity
 
-    fs = fs or mfs.LOCAL_FS
-    tdir = path + "/tombstones"
-    if not fs.isdir(tdir) or not any(
-        f.endswith(".parquet") for f in fs.listdir(tdir)
-    ):
-        return None
-    return spark.read.parquet(tdir)
+    return similarity.load_tombstones(spark, path, fs=fs)
 
 
 def recover_ivfpq_index(path: str, fs=None) -> dict[str, list[str]]:

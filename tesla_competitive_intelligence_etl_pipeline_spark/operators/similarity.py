@@ -253,6 +253,13 @@ def ivf_topk_indexed(
     lands in the scan's PartitionFilters (asserted in tests/test_plans.py) —
     at 100 TB the probe reads n_probe/n_cells of the corpus."""
     vectors = spark.read.parquet(path + "/vectors")
+    tombs = load_tombstones(spark, path)
+    if tombs is not None:
+        # takedown (r8): tombstoned ids leave the index entirely — both
+        # candidacy AND the query-by-id lookup (a deleted id used as a
+        # query resolves to an empty result, exactly as on an index that
+        # never held it; pinned in tests)
+        vectors = vectors.join(tombs.select(id_col), id_col, "left_anti")
     centroids = spark.read.parquet(path + "/centroids")
     q = vectors.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qvec"))
     probed_rows = (
@@ -391,6 +398,71 @@ def ivf_cell_file_counts(path: str, fs=None) -> dict[str, int]:
     return cell_file_counts(path + "/vectors", fs)
 
 
+def tombstone_ids(
+    spark,
+    path: str,
+    keys: DataFrame,
+    id_col: str = "vec_id",
+    fs=None,
+    lease_owner: str | None = None,
+) -> int:
+    """Shared takedown primitive for the materialized indexes (r8): land
+    the distinct ids in ``<index>/tombstones/`` through the same
+    atomic-marker commit as the data appends; searches anti-join the
+    table ahead of candidate ranking. O(batch), idempotent, ids absent
+    from the index are harmless; physical purge is the scheduled
+    re-index. Used by ivf_index_delete and clustering.ivfpq_index_delete."""
+    from pyspark.sql import Observation
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    obs = Observation()
+    token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
+    try:
+        with mfs.lease_heartbeat(fs, path, token):
+            tdir = path + "/tombstones"
+            tag, staging = index_commit.new_staging(tdir)
+            keys.select(id_col).distinct().coalesce(1).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).write.parquet(staging)
+            index_commit.commit_staged_append(fs, tdir, tag)
+    finally:
+        mfs.release_writer_lease(fs, path, token)
+    return int(obs.get["n"])
+
+
+def load_tombstones(spark, path: str, fs=None):
+    """The index's committed tombstone ids, or None when nothing was ever
+    deleted (the common case — search plans stay byte-identical)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    tdir = path + "/tombstones"
+    if not fs.isdir(tdir) or not any(
+        f.endswith(".parquet") for f in fs.listdir(tdir)
+    ):
+        return None
+    return spark.read.parquet(tdir)
+
+
+def ivf_index_delete(
+    spark,
+    path: str,
+    keys: DataFrame,
+    id_col: str = "vec_id",
+    fs=None,
+    lease_owner: str | None = None,
+) -> int:
+    """Takedown for the plain IVF index (r8) — the single-table twin of
+    clustering.ivfpq_index_delete: tombstone the ids so ivf_topk_indexed
+    never surfaces them, without touching the immutable cell files.
+    Returns the number of tombstone ids appended."""
+    return tombstone_ids(spark, path, keys, id_col=id_col, fs=fs,
+                         lease_owner=lease_owner)
+
+
 def ivf_index_stats(path: str, fs=None) -> dict:
     """Operational stats for a materialized IVF index — the index twin of
     streaming.events.merge_table_stats: committed cell/file counts plus the
@@ -419,6 +491,11 @@ def ivf_index_stats(path: str, fs=None) -> dict:
         ),
         "compact_staging_dirs": sum(1 for e in entries if e.startswith(".compact_")),
         "swap_markers": sum(1 for e in entries if e.startswith(".swap_")),
+        "tombstone_files": (
+            sum(1 for e in fs.listdir(path + "/tombstones") if e.endswith(".parquet"))
+            if fs.isdir(path + "/tombstones")
+            else 0
+        ),
         "lease": lease,
     }
 
@@ -459,6 +536,10 @@ def recover_ivf_index(path: str, fs=None) -> dict[str, list[str]]:
     swaps = _recover_swaps(fs, vectors)
     out["restored"].extend(swaps["restored"])
     out["removed"].extend(swaps["removed"])
+    if fs.isdir(path + "/tombstones"):
+        t = index_commit.recover_appends(fs, path + "/tombstones")
+        out["restored"].extend(t["completed"])
+        out["removed"].extend(t["removed"])
     return out
 
 

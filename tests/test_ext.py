@@ -1708,3 +1708,59 @@ def test_ivfpq_tombstone_takedown(spark, sf_dir, tmp_path):
     got4 = [tuple(r) for r in clustering.ivfpq_topk_indexed(
         spark, crashed, queries[0], k=10, n_probe=2, refine=4).collect()]
     assert got4 == want2
+
+
+def test_plain_ivf_tombstone_takedown(spark, sf_dir, tmp_path):
+    """r8: the plain IVF index shares the takedown primitive — tombstoned
+    ids never surface from ivf_topk_indexed, results equal a same-build
+    index that appended only the survivors, stats expose the tombstone
+    table, and recovery heals a crashed tombstone append."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import similarity as sim
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 160)
+    base = emb.filter(F.col("vec_id") < 100)
+    extra = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+    doomed = extra.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    survivors = extra.filter(F.col("vec_id") % 2 == 1)
+
+    pristine = str(tmp_path / "pristine")
+    sim.build_ivf_index(base, pristine)
+    takedown = str(tmp_path / "takedown")
+    shutil.copytree(pristine, takedown)
+    sim.ivf_index_append(spark, takedown, extra)
+    assert sim.ivf_index_delete(spark, takedown, doomed) == doomed.count()
+    clean = str(tmp_path / "clean")
+    shutil.copytree(pristine, clean)
+    sim.ivf_index_append(spark, clean, survivors)
+
+    for q in (0, 102):
+        got = [tuple(r) for r in sim.ivf_topk_indexed(
+            spark, takedown, q, k=10, n_probe=2).collect()]
+        want = [tuple(r) for r in sim.ivf_topk_indexed(
+            spark, clean, q, k=10, n_probe=2).collect()]
+        assert got == want, q
+        assert not any(r[0] % 2 == 0 and r[0] >= 100 for r in got)
+    assert sim.ivf_index_stats(takedown)["tombstone_files"] >= 1
+
+    # crash before the tombstone marker -> rolled back; heal + retry
+    crashed = str(tmp_path / "crashed")
+    shutil.copytree(pristine, crashed)
+    sim.ivf_index_append(spark, crashed, extra)
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=1)
+    with pytest.raises(mfs.NonAtomicRenameFS.InjectedCrash):
+        sim.ivf_index_delete(spark, crashed, doomed, fs=fs)
+    mfs.break_writer_lease(mfs.LOCAL_FS, crashed)
+    sim.recover_ivf_index(crashed)
+    sim.ivf_index_delete(spark, crashed, doomed)
+    got = [tuple(r) for r in sim.ivf_topk_indexed(
+        spark, crashed, 0, k=10, n_probe=2).collect()]
+    want = [tuple(r) for r in sim.ivf_topk_indexed(
+        spark, clean, 0, k=10, n_probe=2).collect()]
+    assert got == want
