@@ -114,6 +114,9 @@ def main() -> None:
     # x2_cross_corpus_indexed_portable is charged the one-time offline table
     # build (~5 s) that its xxhash64 twin and the PQ index are NOT charged.
     registry_ext._ensure_sig_table_portable(spark, sf_dir)
+    # its takedown twin (r9): the copy + tombstone delete is offline; the
+    # timed query is the tombstone-aware crawl dedup
+    registry_ext._ensure_sig_table_takedown(spark, sf_dir)
     # merge gold tables + base snapshots for the CDC entries (r7): the
     # table ingest is the offline cost; the timed queries are the CDC reads
     registry_streaming._ensure_cdc_gold(spark, sf_dir)

@@ -930,7 +930,9 @@ def cross_corpus_neardup_indexed(
         _with_shingles_and_sig(new_docs, text_col, id_col, num_hashes, shingle_n),
         reliable,
     )
-    old_sigs = spark.read.parquet(sig_path)
+    # tombstone-aware read (r9): taken-down docs' stored signatures are
+    # anti-joined out before banding, so erased content never matches
+    old_sigs = _stored_sigs_minus_tombstones(spark, sig_path)
 
     new_band = _band_explode(new_sigs, num_hashes, bands)
     old_band = _band_explode(old_sigs, num_hashes, bands).withColumnRenamed(
@@ -997,7 +999,8 @@ def cross_corpus_neardup_indexed_portable(
         ).withColumn("sig", minhash_int_signature(F.col("sh"), num_hashes)),
         reliable,
     )
-    old_sigs = spark.read.parquet(sig_path)
+    # tombstone-aware read (r9), same as cross_corpus_neardup_indexed
+    old_sigs = _stored_sigs_minus_tombstones(spark, sig_path)
 
     new_band = _band_explode_portable(new_sigs, num_hashes, bands)
     old_band = _band_explode_portable(old_sigs, num_hashes, bands).withColumnRenamed(
@@ -1689,9 +1692,11 @@ def append_signature_table(
 
 
 def recover_signature_table(path: str, fs=None) -> dict:
-    """Restart healing for append_signature_table: roll every marked append
-    forward, drop marker-less staging as pre-commit debris. Idempotent;
-    takes the same sibling writer lease as the builders/appenders."""
+    """Restart healing for append_signature_table AND
+    delete_signature_entries: roll every marked append forward (data rows
+    at the table root, tombstone ids under ``_tombstones/``), drop
+    marker-less staging as pre-commit debris. Idempotent; takes the same
+    sibling writer lease as the builders/appenders."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
@@ -1699,6 +1704,102 @@ def recover_signature_table(path: str, fs=None) -> dict:
     lock_scope = path.rstrip("/") + ".lock"
     token = mfs.acquire_writer_lease(fs, lock_scope)
     try:
-        return index_commit.recover_appends(fs, path)
+        out = index_commit.recover_appends(fs, path)
+        tdir = path.rstrip("/") + "/_tombstones"
+        if fs.isdir(tdir):
+            tout = index_commit.recover_appends(fs, tdir)
+            out["completed"].extend(tout["completed"])
+            out["removed"].extend("_tombstones/" + s for s in tout["removed"])
+        return out
     finally:
         mfs.release_writer_lease(fs, lock_scope, token)
+
+
+# ---------------------------------------------------------------------------
+# Signature-table takedown (VERDICT r8 item 1): propagate corpus deletes to
+# the stored LSH signature table, the way similarity.tombstone_ids already
+# propagates them to the ANN indexes. Without this, a taken-down document's
+# signatures keep matching future crawl increments — wrong dedup verdicts
+# against erased content (GDPR/takedown obligations in the crawl loop).
+# ---------------------------------------------------------------------------
+
+
+def delete_signature_entries(
+    spark,
+    path: str,
+    keys: DataFrame,
+    id_col: str = "doc_id",
+    fs=None,
+    lease_owner: str | None = None,
+) -> int:
+    """Takedown for a materialized signature table: land the distinct doc
+    ids under ``<table>/_tombstones/`` through the same atomic-marker
+    commit as the data appends (operators/index_commit); the indexed crawl
+    queries (cross_corpus_neardup_indexed[_portable]) anti-join stored
+    signatures against the tombstones before banding, so an erased
+    document can never again propose (or win) a match. O(batch),
+    idempotent, ids absent from the table are harmless — the EXACT
+    semantics of similarity.tombstone_ids, with one storage twist: the
+    signature table's root IS its parquet dir, so tombstones live in an
+    underscore-prefixed subdir (invisible to ``spark.read.parquet(path)``,
+    like the ``_params`` sidecar).
+
+    Composes with the table-format DML: ``delete_from_merge_table`` on the
+    corpus → ``read_commit_changes`` delete records → this function — the
+    end-to-end wiring is the x2_sig_takedown registry entry and the
+    composition test in tests/test_ext.py. Physical purge is a rebuild
+    (write_signature_table over the survivors — signatures are
+    deterministic, so a rebuild is value-identical); a tombstoned id stays
+    suppressed even if re-appended, matching the ANN indexes. Returns the
+    number of tombstone ids appended; serialized on the table's sibling
+    writer lease."""
+    from pyspark.sql import Observation
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    lock_scope = path.rstrip("/") + ".lock"
+    obs = Observation()
+    token = mfs.acquire_writer_lease(fs, lock_scope, owner=lease_owner)
+    try:
+        with mfs.lease_heartbeat(fs, lock_scope, token):
+            tdir = path.rstrip("/") + "/_tombstones"
+            tag, staging = index_commit.new_staging(tdir)
+            keys.select(F.col(id_col).alias("doc_id")).distinct().coalesce(
+                1
+            ).observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(staging)
+            index_commit.commit_staged_append(fs, tdir, tag)
+    finally:
+        mfs.release_writer_lease(fs, lock_scope, token)
+    return int(obs.get["n"])
+
+
+def load_signature_tombstones(spark, path: str, fs=None) -> DataFrame | None:
+    """The signature table's committed tombstone doc ids, or None when
+    nothing was ever deleted (the common case — crawl-query plans stay
+    byte-identical)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    tdir = path.rstrip("/") + "/_tombstones"
+    if not fs.isdir(tdir) or not any(
+        f.endswith(".parquet") for f in fs.listdir(tdir)
+    ):
+        return None
+    return spark.read.parquet(tdir)
+
+
+def _stored_sigs_minus_tombstones(spark, sig_path: str) -> DataFrame:
+    """Stored (doc_id, sh, sig) rows with tombstoned docs removed — the
+    read-side half of delete_signature_entries, shared by both indexed
+    crawl operators. The anti-join side is the tiny tombstone table
+    (bounded by takedown volume, not corpus size), so Spark broadcasts it;
+    when no tombstone was ever committed the plan is the bare scan."""
+    old_sigs = spark.read.parquet(sig_path)
+    tombs = load_signature_tombstones(spark, sig_path)
+    if tombs is not None:
+        old_sigs = old_sigs.join(
+            F.broadcast(tombs.select("doc_id").distinct()), "doc_id", "left_anti"
+        )
+    return old_sigs

@@ -334,7 +334,8 @@ def _portable_side_ctes(pfx: str, src_sql: str, num_hashes: int, bands: int) -> 
 
 
 def cross_corpus_indexed_portable_sql(
-    threshold: float = 0.5, num_hashes: int = 32, bands: int = 8
+    threshold: float = 0.5, num_hashes: int = 32, bands: int = 8,
+    exclude_pred: str | None = None,
 ) -> str:
     """Oracle for x2_cross_corpus_indexed_portable: the FULL incremental
     crawl-dedup path in SQL — DuckDB re-derives the STORED side's portable
@@ -342,8 +343,16 @@ def cross_corpus_indexed_portable_sql(
     increment's signatures, both band-bucket sets, the cross-side-only
     candidate join, and the exact-Jaccard verdicts. Sources mirror the
     registry entry: stored corpus = documents doc_id < 100; increment =
-    the first 50 docs re-crawled with shifted ids and a ' zz' suffix."""
+    the first 50 docs re-crawled with shifted ids and a ' zz' suffix.
+
+    ``exclude_pred`` (r9 — the signature-takedown twin): stored-side docs
+    matching the predicate are dropped BEFORE signatures are derived,
+    modeling a table whose tombstones (delete_signature_entries) suppress
+    those docs from banding and verification — i.e. a table rebuilt from
+    the survivors."""
     old_src = "SELECT doc_id, text FROM documents WHERE doc_id < 100"
+    if exclude_pred:
+        old_src += f" AND NOT ({exclude_pred})"
     new_src = (
         "SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text "
         "FROM documents WHERE doc_id < 50"

@@ -330,6 +330,60 @@ def x2_cross_corpus_indexed_portable(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# Takedown twin of the portable signature table (r9): a COPY of the session
+# table with tombstones for doc_id % 7 == 2 — the offline half of
+# x2_sig_takedown, mirroring registry_corpus._ensure_takedown_index.
+_SIG_TABLE_TAKEDOWN: dict[str, str] = {}
+
+
+def _ensure_sig_table_takedown(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _SIG_TABLE_TAKEDOWN:
+        import shutil
+        import tempfile
+
+        src_path = _ensure_sig_table_portable(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="lsh_sigs_takedown_") + "/signatures"
+        shutil.copytree(src_path, path)
+        gone = (
+            src.load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 100) & (F.col("doc_id") % 7 == 2))
+            .select("doc_id")
+        )
+        dd.delete_signature_entries(spark, path, gone)
+        _SIG_TABLE_TAKEDOWN[sf_dir] = path
+    return _SIG_TABLE_TAKEDOWN[sf_dir]
+
+
+@register(
+    "x2_sig_takedown",
+    oracle_vec.cross_corpus_indexed_portable_sql(
+        threshold=0.5, exclude_pred="doc_id % 7 = 2"
+    ),
+)
+def x2_sig_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 takedown (r9 — VERDICT r8 item 1): the incremental crawl dedup
+    AFTER a signature-table tombstone delete (delete_signature_entries,
+    doc_id % 7 == 2) — erased documents must never again match a crawl
+    increment, without rebuilding the table: one committed tombstone table
+    under _tombstones/, one broadcast anti-join ahead of banding. The
+    result EQUALS a signature table rebuilt from the survivors (pinned in
+    tests/test_ext.py, the x3_index_takedown precedent); the oracle
+    re-derives the crawl dedup with the tombstoned docs excluded from the
+    stored side. The corpus-side composition — delete_from_merge_table →
+    read_commit_changes delete records → this takedown — is pinned in
+    tests/test_ext.py. Offline copy + delete in _ensure_sig_table_takedown
+    (warmed by bench.py); the timed query is the online crawl dedup."""
+    sig_path = _ensure_sig_table_takedown(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return dd.cross_corpus_neardup_indexed_portable(
+        new, spark, sig_path, threshold=0.5
+    )
+
+
 @register("x2_cross_corpus_lsh", None)  # MinHash-LSH based -> rows-only
 def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2g at scale: the same cross-corpus dedup through MinHash-LSH

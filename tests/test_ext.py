@@ -1764,3 +1764,247 @@ def test_plain_ivf_tombstone_takedown(spark, sf_dir, tmp_path):
     want = [tuple(r) for r in sim.ivf_topk_indexed(
         spark, clean, 0, k=10, n_probe=2).collect()]
     assert got == want
+
+
+def test_ivfpq_purge_tombstones(spark, sf_dir, tmp_path):
+    """r9 (VERDICT r8 item 2): opt-in PHYSICAL purge — compaction with
+    purge_tombstones=True rewrites exactly the cells holding tombstoned
+    rows in BOTH tables (dropping those rows), then clears the satisfied
+    tombstones; post-purge there are ZERO tombstoned rows on disk and
+    load_tombstones is None (search plans back to the never-deleted
+    shape); search results are pinned identical before/after purge AND
+    equal to a survivor-only index; a crash mid-purge heals through
+    recover_ivfpq_index and a re-run converges; purging with no
+    tombstones is a no-op."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import similarity as sim
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 160
+    ).select("vec_id", "embedding", "label")
+    base = emb.filter(F.col("vec_id") < 100)
+    extra = emb.filter(F.col("vec_id") >= 100)
+    doomed = extra.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    survivors = extra.filter(F.col("vec_id") % 2 == 1)
+
+    pristine = str(tmp_path / "pristine")
+    books = clustering.build_ivfpq_index(
+        base, pristine, m=4, k=8, max_iters=2, round_decimals=6)
+
+    purged = str(tmp_path / "purged")
+    shutil.copytree(pristine, purged)
+    clustering.ivfpq_index_append(spark, purged, extra.select("vec_id", "embedding"))
+    clustering.ivfpq_index_delete(spark, purged, doomed)
+    clean = str(tmp_path / "clean")
+    shutil.copytree(pristine, clean)
+    clustering.ivfpq_index_append(spark, clean, survivors.select("vec_id", "embedding"))
+
+    queries = [
+        [float(x) for x in emb.filter(F.col("vec_id") == q).first()["embedding"]]
+        for q in (0, 101, 102)
+    ]
+
+    def search(path, qv):
+        return [tuple(r) for r in clustering.ivfpq_topk_indexed(
+            spark, path, qv, k=10, n_probe=2, refine=4, codebooks=books).collect()]
+
+    before = [search(purged, qv) for qv in queries]
+    assert clustering.ivfpq_tombstoned_rows(spark, purged) > 0
+
+    # threshold high so ONLY the purge forces rewrites (O(touched cells))
+    out = clustering.compact_ivfpq_index(
+        spark, purged, max_files_per_cell=10_000, purge_tombstones=True)
+    assert out["purged_rows"] > 0 and out["tombstones_cleared"]
+    assert clustering.ivfpq_tombstoned_rows(spark, purged) == 0
+    assert clustering.ivfpq_index_stats(purged)["tombstone_files"] == 0
+    assert clustering.load_tombstones(spark, purged) is None
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    for tbl in ("vectors", "codes"):
+        on_disk = {r.vec_id for r in spark.read.parquet(
+            purged + "/" + tbl).select("vec_id").collect()}
+        assert not on_disk & doomed_ids, tbl
+
+    for i, qv in enumerate(queries):
+        got = search(purged, qv)
+        assert got == before[i]
+        assert got == search(clean, qv)
+
+    # purge on an index with no tombstones: clean no-op
+    out2 = clustering.compact_ivfpq_index(
+        spark, purged, max_files_per_cell=10_000, purge_tombstones=True)
+    assert out2["purged_rows"] == 0
+    assert search(purged, queries[0]) == before[0]
+
+    # crash mid-purge: heal with recover_ivfpq_index, re-run converges
+    crashed = str(tmp_path / "crashed")
+    shutil.copytree(pristine, crashed)
+    clustering.ivfpq_index_append(spark, crashed, extra.select("vec_id", "embedding"))
+    clustering.ivfpq_index_delete(spark, crashed, doomed)
+    probe_fs = mfs.NonAtomicRenameFS()
+    probe = str(tmp_path / "probe")
+    shutil.copytree(crashed, probe)
+    clustering.compact_ivfpq_index(
+        spark, probe, max_files_per_cell=10_000, purge_tombstones=True,
+        fs=probe_fs)
+    # inject a crash somewhere inside the swap/clear sequence
+    for crash_at in (2, probe_fs.ops // 2, probe_fs.ops - 1):
+        run = str(tmp_path / f"crash{crash_at}")
+        shutil.copytree(crashed, run)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            clustering.compact_ivfpq_index(
+                spark, run, max_files_per_cell=10_000, purge_tombstones=True,
+                fs=fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            mfs.break_writer_lease(mfs.LOCAL_FS, run)
+        clustering.recover_ivfpq_index(run)
+        # whatever state the crash left, search NEVER surfaces doomed ids
+        got_mid = search(run, queries[1])
+        assert not {r[0] for r in got_mid} & doomed_ids
+        # re-run completes the purge
+        clustering.compact_ivfpq_index(
+            spark, run, max_files_per_cell=10_000, purge_tombstones=True)
+        assert clustering.ivfpq_tombstoned_rows(spark, run) == 0
+        assert search(run, queries[1]) == before[1]
+        shutil.rmtree(run)
+
+
+def test_ivf_purge_tombstones(spark, sf_dir, tmp_path):
+    """r9: the plain IVF index shares the purge path — post-purge zero
+    tombstoned rows on disk, tombstones cleared, search pinned equal to a
+    survivor-only index."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import similarity as sim
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 160)
+    base = emb.filter(F.col("vec_id") < 100)
+    extra = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+    doomed = extra.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    survivors = extra.filter(F.col("vec_id") % 2 == 1)
+
+    pristine = str(tmp_path / "pristine")
+    sim.build_ivf_index(base, pristine)
+    purged = str(tmp_path / "purged")
+    shutil.copytree(pristine, purged)
+    sim.ivf_index_append(spark, purged, extra)
+    sim.ivf_index_delete(spark, purged, doomed)
+    clean = str(tmp_path / "clean")
+    shutil.copytree(pristine, clean)
+    sim.ivf_index_append(spark, clean, survivors)
+
+    before = [tuple(r) for r in sim.ivf_topk_indexed(
+        spark, purged, 0, k=10, n_probe=2).collect()]
+    assert sim.ivf_tombstoned_rows(spark, purged) > 0
+    out = sim.compact_ivf_index(
+        spark, purged, max_files_per_cell=10_000, purge_tombstones=True)
+    assert out["purged_rows"] > 0 and out["tombstones_cleared"]
+    assert sim.ivf_tombstoned_rows(spark, purged) == 0
+    assert sim.ivf_index_stats(purged)["tombstone_files"] == 0
+    assert sim.load_tombstones(spark, purged) is None
+    got = [tuple(r) for r in sim.ivf_topk_indexed(
+        spark, purged, 0, k=10, n_probe=2).collect()]
+    want = [tuple(r) for r in sim.ivf_topk_indexed(
+        spark, clean, 0, k=10, n_probe=2).collect()]
+    assert got == before == want
+
+
+def test_signature_table_takedown(spark, sf_dir, tmp_path):
+    """r9 (VERDICT r8 item 1): corpus deletes propagate to the stored LSH
+    signature table — tombstoned docs never again match a crawl increment,
+    the takedown table answers EXACTLY like a table rebuilt from the
+    survivors, re-deleting is idempotent, the corpus-side composition
+    (delete_from_merge_table -> read_commit_changes -> takedown) wires
+    end-to-end, and a crash mid-tombstone-append heals through
+    recover_signature_table."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = docs.filter(F.col("doc_id") < 100)
+    doomed = stored.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    survivors = stored.filter(F.col("doc_id") % 7 != 2)
+    # re-crawl of the first 50 docs: every one is a near-dup of its stored
+    # twin, so tombstoning doc_id%7==2 must REMOVE exactly those matches
+    increment = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+
+    takedown = str(tmp_path / "takedown")
+    dd.write_signature_table(stored, takedown)
+    n = dd.delete_signature_entries(spark, takedown, doomed)
+    assert n == doomed.count() > 0
+    clean = str(tmp_path / "clean")
+    dd.write_signature_table(survivors, clean)
+
+    def crawl(path):
+        return sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
+            increment, spark, path, threshold=0.5).collect())
+
+    got, want = crawl(takedown), crawl(clean)
+    assert got == want and len(got) > 0
+    assert not {m for _, m, _ in got} & {r.doc_id for r in doomed.collect()}
+
+    # idempotent re-delete; ids absent from the table are harmless
+    dd.delete_signature_entries(spark, takedown, doomed)
+    dd.delete_signature_entries(
+        spark, takedown, spark.range(990000, 990003).select(
+            F.col("id").alias("doc_id")))
+    assert crawl(takedown) == want
+
+    # portable family shares the read path
+    takedown_p = str(tmp_path / "takedown_p")
+    dd.write_signature_table_portable(stored, takedown_p)
+    dd.delete_signature_entries(spark, takedown_p, doomed)
+    clean_p = str(tmp_path / "clean_p")
+    dd.write_signature_table_portable(survivors, clean_p)
+    got_p = sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed_portable(
+        increment, spark, takedown_p, threshold=0.5).collect())
+    want_p = sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed_portable(
+        increment, spark, clean_p, threshold=0.5).collect())
+    assert got_p == want_p and len(got_p) > 0
+
+    # corpus-side composition: merge-table DELETE -> commit-log delete
+    # records -> signature takedown
+    corpus = str(tmp_path / "corpus")
+    strm.merge_table(stored, corpus, keys=["doc_id"], order_cols=["doc_id"])
+    strm.snapshot_merge_table(corpus, "pre")
+    strm.delete_from_merge_table(spark, corpus, keys=doomed)
+    cdc_gone = strm.read_commit_changes(spark, corpus, since="pre").filter(
+        F.col("_change_type") == "delete").select("doc_id")
+    composed = str(tmp_path / "composed")
+    dd.write_signature_table(stored, composed)
+    dd.delete_signature_entries(spark, composed, cdc_gone)
+    assert crawl(composed) == want
+
+    # crash before the tombstone marker -> rolled back (doomed still
+    # match); heal with recover_signature_table, retry converges
+    crashed = str(tmp_path / "crashed")
+    shutil.copytree(str(tmp_path / "composed"), crashed)
+    shutil.rmtree(crashed + "/_tombstones")
+    assert crawl(crashed) != want  # tombstones gone -> doomed match again
+    fs = mfs.NonAtomicRenameFS(fail_after_ops=1)
+    with pytest.raises(mfs.NonAtomicRenameFS.InjectedCrash):
+        dd.delete_signature_entries(spark, crashed, doomed, fs=fs)
+    mfs.break_writer_lease(mfs.LOCAL_FS, crashed + ".lock")
+    dd.recover_signature_table(crashed)
+    dd.delete_signature_entries(spark, crashed, doomed)
+    assert crawl(crashed) == want

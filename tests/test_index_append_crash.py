@@ -319,3 +319,63 @@ def test_signature_append_crash_at_every_op_never_tears(spark, tmp_path):
     got = sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
         probe_q, spark, healed, threshold=0.5).collect())
     assert got == want and len(got) == 1
+
+
+def test_signature_takedown_crash_at_every_op_never_tears(spark, tmp_path):
+    """delete_signature_entries (r9) commits tombstones through the same
+    atomic-marker protocol — crash after EVERY mutating fs op, heal with
+    recover_signature_table, and require the crawl-dedup ANSWER to be
+    exactly pre-takedown (doomed doc still matches) or exactly
+    post-takedown (it never matches), with both sides of the commit point
+    exercised and a clean retry after every rollback."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(4)]
+        + [(9, " ".join(f"shared_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    doomed = spark.createDataFrame([(9,)], "doc_id long")
+    # the increment near-dups ONLY doc 9, so takedown flips one match
+    increment = spark.createDataFrame(
+        [(1000, " ".join(f"shared_{j}" for j in range(30)) + " tail")],
+        "doc_id long, text string",
+    )
+
+    pristine = str(tmp_path / "pristine")
+    dd.write_signature_table(base, pristine)
+
+    def crawl(path):
+        return sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
+            increment, spark, path, threshold=0.5).collect())
+
+    before = crawl(pristine)
+    assert len(before) == 1 and before[0][1] == 9
+
+    probe = str(tmp_path / "probe")
+    shutil.copytree(pristine, probe)
+    probe_fs = mfs.NonAtomicRenameFS()
+    assert dd.delete_signature_entries(spark, probe, doomed, fs=probe_fs) == 1
+    after = crawl(probe)
+    assert after == []
+    total_ops = probe_fs.ops
+    assert total_ops >= 3
+
+    outcomes = set()
+    for crash_at in range(total_ops):
+        path = str(tmp_path / f"run{crash_at}")
+        shutil.copytree(pristine, path)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            dd.delete_signature_entries(spark, path, doomed, fs=fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            mfs.break_writer_lease(mfs.LOCAL_FS, path + ".lock")
+        dd.recover_signature_table(path)
+        got = crawl(path)
+        assert got in (before, after), f"torn takedown at crash op {crash_at}"
+        outcomes.add("rolled_back" if got == before else "rolled_forward")
+        if got == before:
+            assert dd.delete_signature_entries(spark, path, doomed) == 1
+            assert crawl(path) == after
+        shutil.rmtree(path)
+    assert outcomes == {"rolled_back", "rolled_forward"}
