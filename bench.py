@@ -129,6 +129,9 @@ def main() -> None:
     # three-commit gold with captured deltas (r8): the timed query is the
     # O(delta) commit-log read
     registry_streaming._ensure_commit_log_gold(spark, sf_dir)
+    # rollback-capture gold (r9): bad write + rollback are offline; the
+    # timed query is the commit-log read across the rollback
+    registry_streaming._ensure_rollback_gold(spark, sf_dir)
     # trained BPE vocabulary for x5_bpe_encode (x5_bpe_train still times
     # the training itself)
     registry_corpus._ensure_bpe_vocab(spark, sf_dir)

@@ -563,3 +563,78 @@ def x9_commit_log_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "last_event_type", "last_value", "event_id",
         "_change_type", "_commit_seq",
     )
+
+
+# ===========================================================================
+# X-9j (r9): commit-log survival across ROLLBACK — rollback_merge_table
+# captures the state diff between the rolled-back and restored states as a
+# synthetic kind='rollback' commit, so the chain stays walkable and CDC
+# consumers keep the O(delta) read exactly when the table is recovering
+# from a bad write (VERDICT r8 item 3; previously a loud failover to the
+# O(table) state diff).
+# ===========================================================================
+
+_ROLLBACK_GOLD: dict[str, str] = {}
+
+
+def _ensure_rollback_gold(spark: SparkSession, sf_dir: str) -> str:
+    """Events gold: merge window 1, pin 'base', merge window 2 (the bad
+    write), then ROLL BACK to 'base' with delta capture. Once per
+    session/sf_dir; the timed entry is the commit-log read across the
+    rollback."""
+    if sf_dir not in _ROLLBACK_GOLD:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+
+        ev = io_mod.load_events(spark, sf_dir)
+        c1 = F.lit("2024-01-11").cast("timestamp")
+        target = tempfile.mkdtemp(prefix="rbk_") + "/gold"
+        strm.merge_micro_batch(ev.filter(F.col("ts") < c1), target)
+        strm.snapshot_merge_table(target, "base")
+        strm.merge_micro_batch(ev.filter(F.col("ts") >= c1), target)
+        strm.rollback_merge_table(target, "base", spark=spark)
+        _ROLLBACK_GOLD[sf_dir] = target
+    return _ROLLBACK_GOLD[sf_dir]
+
+
+def _clog_diff_full(seq: int, old: str, new: str) -> str:
+    """Per-commit delta between two states INCLUDING the delete branch
+    (rows present in ``old`` only) — what a rollback's synthetic delta
+    contains when the bad write had inserted new keys."""
+    return (
+        _clog_diff(seq, old, new)
+        + f"""
+    UNION ALL
+    SELECT o.user_id, o.last_event_type, o.last_value, o.event_id,
+           'delete' AS _change_type, {seq} AS _commit_seq
+    FROM {old} o LEFT JOIN {new} n ON o.user_id = n.user_id
+    WHERE n.user_id IS NULL"""
+    )
+
+
+@register(
+    "x9_rollback_cdc",
+    "WITH "
+    + ",".join([_clog_state("s1", "2024-01-11"), _clog_state("s2", None)])
+    + _clog_diff(1, "s1", "s2")
+    + "\n    UNION ALL"
+    + _clog_diff_full(2, "s2", "s1"),
+)
+def x9_rollback_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9j (r9): the commit log read ACROSS a rollback — seq 1 is the bad
+    write's captured delta, seq 2 is the rollback's synthetic delta (the
+    exact inverse: the bad write's inserts come back as deletes, its
+    updates revert pre/post) — so a CDC consumer that already applied the
+    bad commit converges on the restored state by replaying the log, no
+    state diff needed. The oracle derives both states from events SQL and
+    emits the forward diff then the full inverse diff (incl. the delete
+    branch). Offline: _ensure_rollback_gold (warmed by bench.py); the
+    timed query walks three chain records and reads two delta files."""
+    target = _ensure_rollback_gold(spark, sf_dir)
+    return strm.read_commit_changes(spark, target, since="base").select(
+        "user_id", "last_event_type", "last_value", "event_id",
+        "_change_type", "_commit_seq",
+    )

@@ -315,14 +315,35 @@ def snapshot_merge_table(
             if stored == manifest:
                 return manifest  # idempotent pin-only replay
             if if_exists == "return_existing":
-                if _same_state_modulo_versions(stored, manifest):
-                    # merge-then-pin replay: first pin is authoritative
-                    return stored
-                raise ValueError(
-                    f"snapshot {tag!r} at {target} pins a structurally "
-                    "different table generation (buckets/params/schema "
-                    "differ) — tag collision, not a replay re-pin"
-                )
+                if not _same_state_modulo_versions(stored, manifest):
+                    raise ValueError(
+                        f"snapshot {tag!r} at {target} pins a structurally "
+                        "different table generation (buckets/params/schema "
+                        "differ) — tag collision, not a replay re-pin"
+                    )
+                # lineage check (ADVICE r8): on a mature table whose bucket
+                # keyset has saturated, the structural comparison is nearly
+                # always true, so REQUIRE the stored pin's commit to be an
+                # ancestor of (or equal to) the current head — true for
+                # every genuine merge-then-pin replay (the replay's
+                # re-merge chains ON TOP of the original pin), false for
+                # accidental tag reuse against an unrelated lineage.
+                # Unknowable (legacy pre-commit-log states, or the chain
+                # records aged out under changes_keep) falls back to the
+                # structural verdict alone.
+                stored_cid = (stored.get("commit") or {}).get("id")
+                cur_cid = (manifest.get("commit") or {}).get("id")
+                if stored_cid and cur_cid:
+                    anc = _is_ancestor(target, fs, stored_cid, cur_cid)
+                    if anc is False:
+                        raise ValueError(
+                            f"snapshot {tag!r} at {target} pins commit "
+                            f"{stored_cid} which is NOT an ancestor of the "
+                            f"current head {cur_cid} — tag reuse against a "
+                            "divergent lineage, not a replay re-pin"
+                        )
+                # merge-then-pin replay: first pin is authoritative
+                return stored
             raise ValueError(
                 f"snapshot {tag!r} already exists at {target} with "
                 "different content"
@@ -363,6 +384,7 @@ def rollback_merge_table(
     tag: str,
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
     lease_owner: str | None = None,
+    spark: SparkSession | None = None,
 ) -> dict:
     """Atomically restore the table to a snapshot's state: ONE manifest
     put flips every reader to the pinned bucket versions (instant, no data
@@ -370,12 +392,43 @@ def rollback_merge_table(
     versions become unreferenced and are reclaimed by the next vacuum
     (unless another snapshot retains them). A writer operation: takes the
     table's writer lease so a rollback cannot interleave with a live
-    merge/vacuum. Returns the restored manifest."""
+    merge/vacuum. Returns the restored manifest.
+
+    Commit-log continuity (r9 — VERDICT r8 item 3): pass ``spark`` and
+    the rollback CAPTURES a synthetic delta — the state diff between the
+    rolled-back and restored states, the exact rows a CDC consumer must
+    see to converge on the restored state — committed as a
+    kind='rollback' entry whose parent is the rolled-back head. The
+    restored manifest then carries the NEW commit id, so the chain stays
+    walkable across the rollback and ``read_commit_changes`` keeps its
+    O(delta) contract precisely when an operator is recovering from a bad
+    write (previously it failed over to the O(table) state diff). The
+    diff read is O(changed buckets) — the buckets the rollback actually
+    rewinds. Without ``spark`` (legacy callers) the restored manifest
+    keeps the snapshot's own commit id: lineage rewinds and
+    read_commit_changes across the rollback fails loudly with the
+    documented read_changes fallback."""
     import json
+    import uuid
 
     token = merge_fs.acquire_writer_lease(fs, target, owner=lease_owner)
     try:
-        manifest = _load_snapshot(target, tag, fs)
+        snap = _load_snapshot(target, tag, fs)
+        manifest = dict(snap)
+        if spark is not None:
+            current = _load_manifest(target, fs)
+            if current is not None and (current.get("commit") or {}).get("id"):
+                params = snap.get("params") or current.get("params")
+                keys = params["keys"] if params else ["user_id"]
+                changes = _manifest_diff(
+                    spark, target, current, snap, keys, fs, since=None
+                )
+                commit_id = uuid.uuid4().hex[:12]
+                parent = current["commit"]["id"]
+                _write_commit_delta(
+                    target, commit_id, parent, changes, fs, kind="rollback"
+                )
+                manifest["commit"] = {"id": commit_id, "parent": parent}
         fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
         return manifest
     finally:
@@ -498,6 +551,25 @@ def read_changes(
         new_m = _load_manifest(target, fs)
         if new_m is None:
             raise ValueError(f"no committed state at {target}")
+    return _manifest_diff(spark, target, old_m, new_m, keys, fs, since)
+
+
+def _manifest_diff(
+    spark: SparkSession,
+    target: str,
+    old_m: dict,
+    new_m: dict,
+    keys: list[str] | None,
+    fs: merge_fs.MergeFS,
+    since: str | None = None,
+) -> DataFrame:
+    """State-diff core of read_changes over two already-loaded manifests —
+    factored out (r9) so rollback_merge_table can capture the synthetic
+    rollback delta (old side = the manifest being rolled back, new side =
+    the snapshot being restored) without those states both carrying
+    snapshot tags."""
+    import os
+
     if keys is None:
         # the until side's recorded params (pre-params manifests are the
         # events gold schema)
@@ -604,6 +676,32 @@ def _change_rows(old_df: DataFrame, new_df: DataFrame, keys: list[str]) -> DataF
 _CHANGES_DIR = "changes"
 
 
+def _is_ancestor(
+    target: str, fs: merge_fs.MergeFS, ancestor_id: str, tip_id: str
+) -> bool | None:
+    """Walk the commit chain from ``tip_id`` toward the root: True when
+    ``ancestor_id`` is on it, False when the walk completes without
+    meeting it, None when the chain cannot be walked that far (records
+    vacuumed by changes_keep retention — unknowable, caller decides).
+    Driver-side JSON reads only; bounded like read_commit_changes' walk."""
+    import json
+    import os
+
+    cur = tip_id
+    for _ in range(100_000):
+        if cur == ancestor_id:
+            return True
+        if cur is None:
+            return False
+        path = os.path.join(target, _CHANGES_DIR, cur, "_commit.json")
+        try:
+            rec = json.loads(fs.read_bytes(path).decode())
+        except FileNotFoundError:
+            return None
+        cur = rec.get("parent")
+    return None
+
+
 def _write_commit_delta(
     target: str,
     commit_id: str,
@@ -611,12 +709,17 @@ def _write_commit_delta(
     changes: DataFrame | None,
     fs: merge_fs.MergeFS,
     kind: str = "merge",
+    captured: bool = True,
 ) -> None:
     """Phase-1 write of a commit's change rows + chain record
     (``changes/<commit_id>/{delta,_commit.json}``) — reader-invisible
     until a manifest names ``commit_id``; a crash strands an orphan dir
-    that retention cleanup reclaims. ``changes=None`` records a
-    content-no-op commit (rebucket) as an empty delta."""
+    that retention cleanup reclaims. ``changes=None`` with
+    ``captured=True`` records a content-no-op commit (rebucket) as an
+    empty delta; ``captured=False`` (ADVICE r8 capture opt-out) records
+    a content-CHANGING commit whose delta was deliberately not captured —
+    the chain stays walkable, but read_commit_changes over a range
+    containing it fails loudly to the read_changes fallback."""
     import json
     import os
 
@@ -630,7 +733,8 @@ def _write_commit_delta(
                 "id": commit_id,
                 "parent": parent,
                 "kind": kind,
-                "empty": changes is None,
+                "empty": captured and changes is None,
+                "captured": captured,
             }
         ).encode(),
     )
@@ -703,10 +807,27 @@ def read_commit_changes(
     for seq, rec in enumerate(chain, start=1):
         if rec.get("empty"):
             continue
+        if rec.get("captured", True) is False:
+            raise ValueError(
+                f"commit {rec['id']} at {target} was merged with "
+                "capture_changes=False — its delta was never captured; "
+                "use read_changes for ranges covering it"
+            )
+        delta_dir = os.path.join(target, _CHANGES_DIR, rec["id"], "delta")
+        # ADVICE r8: a concurrent vacuum(changes_keep=N) can remove a delta
+        # dir BETWEEN the chain walk above and the read here — surface the
+        # same broken-chain ValueError (with its documented read_changes
+        # fallback) instead of a raw Spark path-not-found
+        if not fs.isdir(delta_dir):
+            raise ValueError(
+                f"commit chain from {until or 'current'} to {since!r} at "
+                f"{target} is broken at {rec['id']} (delta vacuumed between "
+                "the chain walk and the read); use read_changes"
+            )
         parts.append(
-            spark.read.parquet(
-                os.path.join(target, _CHANGES_DIR, rec["id"], "delta")
-            ).withColumn("_commit_seq", F.lit(seq).cast("int"))
+            spark.read.parquet(delta_dir).withColumn(
+                "_commit_seq", F.lit(seq).cast("int")
+            )
         )
     if not parts:
         from pyspark.sql.types import StructType
@@ -1123,6 +1244,7 @@ def merge_table(
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
     lease_owner: str | None = None,
     lease_ttl_sec: float = 3600.0,
+    capture_changes: bool = True,
 ) -> None:
     """MERGE one (micro-)batch of ANY schema into the bucket-versioned gold
     table at ``target``, keyed by ``keys``, with a TWO-PHASE commit
@@ -1159,6 +1281,14 @@ def merge_table(
     The first merge pins (keys, order_cols, n_buckets) INSIDE the manifest
     (versioned with the state — see _table_params); later merges with
     different parameters raise instead of mis-routing rows (_check_params).
+
+    ``capture_changes=False`` (ADVICE r8): skip the per-commit CDC delta
+    capture (a touched-bucket-proportional full-outer join + write) for
+    ingest-heavy tables whose consumers only ever use the read_changes
+    state diff — the commit record still lands (lineage stays walkable)
+    but read_commit_changes over a range containing such a commit fails
+    loudly to the documented fallback. Default True: capture is what buys
+    read_commit_changes its O(delta) contract.
     """
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
 
@@ -1182,7 +1312,8 @@ def merge_table(
         # buckets can outlive a conservative TTL; the background re-stamp
         # keeps the lease live for the whole read-merge-commit body.
         with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
-            _merge_locked(latest, target, touched, fs, keys, order_cols, n_buckets)
+            _merge_locked(latest, target, touched, fs, keys, order_cols,
+                          n_buckets, capture_changes=capture_changes)
     finally:
         merge_fs.release_writer_lease(fs, target, token)
 
@@ -1360,12 +1491,38 @@ def _merge_locked(
     keys: list[str],
     order_cols: list,
     n_buckets: int,
+    capture_changes: bool = True,
 ) -> None:
     """merge_table's read-merge-commit body, run under the writer lease."""
     import os
 
     sess = latest.sparkSession
-    manifest = _load_manifest(target, fs) or {"buckets": {}}
+    # CAS-conditional commit (r9 — VERDICT r8 item 5): on a store with the
+    # CAS capability, remember the manifest generation we read; the commit
+    # below replaces it ONLY IF still current (put_if_match keyed on this
+    # etag; put_if_absent for a first commit) — the Delta/Iceberg
+    # optimistic-concurrency protocol. Two writers that raced past the
+    # lease (expired TTL, lease-free deployment) then get loud conflict
+    # detection instead of a lost update: exactly one manifest put wins,
+    # the loser raises and its staged versions are invisible debris that
+    # vacuum reclaims.
+    manifest_etag: str | None = None
+    if getattr(fs, "supports_cas", False):
+        try:
+            raw, manifest_etag = fs.read_with_etag(_manifest_path(target))
+            import json as _json
+
+            manifest = _json.loads(raw.decode())
+            if "buckets" not in manifest or not isinstance(manifest["buckets"], dict):
+                raise ValueError(
+                    f"corrupt merge manifest at {_manifest_path(target)}: {manifest!r}"
+                )
+        except FileNotFoundError:
+            manifest = None
+    else:
+        manifest = _load_manifest(target, fs)
+    first_commit = manifest is None
+    manifest = manifest or {"buckets": {}}
     _check_params(manifest, target, keys, order_cols, n_buckets)
     current = read_merged(sess, target, buckets=touched, fs=fs)
     if current is None:  # none of the touched buckets committed yet
@@ -1410,17 +1567,30 @@ def _merge_locked(
     # touched buckets' committed files, still intact until post-commit GC)
     # and the STAGED post-merge buckets (read back from disk, one source
     # of truth, same discipline as ivfpq_index_append's codes). Cost is
-    # one batch-proportional join + write; it buys read_commit_changes
-    # its O(delta) contract. Reader-invisible until the manifest below
-    # names the commit id.
+    # one TOUCHED-BUCKET-proportional full-outer join plus the delta
+    # write (ADVICE r8: both sides carry the touched buckets' FULL
+    # contents, so a batch whose keys scatter widely pays proportionally
+    # more — the same scatter read_commit_changes then saves its
+    # consumers); it buys read_commit_changes its O(delta) contract.
+    # ``capture_changes=False`` skips the join+write for ingest-heavy
+    # tables whose consumers only ever state-diff — the commit record
+    # still lands (chain stays walkable for lineage checks) but is
+    # stamped captured=false, and a read_commit_changes range covering it
+    # fails loudly to the read_changes fallback. Reader-invisible until
+    # the manifest below names the commit id.
     commit_id = uuid.uuid4().hex[:12]
     parent = (manifest.get("commit") or {}).get("id")
-    staged_new = sess.read.parquet(
-        *[os.path.join(target, rel) for rel in new_rels.values()]
-    )
-    _write_commit_delta(
-        target, commit_id, parent, _change_rows(current, staged_new, keys), fs
-    )
+    if capture_changes:
+        staged_new = sess.read.parquet(
+            *[os.path.join(target, rel) for rel in new_rels.values()]
+        )
+        _write_commit_delta(
+            target, commit_id, parent, _change_rows(current, staged_new, keys), fs
+        )
+    else:
+        _write_commit_delta(
+            target, commit_id, parent, None, fs, captured=False
+        )
     manifest["commit"] = {"id": commit_id, "parent": parent}
 
     # ---- phase 2: atomic commit ------------------------------------------
@@ -1432,8 +1602,27 @@ def _merge_locked(
     manifest["schema"] = _nullable_schema_json(merged.schema)
     import json
 
-    # THE commit point: one atomic full-object put of the manifest
-    fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
+    # THE commit point: one atomic full-object put of the manifest —
+    # CONDITIONAL on the generation read above where the store supports
+    # CAS (see the note at the top of this function)
+    data = json.dumps(manifest).encode()
+    if getattr(fs, "supports_cas", False):
+        committed = (
+            fs.put_if_absent(_manifest_path(target), data)
+            if first_commit
+            else fs.put_if_match(_manifest_path(target), data, manifest_etag)
+        )
+        if not committed:
+            raise merge_fs.ConcurrentWriterError(
+                f"manifest at {target} changed between this merge's read "
+                "and its commit — another writer raced past the lease "
+                "(expired TTL or lease-free deployment). This merge "
+                "committed NOTHING (its staged versions are invisible "
+                "debris; vacuum reclaims them) — re-run it against the "
+                "new state."
+            )
+    else:
+        fs.put_atomic(_manifest_path(target), data)
 
     # best-effort GC of superseded versions + staging (never part of
     # commit). A version pinned by a retained SNAPSHOT must survive being

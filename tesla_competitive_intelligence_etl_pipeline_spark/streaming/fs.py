@@ -501,9 +501,22 @@ def lease_heartbeat(
             # lease — a blind put here would RESURRECT it and block all
             # writers until the TTL expires. Re-check stop right before the
             # put to shrink that window, and if stop lands between the
-            # check and the put, undo our own re-creation (owner-checked,
-            # so a lease legitimately re-acquired by someone else — or by
-            # our own owner id in a restarted job — is never touched).
+            # check and the put, undo our own re-creation. The undo
+            # compares the FULL record bytes (ADVICE r8), not just the
+            # owner: a restarted job re-acquiring with the same stable
+            # lease_owner writes a record with a different acquired_unix,
+            # so its live lease is never touched (owner-only comparison
+            # could delete it in this window). CAS stores undo with a
+            # conditional EXPIRE keyed on the record's etag — there is no
+            # delete-if-match primitive, but replacing OUR exact record
+            # with an already-expired one is equivalent (the next acquirer
+            # reclaims instantly) and can never hit a re-acquirer's
+            # record. Without CAS a read-to-delete window remains between
+            # the byte compare and the rmtree — reaching it requires a
+            # re-acquire that lands in those microseconds AND writes
+            # byte-identical content (same float timestamp), so the
+            # residual risk is the byte-collision, not the same-owner
+            # case the old comment hand-waved away.
             if stop.is_set():
                 return
             if cas:
@@ -517,9 +530,20 @@ def lease_heartbeat(
                 fs.put_atomic(path, record)
             if stop.is_set():
                 try:
-                    cur = json.loads(fs.read_bytes(path).decode())
-                    if cur.get("owner") == owner:
-                        fs.rmtree(path)
+                    if cas:
+                        raw, etag2 = fs.read_with_etag(path)
+                        if raw == record:
+                            dead = json.dumps(
+                                {
+                                    "owner": owner,
+                                    "acquired_unix": 0.0,
+                                    "ttl_sec": 0.0,
+                                }
+                            ).encode()
+                            fs.put_if_match(path, dead, etag2)
+                    else:
+                        if fs.read_bytes(path) == record:
+                            fs.rmtree(path)
                 except (FileNotFoundError, ValueError):
                     pass
                 return

@@ -575,3 +575,139 @@ def test_cas_heartbeat_loses_to_reclaimer_instead_of_stomping(tmp_path):
     info = mfs.lease_info(fs, table)
     assert info["owner"] == "reclaimer"
     mfs.release_writer_lease(fs, table, "reclaimer")
+
+
+class _ManifestGateCASFS(mfs.CASLocalFS):
+    """Pause the FIRST put_if_match on a merge-table MANIFEST between the
+    caller's read and its conditional commit — the exact two-writers-
+    raced-past-the-lease interleaving (VERDICT r8 item 5)."""
+
+    def __init__(self):
+        import threading
+
+        self.entered = threading.Event()
+        self.gate = threading.Event()
+        self.armed = True
+
+    def put_if_match(self, path: str, data: bytes, etag: str) -> bool:
+        if self.armed and path.endswith("_MANIFEST.json"):
+            self.armed = False
+            self.entered.set()
+            self.gate.wait(timeout=20.0)
+        return super().put_if_match(path, data, etag)
+
+
+def test_cas_manifest_commit_detects_racing_writer(spark, tmp_path):
+    """r9 (VERDICT r8 item 5): on a CAS store the manifest commit is
+    conditional on the generation the merge read — two mergers that both
+    got past the lease (same stable lease_owner: the retried-job-races-
+    its-predecessor case the lease deliberately admits) cannot lose an
+    update: one wins, the other raises ConcurrentWriterError having
+    committed NOTHING, and a clean retry lands its batch on top."""
+    import threading
+
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    fs = _ManifestGateCASFS()
+    target = str(tmp_path / "gold")
+
+    def rows(ks):
+        return spark.createDataFrame(
+            [(k, k * 10, "x") for k in ks], "k long, v long, s string"
+        )
+
+    # seed so both racing commits are put_if_match (not first-commit
+    # put_if_absent); arm the gate only afterwards
+    fs.armed = False
+    strm.merge_table(rows([1]), target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, fs=fs, lease_owner="job")
+    fs.armed = True
+
+    result: dict = {}
+
+    def writer_a():
+        try:
+            strm.merge_table(rows([2]), target, keys=["k"], order_cols=["v"],
+                             n_buckets=4, fs=fs, lease_owner="job")
+            result["a"] = "committed"
+        except mfs.ConcurrentWriterError as e:
+            result["a"] = e
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    assert fs.entered.wait(timeout=60.0)  # A read the manifest, now gated
+    # B races past (same owner -> reentrant lease) and commits
+    strm.merge_table(rows([3]), target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, fs=fs, lease_owner="job")
+    fs.gate.set()  # A resumes: its put_if_match must FAIL
+    ta.join(timeout=120.0)
+    assert isinstance(result["a"], mfs.ConcurrentWriterError), result
+
+    # B's update survived; A committed nothing
+    got = {r.k for r in strm.read_merged(spark, target, fs=fs).collect()}
+    assert got == {1, 3}
+    # A's retry lands cleanly on the new state
+    strm.merge_table(rows([2]), target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, fs=fs, lease_owner="job")
+    got2 = {r.k for r in strm.read_merged(spark, target, fs=fs).collect()}
+    assert got2 == {1, 2, 3}
+    # the losing attempt's staged version is invisible debris -> vacuum
+    strm.vacuum_merge_table(target, fs=fs)
+    assert {r.k for r in strm.read_merged(spark, target, fs=fs).collect()} == got2
+
+
+class _PostPutGateFS(mfs.LocalFS):
+    """Stall the beat right AFTER its lease re-stamp lands (put returned,
+    post-put stop-check not yet run) — the exact put-to-read window of the
+    ADVICE r8 finding."""
+
+    def __init__(self):
+        import threading
+
+        self.entered = threading.Event()
+        self.gate = threading.Event()
+        self.armed = False
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        super().put_atomic(path, data)
+        if self.armed and path.endswith(mfs.LEASE_NAME):
+            self.armed = False
+            self.entered.set()
+            self.gate.wait(timeout=30.0)
+
+
+def test_heartbeat_undo_spares_restarted_same_owner_lease(tmp_path):
+    """ADVICE r8 (fs.py heartbeat shutdown-undo): the undo compares the
+    FULL record bytes before deleting, so a restarted job that
+    re-acquired with the SAME stable lease_owner inside the beat's
+    put-to-read window keeps its live lease (owner-only comparison
+    deleted it). Forced deterministically: the beat stalls right after
+    its re-stamp; shutdown + release + same-owner re-acquire all land in
+    that window; the resumed beat's undo must leave the NEW record
+    alone."""
+    fs = _PostPutGateFS()
+    table = str(tmp_path / "tbl")
+    path = os.path.join(table, mfs.LEASE_NAME)
+
+    tok = mfs.acquire_writer_lease(fs, table, owner="job", ttl_sec=60.0)
+    cm = mfs.lease_heartbeat(fs, table, tok, ttl_sec=60.0, interval_sec=0.05)
+    cm.__enter__()
+    fs.armed = True
+    assert fs.entered.wait(timeout=10.0)  # beat re-stamped, now stalled
+
+    cm.__exit__(None, None, None)  # stop set; join gives up on the stall
+    mfs.release_writer_lease(fs, table, tok)
+    # restarted job, SAME stable owner, re-acquires in the window (the
+    # ~5 s join timeout guarantees a different acquired_unix)
+    assert mfs.acquire_writer_lease(fs, table, owner="job", ttl_sec=60.0) == "job"
+    new_record = fs.read_bytes(path)
+
+    fs.gate.set()  # beat resumes into its post-put stop-check + undo
+    time.sleep(0.5)
+    # the fixed undo byte-compares and walks away: the restarted job's
+    # lease survives, bit-identical
+    assert mfs.lease_info(fs, table) is not None, "undo deleted a live lease"
+    assert fs.read_bytes(path) == new_record
+    mfs.release_writer_lease(fs, table, "job")
