@@ -536,21 +536,54 @@ def bpe_train(
     return merges_df
 
 
-def bpe_symbol_table(vocab) -> "DataFrame":
+def bpe_symbol_table(vocab, byte_fallback: bool = False) -> "DataFrame":
     """The trained tokenizer's (symbol, tok_id) table: every distinct
     symbol the final vocabulary uses, ids dense by symbol ASC — the
     deterministic id assignment both engines reproduce. The global
     row_number window runs over the SYMBOL table only (|alphabet| +
     n_merges rows — bounded by the tokenizer, not the corpus), so the
-    single-partition stage it implies is vocab-sized, never data-sized."""
+    single-partition stage it implies is vocab-sized, never data-sized.
+
+    ``byte_fallback`` (r9 — VERDICT r8 item 6): extend the alphabet with
+    the 256 byte symbols ``<0x00>``..``<0xFF>`` (the SentencePiece
+    byte-fallback convention), so NOTHING is unrepresentable — symbols
+    outside the trained alphabet encode as their UTF-8 bytes instead of
+    the unk ``-1``. Ids stay dense by symbol ASC over the union, so
+    enabling it renumbers ids (it is a different tokenizer — train-time
+    choice, like eow)."""
     from pyspark.sql import Window
 
     syms = vocab.select(
         F.explode(F.split("sym", " ")).alias("symbol")
     ).distinct()
+    if byte_fallback:
+        spark = vocab.sparkSession
+        byte_syms = spark.range(256).select(
+            F.concat(
+                F.lit("<0x"),
+                F.lpad(F.upper(F.hex(F.col("id"))), 2, "0"),
+                F.lit(">"),
+            ).alias("symbol")
+        )
+        syms = syms.unionByName(byte_syms).distinct()
     w = Window.orderBy("symbol")
     return syms.select(
         "symbol", (F.row_number().over(w) - 1).cast("long").alias("tok_id")
+    )
+
+
+def _utf8_byte_symbols(col: Column) -> Column:
+    """A string's UTF-8 bytes as an ARRAY of ``<0xNN>`` byte-token symbols
+    (uppercase hex) — the byte-fallback expansion, pure JVM expressions:
+    encode to binary, slice one byte per position, hex it."""
+    b = F.encode(col, "UTF-8")
+    return F.transform(
+        F.sequence(F.lit(1), F.length(b)),
+        lambda i: F.concat(
+            F.lit("<0x"),
+            F.lpad(F.upper(F.hex(F.substring(b, i, 1))), 2, "0"),
+            F.lit(">"),
+        ),
     )
 
 
@@ -561,14 +594,19 @@ def bpe_encode_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     eow: str | None = None,
+    byte_fallback: bool = False,
 ):
     """FULL tokenizer output: per document, the ordered BPE token-id
     sequence (plus its length) — what sequence packing / training-batch
     assembly actually consumes, vs the count-only bpe_token_counts.
     Symbols map to ids through bpe_symbol_table (dense, symbol-ASC);
     symbols outside the trained alphabet (e.g. digits in a letters-only
-    corpus) encode as -1, the unk convention (a byte-level deployment
-    would extend the alphabet instead).
+    corpus) encode as -1, the unk convention — or, with
+    ``byte_fallback=True`` (r9 — VERDICT r8 item 6), as their UTF-8 byte
+    tokens ``<0xNN>`` from the extended alphabet, so nothing is
+    unrepresentable and decode(encode(x)) stays lossless on ANY input
+    (the SentencePiece convention). Default off: the unk pins stay
+    byte-identical.
 
     Plan shape: words posexplode map-side (word order preserved through
     the kept positions); ONE shuffle joins the vocabulary by word (OOV
@@ -589,39 +627,91 @@ def bpe_encode_ids(
             (r["pair"], r["merged"])
             for r in sorted(merges.collect(), key=lambda r: r["merge_rank"])
         ]
-    if merges is None:
-        fallback = _symbolize(F.col("word"), eow)
-    elif len(merges) <= BPE_EXPR_MAX_MERGES:
-        fallback = bpe_apply_merges(F.col("word"), merges, eow)
+    if merges is not None and len(merges) > BPE_EXPR_MAX_MERGES:
+        # UDF regime (VERDICT r8 item 4): apply the Arrow-batched encoder
+        # ONCE PER DISTINCT OOV WORD and join the encoded spellings back —
+        # a held-out corpus repeats its words just like the training
+        # corpus (Zipf), so per-occurrence evaluation multiplies the
+        # Python-side work by the duplication factor (measured:
+        # SCALING.md r9). The distinct + anti-join shuffles (word)-keyed
+        # slivers; the union makes the lookup TOTAL, so the occurrence
+        # join below stays the one word-keyed shuffle the operator
+        # already paid.
+        oov_enc = (
+            words.select("word")
+            .distinct()
+            .join(vocab.select("word"), "word", "left_anti")
+            .select(
+                "word",
+                bpe_apply_merges_udf(merges, eow)(F.col("word")).alias("sym"),
+            )
+        )
+        lookup = vocab.select("word", "sym").unionByName(oov_enc)
+        with_sym = words.join(lookup, "word", "left").select(
+            F.col(id_col), "__wpos", F.col("sym").alias("__sym")
+        )
     else:
-        fallback = bpe_apply_merges_udf(merges, eow)(F.col("word"))
-    with_sym = words.join(vocab, "word", "left").select(
-        F.col(id_col),
-        "__wpos",
-        F.coalesce(F.col("sym"), fallback).alias("__sym"),
-    )
+        if merges is None:
+            fallback = _symbolize(F.col("word"), eow)
+        else:
+            fallback = bpe_apply_merges(F.col("word"), merges, eow)
+        with_sym = words.join(vocab, "word", "left").select(
+            F.col(id_col),
+            "__wpos",
+            F.coalesce(F.col("sym"), fallback).alias("__sym"),
+        )
     toks = with_sym.select(
         F.col(id_col),
         "__wpos",
         F.posexplode(F.split("__sym", " ")).alias("__spos", "symbol"),
     )
-    symtab = bpe_symbol_table(vocab)
-    return (
-        toks.join(symtab, "symbol", "left")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "__wpos",
-                        "__spos",
-                        F.coalesce(F.col("tok_id"), F.lit(-1).cast("long")).alias(
-                            "tok_id"
-                        ),
-                    )
-                )
-            ).alias("__s")
+    symtab = bpe_symbol_table(vocab, byte_fallback=byte_fallback)
+    joined = toks.join(symtab, "symbol", "left")
+    if byte_fallback:
+        # out-of-alphabet symbols expand to their UTF-8 byte tokens
+        # (<0xNN>, always in the extended table) instead of unk — the
+        # matched fast path keeps one row per symbol (__bpos 0); only the
+        # rare misses explode, then resolve ids through the same tiny
+        # broadcast table
+        matched = joined.filter(F.col("tok_id").isNotNull()).select(
+            F.col(id_col), "__wpos", "__spos",
+            F.lit(0).alias("__bpos"), F.col("tok_id"),
         )
+        unmatched = (
+            joined.filter(F.col("tok_id").isNull())
+            .select(
+                F.col(id_col), "__wpos", "__spos",
+                F.posexplode(_utf8_byte_symbols(F.col("symbol"))).alias(
+                    "__bpos", "__bsym"
+                ),
+            )
+            .join(
+                symtab.select(
+                    F.col("symbol").alias("__bsym"),
+                    F.col("tok_id").alias("__btok"),
+                ),
+                "__bsym",
+                "left",
+            )
+            .select(
+                F.col(id_col), "__wpos", "__spos", "__bpos",
+                F.col("__btok").alias("tok_id"),
+            )
+        )
+        joined = matched.unionByName(unmatched)
+        order_struct = F.struct(
+            "__wpos", "__spos", "__bpos",
+            F.coalesce(F.col("tok_id"), F.lit(-1).cast("long")).alias("tok_id"),
+        )
+    else:
+        order_struct = F.struct(
+            "__wpos",
+            "__spos",
+            F.coalesce(F.col("tok_id"), F.lit(-1).cast("long")).alias("tok_id"),
+        )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(order_struct)).alias("__s"))
         .select(
             F.col(id_col),
             F.transform("__s", lambda x: x["tok_id"]).alias("token_ids"),
@@ -636,6 +726,7 @@ def bpe_decode(
     id_col: str = "doc_id",
     tokens_col: str = "token_ids",
     eow: str | None = None,
+    byte_fallback: bool = False,
 ):
     """Inverse of bpe_encode_ids: token-id sequences back to text. Ids
     resolve through the same bpe_symbol_table; symbols concatenate in
@@ -644,8 +735,21 @@ def bpe_decode(
     decode(encode(x)) == lowercased x is pinned in tests. WITHOUT a
     marker, word boundaries are not recoverable from the ids alone (the
     standard argument FOR the marker), so markerless decode returns the
-    symbols glued together verbatim. Unk ids (-1) render as '<unk>'."""
-    symtab = bpe_symbol_table(vocab)
+    symbols glued together verbatim. Unk ids (-1) render as '<unk>'.
+
+    ``byte_fallback`` must match the encoder's: runs of byte tokens
+    (``<0xNN>``, the fallback for out-of-alphabet symbols) are gathered
+    and UTF-8-decoded as ONE run — multi-byte characters (emoji) span
+    several byte tokens and only decode correctly together. Lossless
+    round-trip on arbitrary input pinned in tests. One documented
+    ambiguity, shared with every string-level detokenizer: corpus text
+    that LITERALLY spells a byte token (the 6-char substring '<0x41>')
+    would be gathered into a run; the trained alphabet covers its
+    characters, so such text never produces byte tokens at encode time —
+    the collision exists only between literal text and a genuine
+    fallback, and byte-identical output would require id-level rendering
+    instead."""
+    symtab = bpe_symbol_table(vocab, byte_fallback=byte_fallback)
     ex = encoded.select(
         F.col(id_col),
         F.posexplode(F.col(tokens_col)).alias("__pos", "tok_id"),
@@ -669,6 +773,31 @@ def bpe_decode(
             ).alias("__joined"),
         )
     )
+    if byte_fallback:
+        # gather maximal <0xNN> runs and UTF-8-decode each run whole
+        # (multi-byte chars span tokens); everything else passes through.
+        # Pure JVM: regexp_extract_all segments, per-run strip + unhex +
+        # decode inside one transform.
+        runs = F.regexp_extract_all(
+            F.col("__joined"),
+            F.lit("(?:<0x[0-9A-F]{2}>)+|(?:(?!<0x[0-9A-F]{2}>)[\\s\\S])+"),
+            0,
+        )
+        ordered = ordered.select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    runs,
+                    lambda r: F.when(
+                        r.rlike("^(<0x[0-9A-F]{2}>)+$"),
+                        F.decode(
+                            F.unhex(F.regexp_replace(r, "<0x|>", "")), "UTF-8"
+                        ),
+                    ).otherwise(r),
+                ),
+                "",
+            ).alias("__joined"),
+        )
     if eow:
         return ordered.select(
             F.col(id_col),
@@ -707,10 +836,11 @@ def bpe_token_counts(
     per-round argmax; a 32k-merge production list is ~1 MB) and is
     applied as a JVM replace chain up to BPE_EXPR_MAX_MERGES — coalesce
     is lazy in codegen, so only the join's OOV misses pay it — beyond
-    that through the Arrow-batched bpe_apply_merges_udf twin (which Spark
-    extracts and evaluates per word occurrence: a production-sized-vocab
-    deployment should dedup distinct OOV words first and join the encoded
-    spellings back, the same shape as the vocab join itself). With
+    that through the Arrow-batched bpe_apply_merges_udf twin, evaluated
+    ONCE PER DISTINCT OOV WORD with the counts joined back (r9 — the
+    same shape as the vocab join itself; per-occurrence evaluation
+    multiplied the Python-side work by the corpus's duplication factor).
+    With
     ``merges=None`` OOV words keep the legacy byte-level degradation to
     base symbols: character count (+1 for the eow symbol if set)."""
     words = docs.select(
@@ -730,9 +860,27 @@ def bpe_token_counts(
             ]
         if len(merges) <= BPE_EXPR_MAX_MERGES:
             encoded = bpe_apply_merges(F.col("word"), merges, eow)
+            fallback = F.size(F.split(encoded, " ")).cast("long")
         else:
-            encoded = bpe_apply_merges_udf(merges, eow)(F.col("word"))
-        fallback = F.size(F.split(encoded, " ")).cast("long")
+            # UDF regime (VERDICT r8 item 4): encode each DISTINCT OOV
+            # word once and extend the lookup table, instead of running
+            # the pandas_udf on every occurrence (see bpe_encode_ids)
+            oov_counts = (
+                words.select("word")
+                .distinct()
+                .join(vocab.select("word"), "word", "left_anti")
+                .select(
+                    "word",
+                    F.size(
+                        F.split(
+                            bpe_apply_merges_udf(merges, eow)(F.col("word")),
+                            " ",
+                        )
+                    ).alias("n_sym"),
+                )
+            )
+            v = v.unionByName(oov_counts)
+            fallback = F.lit(None).cast("long")  # lookup is total
     return (
         words.join(v, "word", "left")
         .groupBy(id_col)

@@ -1090,6 +1090,7 @@ def _bpe_oracle_sql(
     heldout: bool = False,
     eow: str | None = None,
     encode_ids: bool = False,
+    byte_fallback: bool = False,
 ) -> str:
     """Unrolled merge rounds (the unrolled-Lloyd precedent): each round is
     a pair-count CTE, an argmax CTE (count DESC, pair ASC), and a
@@ -1155,7 +1156,9 @@ def _bpe_oracle_sql(
         # full tokenizer output (text.bpe_encode_ids twin): ordered
         # token-id sequences; ids dense by symbol ASC over the trained
         # alphabet; unknown symbols (e.g. digits in the injected held-out
-        # word) -> -1
+        # word) -> -1, or their <0xNN> byte tokens under byte_fallback
+        # (r9 — the alphabet is extended with all 256 byte symbols and
+        # out-of-alphabet symbols explode one row per UTF-8 byte)
         enc_text = (
             "lower(text) || ' winnower' || CAST(doc_id AS VARCHAR)"
             if heldout
@@ -1165,6 +1168,79 @@ def _bpe_oracle_sql(
             "' ' || trim(regexp_replace(dw.word, '(.)', '\\1 ', 'g'))"
             + eow_sql + " || ' '"
         )
+        if byte_fallback:
+            final = (
+                """
+    dw AS MATERIALIZED (
+      SELECT doc_id, wpos, word FROM (
+        SELECT doc_id, unnest(arr) AS word,
+               unnest(range(1, len(arr) + 1)) AS wpos
+        FROM (SELECT doc_id, string_split_regex({et}, '\\s+') AS arr
+              FROM documents))
+      WHERE word <> ''
+    ),
+    ws AS MATERIALIZED (
+      SELECT dw.doc_id, dw.wpos, COALESCE(v.sym, trim({applied})) AS sym
+      FROM dw LEFT JOIN wf{n} v ON dw.word = v.word
+    ),
+    symtab AS MATERIALIZED (
+      SELECT symbol,
+             CAST(ROW_NUMBER() OVER (ORDER BY symbol) - 1 AS BIGINT) AS tok_id
+      FROM (
+        SELECT DISTINCT symbol FROM (
+          SELECT unnest(string_split(sym, ' ')) AS symbol FROM wf{n}
+          UNION ALL
+          SELECT '<0x' || upper(lpad(to_hex(i), 2, '0')) || '>' AS symbol
+          FROM (SELECT unnest(range(0, 256)) AS i)
+        )
+      )
+    ),
+    tk AS MATERIALIZED (
+      SELECT doc_id, wpos, spos, symbol FROM (
+        SELECT doc_id, wpos, unnest(sarr) AS symbol,
+               unnest(range(1, len(sarr) + 1)) AS spos
+        FROM (SELECT doc_id, wpos, string_split(sym, ' ') AS sarr FROM ws))
+    ),
+    tkx AS (
+      SELECT tk.doc_id, tk.wpos, tk.spos, 0 AS bpos, s.tok_id
+      FROM tk JOIN symtab s USING (symbol)
+      UNION ALL
+      SELECT t3.doc_id, t3.wpos, t3.spos, t3.bpos, s2.tok_id
+      FROM (
+        SELECT t2.doc_id, t2.wpos, t2.spos, g.i AS bpos,
+               '<0x' || substring(hex(encode(t2.symbol)), 2 * g.i - 1, 2)
+               || '>' AS bsym
+        FROM (
+          SELECT tk.* FROM tk LEFT JOIN symtab s USING (symbol)
+          WHERE s.symbol IS NULL
+        ) t2,
+        LATERAL (
+          SELECT unnest(range(1, octet_length(encode(t2.symbol)) + 1)) AS i
+        ) g
+      ) t3
+      LEFT JOIN symtab s2 ON s2.symbol = t3.bsym
+    )
+    SELECT doc_id,
+           list(COALESCE(tok_id, CAST(-1 AS BIGINT))
+                ORDER BY wpos, spos, bpos) AS token_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tkx
+    GROUP BY doc_id"""
+            ).format(et=enc_text, n=n_merges, applied=_applied(oov_base))
+            return (
+                """
+    WITH wf0 AS (
+      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')){eow} AS sym,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' AND length(word) <= 64
+      GROUP BY 1
+    ),""".format(eow=eow_sql)
+                + ",".join(rounds)
+                + ",\n    "
+                + final
+            )
         final = (
             """
     dw AS (
@@ -1317,6 +1393,30 @@ def x5_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = spark.read.parquet(base + "/vocab")
     merges = spark.read.parquet(base + "/merges")
     return tx.bpe_encode_ids(docs, vocab, merges=merges)
+
+
+@register(
+    "x5_bpe_byte_fallback",
+    _bpe_oracle_sql(3, encode_ids=True, heldout=True, byte_fallback=True),
+)
+def x5_bpe_byte_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5o (r9 — VERDICT r8 item 6): token-ID sequences with the
+    BYTE-FALLBACK alphabet — symbols outside the trained alphabet (the
+    held-out word's digits) encode as their UTF-8 byte tokens <0xNN>
+    from the 256-entry extended table instead of unk(-1), so nothing is
+    unrepresentable (the SentencePiece convention; lossless round-trip
+    incl. multi-byte characters pinned in tests/test_corpus.py). The
+    oracle re-derives the extended dense id table and the per-byte
+    expansion of out-of-alphabet symbols. Default-off twin
+    x5_bpe_encode_ids keeps the unk pins byte-identical."""
+    docs = src.load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" winnower"), F.col("doc_id").cast("string")),
+    )
+    base = _ensure_bpe_vocab(spark, sf_dir)
+    vocab = spark.read.parquet(base + "/vocab")
+    merges = spark.read.parquet(base + "/merges")
+    return tx.bpe_encode_ids(docs, vocab, merges=merges, byte_fallback=True)
 
 
 @register("x5_bpe_train", _bpe_oracle_sql(3))

@@ -482,3 +482,146 @@ def test_bpe_encode_ids_roundtrip_and_unk(spark):
     glued = {r.doc_id: r.text for r in tx.bpe_decode(e2, v2).collect()}
     for i, t in enumerate(texts):
         assert glued[i] == "".join(t.lower().split()), (i, glued[i])
+
+
+def test_bpe_byte_fallback_roundtrip_lossless(spark):
+    """r9 (VERDICT r8 item 6): byte_fallback extends the alphabet with
+    the 256 <0xNN> byte tokens, so out-of-alphabet symbols — digits in a
+    letters-only corpus, multi-byte emoji — encode as byte ids instead
+    of -1, and decode(encode(x)) is lossless on a digits-and-emoji
+    corpus. Default off keeps the unk pins byte-identical."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "banana cabana")],
+        "doc_id long, text string",
+    )
+    merges_df, vocab = tx.bpe_train(train, n_merges=2, return_vocab=True, eow="</w>")
+
+    held = spark.createDataFrame(
+        [(9, "banana42 café \U0001f600ok"), (10, "42 \U0001f680")],
+        "doc_id long, text string",
+    )
+    enc = tx.bpe_encode_ids(
+        held, vocab, merges=merges_df, eow="</w>", byte_fallback=True
+    )
+    rows = {r.doc_id: r for r in enc.collect()}
+    assert all(i >= 0 for r in rows.values() for i in r.token_ids)
+    # the emoji costs 4 byte tokens, the digit 1 each
+    out = {
+        r.doc_id: r.text
+        for r in tx.bpe_decode(
+            enc, vocab, eow="</w>", byte_fallback=True
+        ).collect()
+    }
+    assert out[9] == "banana42 café \U0001f600ok"
+    assert out[10] == "42 \U0001f680"
+
+    # byte ids are real table entries: symbol table carries 256 extras
+    n_plain = tx.bpe_symbol_table(vocab).count()
+    n_ext = tx.bpe_symbol_table(vocab, byte_fallback=True).count()
+    assert n_ext == n_plain + 256
+
+    # default off: unchanged unk behavior
+    enc_unk = tx.bpe_encode_ids(held, vocab, merges=merges_df, eow="</w>")
+    assert -1 in enc_unk.filter(F.col("doc_id") == 9).first()["token_ids"]
+
+
+def test_bpe_udf_regime_encodes_each_distinct_oov_once(spark, monkeypatch):
+    """r9 (VERDICT r8 item 4): past BPE_EXPR_MAX_MERGES the Arrow encoder
+    runs once per DISTINCT OOV word (spellings joined back), not once per
+    occurrence — pinned with a row-counting accumulator twin — and the
+    results equal the expression regime on the same effective merges
+    (the pad merges never match)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "banana cabana")],
+        "doc_id long, text string",
+    )
+    merges_df, vocab = tx.bpe_train(train, n_merges=2, return_vocab=True)
+    real = [(r.pair, r.merged) for r in merges_df.orderBy("merge_rank").collect()]
+    # pad past the expression cap with merges that can never match
+    padded = real + [
+        (f"q{i} r{i}", f"q{i}r{i}") for i in range(tx.BPE_EXPR_MAX_MERGES + 1)
+    ]
+    assert len(padded) > tx.BPE_EXPR_MAX_MERGES
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_factory(merges, eow=None):
+        frozen = [(f" {p} ", f" {m} ") for p, m in merges]
+        suffix = f" {eow}" if eow else ""
+
+        @pandas_udf("string")
+        def _apply(words):
+            acc.add(len(words))
+
+            def enc(w):
+                s = " " + " ".join(w) + suffix + " "
+                for pat, rep in frozen:
+                    while pat in s:
+                        s = s.replace(pat, rep)
+                return s.strip()
+
+            return words.map(enc)
+
+        return _apply
+
+    monkeypatch.setattr(tx, "bpe_apply_merges_udf", counting_factory)
+
+    # ONE distinct OOV word, repeated 40 times across two docs
+    held = spark.createDataFrame(
+        [(9, " ".join(["bananarama"] * 25) + " banana"),
+         (10, " ".join(["bananarama"] * 15))],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, tuple(r.token_ids), r.n_tokens)
+        for r in tx.bpe_encode_ids(held, vocab, merges=padded).collect()
+    )
+    assert acc.value == 1  # 40 occurrences, one Python evaluation
+
+    # correctness: equals the expression regime on the real merges
+    want = sorted(
+        (r.doc_id, tuple(r.token_ids), r.n_tokens)
+        for r in tx.bpe_encode_ids(held, vocab, merges=real).collect()
+    )
+    assert got == want
+
+    # token counts share the distinct-word shape
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def counting_factory2(merges, eow=None):
+        frozen = [(f" {p} ", f" {m} ") for p, m in merges]
+        suffix = f" {eow}" if eow else ""
+
+        @pandas_udf("string")
+        def _apply(words):
+            acc2.add(len(words))
+
+            def enc(w):
+                s = " " + " ".join(w) + suffix + " "
+                for pat, rep in frozen:
+                    while pat in s:
+                        s = s.replace(pat, rep)
+                return s.strip()
+
+            return words.map(enc)
+
+        return _apply
+
+    monkeypatch.setattr(tx, "bpe_apply_merges_udf", counting_factory2)
+    cnt = sorted(
+        tuple(r) for r in tx.bpe_token_counts(held, vocab, merges=padded).collect()
+    )
+    assert acc2.value == 1
+    want_cnt = sorted(
+        tuple(r) for r in tx.bpe_token_counts(held, vocab, merges=real).collect()
+    )
+    assert cnt == want_cnt
