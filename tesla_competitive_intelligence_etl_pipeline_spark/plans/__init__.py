@@ -53,7 +53,12 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_eps_share_lookup",
     "pipeline_actual_vs_estimate",
     "x1_dedup_exact",
-    "x2_ngram_jaccard",
+    # r9 rotation (the r8 precedent): x2_ngram_jaccard -> x2_sig_takedown.
+    # The n-gram Jaccard shape stays registered + locally parity-checked;
+    # the slot now drives the newest machinery — the crawl-loop signature
+    # takedown, hash-checked against the survivor-excluding portable
+    # oracle (and the X-2 row keeps two in-window verifiers).
+    "x2_sig_takedown",
     "x2_embedding_neardup",
     "x3_cosine_topk",
     "x4_multimodal_meta",
