@@ -117,6 +117,9 @@ def main() -> None:
     # its takedown twin (r9): the copy + tombstone delete is offline; the
     # timed query is the tombstone-aware crawl dedup
     registry_ext._ensure_sig_table_takedown(spark, sf_dir)
+    # ...and the physically-purged twin (r9): copy + purge-compact are
+    # offline; the timed query is the bare-scan crawl dedup
+    registry_ext._ensure_sig_table_purged(spark, sf_dir)
     # merge gold tables + base snapshots for the CDC entries (r7): the
     # table ingest is the offline cost; the timed queries are the CDC reads
     registry_streaming._ensure_cdc_gold(spark, sf_dir)

@@ -1692,9 +1692,11 @@ def append_signature_table(
 
 
 def recover_signature_table(path: str, fs=None) -> dict:
-    """Restart healing for append_signature_table AND
-    delete_signature_entries: roll every marked append forward (data rows
-    at the table root, tombstone ids under ``_tombstones/``), drop
+    """Restart healing for append_signature_table,
+    delete_signature_entries AND compact_signature_table: roll every
+    marked append forward (data rows at the table root, tombstone ids
+    under ``_tombstones/``), roll every marked compaction swap forward
+    (the marker commits it — see compact_signature_table), and drop
     marker-less staging as pre-commit debris. Idempotent; takes the same
     sibling writer lease as the builders/appenders."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
@@ -1705,12 +1707,183 @@ def recover_signature_table(path: str, fs=None) -> dict:
     token = mfs.acquire_writer_lease(fs, lock_scope)
     try:
         out = index_commit.recover_appends(fs, path)
+        swaps = _recover_sig_swaps(fs, path)
+        out["completed"].extend(swaps["completed"])
+        out["removed"].extend(swaps["removed"])
         tdir = path.rstrip("/") + "/_tombstones"
         if fs.isdir(tdir):
             tout = index_commit.recover_appends(fs, tdir)
             out["completed"].extend(tout["completed"])
             out["removed"].extend("_tombstones/" + s for s in tout["removed"])
         return out
+    finally:
+        mfs.release_writer_lease(fs, lock_scope, token)
+
+
+_SIG_SWAP_PREFIX = ".sigswap_"
+_SIG_COMPACT_PREFIX = ".sigcompact_"
+
+
+def _sig_data_files(fs, path: str) -> list[str]:
+    """The table's committed root data files (dot/underscore entries are
+    bookkeeping: _params, _tombstones, staging, markers, _SUCCESS)."""
+    return sorted(
+        f
+        for f in fs.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def _roll_sig_swap_forward(fs, path: str, meta: dict) -> None:
+    """Complete a marked compaction swap from any intermediate state:
+    every listed old file is removed, every staged file lands under its
+    tag-prefixed name (the three per-file states of the module-standard
+    copy+delete crash model), staging and — for a purge — the tombstone
+    dir are dropped, then the marker."""
+    import os
+
+    staging = os.path.join(path, meta["staging"])
+    for f in meta["old_files"]:
+        fs.rmtree(os.path.join(path, f))
+    for f in meta["files"]:
+        src = os.path.join(staging, f)
+        dst = os.path.join(path, f"{meta['tag']}-{f}")
+        if fs.exists(dst):
+            fs.rmtree(src)
+        elif fs.exists(src):
+            fs.rename(src, dst)
+    fs.rmtree(staging)
+    if meta.get("purge"):
+        fs.rmtree(os.path.join(path, "_tombstones"))
+    fs.rmtree(os.path.join(path, f"{_SIG_SWAP_PREFIX}{meta['tag']}.json"))
+
+
+def _recover_sig_swaps(fs, path: str) -> dict:
+    """Heal crashed compact_signature_table runs: marked swaps roll
+    FORWARD (the atomic marker is the commit point and staging was
+    complete before it was put); marker-less ``.sigcompact_*`` staging is
+    pre-commit debris."""
+    import json
+    import os
+
+    out: dict = {"completed": [], "removed": []}
+    if not fs.isdir(path):
+        return out
+    entries = sorted(fs.listdir(path))
+    marked: set[str] = set()
+    for entry in entries:
+        if entry.startswith(_SIG_SWAP_PREFIX) and entry.endswith(".json"):
+            meta = json.loads(fs.read_bytes(os.path.join(path, entry)).decode())
+            marked.add(meta["tag"])
+            _roll_sig_swap_forward(fs, path, meta)
+            out["completed"].append(meta["tag"])
+    for entry in entries:
+        if (
+            entry.startswith(_SIG_COMPACT_PREFIX)
+            and entry[len(_SIG_COMPACT_PREFIX):] not in marked
+        ):
+            fs.rmtree(os.path.join(path, entry))
+            out["removed"].append(entry)
+    return out
+
+
+def compact_signature_table(
+    spark,
+    path: str,
+    coalesce_files: int = 8,
+    purge_tombstones: bool = False,
+    fs=None,
+    lease_owner: str | None = None,
+) -> dict:
+    """Rewrite the signature table's data files down to
+    ``coalesce_files`` — the small-file compaction continuous
+    append_signature_table needs (each append lands its own files; a
+    year of hourly crawl increments is ~10^4 files and the band join
+    goes file-open-bound) — and, with ``purge_tombstones=True``, the
+    PHYSICAL-erasure half of delete_signature_entries: tombstoned docs'
+    rows are dropped during the rewrite and the satisfied tombstones
+    cleared, completing the GDPR story the ANN indexes got from
+    compact_ivfpq_index(purge_tombstones=True). Unlike a
+    write_signature_table rebuild, no text is re-read and nothing is
+    re-shingled — cost is one read+write of the stored (doc_id, sh, sig)
+    rows.
+
+    Crash-safe via the module-standard atomic marker: the batch stages in
+    a dot-prefixed dir, ONE ``.sigswap_<tag>.json`` put (recording old
+    files, staged files, and the purge flag) is the commit point, then
+    old files drop, staged files land tag-prefixed, and — last — a purge
+    clears ``_tombstones/``. recover_signature_table rolls a marked swap
+    forward from any intermediate state; before the marker the table is
+    byte-identical. Tombstone semantics are monotone through every crash
+    point: rows are only ever dropped AFTER the marker that also records
+    the tombstone clear, so a query never sees an erased doc resurface.
+    Like the ANN compactors, run it where a deployment runs OPTIMIZE —
+    readers concurrent with the file swap can see a torn file set (the
+    flat table has no manifest indirection). Serialized on the sibling
+    writer lease. Returns {"files_before", "files_after", "purged_rows",
+    "tombstones_cleared"}."""
+    import json
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    lock_scope = path.rstrip("/") + ".lock"
+    token = mfs.acquire_writer_lease(fs, lock_scope, owner=lease_owner)
+    try:
+        with mfs.lease_heartbeat(fs, lock_scope, token):
+            # self-heal any crashed prior run first (idempotent)
+            _recover_sig_swaps(fs, path)
+            olds = _sig_data_files(fs, path)
+            if not olds:
+                return {
+                    "files_before": 0,
+                    "files_after": 0,
+                    "purged_rows": 0,
+                    "tombstones_cleared": False,
+                }
+            tombs = load_signature_tombstones(spark, path, fs) if purge_tombstones else None
+            df = spark.read.parquet(*[os.path.join(path, f) for f in olds])
+            obs = Observation()
+            n_before = df.count()  # parquet-footer count, no data scan
+            if tombs is not None:
+                df = df.join(
+                    F.broadcast(tombs.select("doc_id").distinct()),
+                    "doc_id",
+                    "left_anti",
+                )
+            df = df.repartition(int(coalesce_files)).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            tag = _uuid.uuid4().hex[:8]
+            staging_rel = _SIG_COMPACT_PREFIX + tag
+            staging = os.path.join(path, staging_rel)
+            df.write.parquet(staging)
+            staged = sorted(
+                f for f in fs.listdir(staging) if f.endswith(".parquet")
+            )
+            purged = n_before - int(obs.get["n"])
+            meta = {
+                "tag": tag,
+                "staging": staging_rel,
+                "files": staged,
+                "old_files": olds,
+                "purge": bool(purge_tombstones),
+            }
+            fs.put_atomic(
+                os.path.join(path, f"{_SIG_SWAP_PREFIX}{tag}.json"),
+                json.dumps(meta).encode(),
+            )  # commit point: from here the swap WILL complete
+            _roll_sig_swap_forward(fs, path, meta)
+            return {
+                "files_before": len(olds),
+                "files_after": len(_sig_data_files(fs, path)),
+                "purged_rows": int(purged),
+                "tombstones_cleared": bool(purge_tombstones and tombs is not None),
+            }
     finally:
         mfs.release_writer_lease(fs, lock_scope, token)
 

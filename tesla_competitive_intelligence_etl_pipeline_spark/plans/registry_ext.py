@@ -384,6 +384,54 @@ def x2_sig_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Physical-purge twin (r9): the takedown table after
+# compact_signature_table(purge_tombstones=True) — tombstoned rows OFF
+# DISK, tombstones cleared. Same oracle as x2_sig_takedown: purge must
+# not change a single answer.
+_SIG_TABLE_PURGED: dict[str, str] = {}
+
+
+def _ensure_sig_table_purged(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _SIG_TABLE_PURGED:
+        import shutil
+        import tempfile
+
+        src_path = _ensure_sig_table_takedown(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="lsh_sigs_purged_") + "/signatures"
+        shutil.copytree(src_path, path)
+        dd.compact_signature_table(spark, path, purge_tombstones=True)
+        _SIG_TABLE_PURGED[sf_dir] = path
+    return _SIG_TABLE_PURGED[sf_dir]
+
+
+@register(
+    "x2_sig_purge",
+    oracle_vec.cross_corpus_indexed_portable_sql(
+        threshold=0.5, exclude_pred="doc_id % 7 = 2"
+    ),
+)
+def x2_sig_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 physical erasure (r9): the crawl dedup AFTER
+    compact_signature_table(purge_tombstones=True) rewrote the takedown
+    table — tombstoned docs' rows are physically off disk, _tombstones/
+    is cleared (the read plan is back to the bare scan, no anti-join),
+    and every answer is pinned identical to the logical-takedown twin
+    (x2_sig_takedown) and to the survivor-excluding oracle. Completes
+    the GDPR story: logical takedown is O(batch) at delete time,
+    physical purge is one stored-rows rewrite at OPTIMIZE time — the
+    text is never re-shingled. Offline copy + purge in
+    _ensure_sig_table_purged (warmed by bench.py)."""
+    sig_path = _ensure_sig_table_purged(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return dd.cross_corpus_neardup_indexed_portable(
+        new, spark, sig_path, threshold=0.5
+    )
+
+
 @register("x2_cross_corpus_lsh", None)  # MinHash-LSH based -> rows-only
 def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2g at scale: the same cross-corpus dedup through MinHash-LSH

@@ -2008,3 +2008,85 @@ def test_signature_table_takedown(spark, sf_dir, tmp_path):
     dd.recover_signature_table(crashed)
     dd.delete_signature_entries(spark, crashed, doomed)
     assert crawl(crashed) == want
+
+
+def test_signature_table_compact_and_purge(spark, sf_dir, tmp_path):
+    """r9: compact_signature_table coalesces an append-fragmented table
+    (crawl answers unchanged, file count down) and purge_tombstones=True
+    makes takedown PHYSICAL — post-purge the tombstoned docs' rows are
+    off disk, _tombstones/ is cleared, the crawl answer equals a
+    survivor-rebuilt table, and a re-run is a no-op. No text is re-read:
+    the rewrite consumes the stored (doc_id, sh, sig) rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 60)
+    doomed = base.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    survivors = base.filter(F.col("doc_id") % 7 != 2)
+    increment = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+
+    path = str(tmp_path / "sig")
+    dd.write_signature_table(base.filter(F.col("doc_id") < 20), path)
+    # fragment it: three appends, several files each
+    for lo, hi in ((20, 35), (35, 50), (50, 60)):
+        dd.append_signature_table(
+            base.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), path
+        )
+
+    def crawl(p):
+        return sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
+            increment, spark, p, threshold=0.5).collect())
+
+    def files(p):
+        return [f for f in os.listdir(p)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))]
+
+    want_full = crawl(path)
+    n_frag = len(files(path))
+    out = dd.compact_signature_table(spark, path, coalesce_files=2)
+    assert out["files_before"] == n_frag and out["files_after"] == 2
+    assert out["purged_rows"] == 0
+    assert crawl(path) == want_full
+
+    # appends after a compact still work (tag-prefixed files coexist)
+    dd.append_signature_table(
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 65)), path
+    )
+    assert len(files(path)) > 2
+
+    # purge: tombstone, then physically erase
+    dd.delete_signature_entries(spark, path, doomed)
+    want_takedown = crawl(path)
+    out2 = dd.compact_signature_table(
+        spark, path, coalesce_files=2, purge_tombstones=True
+    )
+    assert out2["purged_rows"] > 0 and out2["tombstones_cleared"]
+    assert not os.path.isdir(path + "/_tombstones")
+    assert dd.load_signature_tombstones(spark, path) is None
+    on_disk = {r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()}
+    assert not on_disk & {r.doc_id for r in doomed.collect()}
+    assert crawl(path) == want_takedown
+    # equals a survivor-rebuilt table extended the same way
+    clean = str(tmp_path / "clean")
+    dd.write_signature_table(
+        survivors.unionByName(
+            docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 65))
+        ),
+        clean,
+    )
+    assert crawl(path) == crawl(clean)
+
+    # re-run: no-op
+    out3 = dd.compact_signature_table(
+        spark, path, coalesce_files=2, purge_tombstones=True
+    )
+    assert out3["purged_rows"] == 0 and not out3["tombstones_cleared"]
+    assert crawl(path) == want_takedown

@@ -379,3 +379,86 @@ def test_signature_takedown_crash_at_every_op_never_tears(spark, tmp_path):
             assert crawl(path) == after
         shutil.rmtree(path)
     assert outcomes == {"rolled_back", "rolled_forward"}
+
+
+def test_signature_compact_purge_crash_at_every_op_never_resurfaces(spark, tmp_path):
+    """compact_signature_table(purge_tombstones=True) commits through an
+    atomic swap marker — crash after EVERY mutating fs op, heal with
+    recover_signature_table, and require (a) the crawl ANSWER to be the
+    takedown answer at every crash point (an erased doc must NEVER
+    resurface once tombstoned — tombstones are cleared only after its
+    rows are off disk), and (b) the healed table to be exactly pre- or
+    post-compact in content, with a clean re-run converging."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(4)]
+        + [(9, " ".join(f"shared_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    doomed = spark.createDataFrame([(9,)], "doc_id long")
+    increment = spark.createDataFrame(
+        [(1000, " ".join(f"shared_{j}" for j in range(30)) + " tail")],
+        "doc_id long, text string",
+    )
+
+    pristine = str(tmp_path / "pristine")
+    dd.write_signature_table(base, pristine)
+    dd.delete_signature_entries(spark, pristine, doomed)
+
+    def crawl(p):
+        return sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
+            increment, spark, p, threshold=0.5).collect())
+
+    def sig_rows(p):
+        return sorted(
+            (r.doc_id, tuple(r.sh), tuple(r.sig))
+            for r in spark.read.parquet(p).collect()
+        )
+
+    want = crawl(pristine)
+    assert want == []  # tombstoned: doc 9 must not match
+    before_rows = sig_rows(pristine)
+
+    probe = str(tmp_path / "probe")
+    shutil.copytree(pristine, probe)
+    probe_fs = mfs.NonAtomicRenameFS()
+    out = dd.compact_signature_table(
+        spark, probe, coalesce_files=1, purge_tombstones=True, fs=probe_fs
+    )
+    assert out["purged_rows"] == 1 and out["tombstones_cleared"]
+    after_rows = sig_rows(probe)
+    assert len(after_rows) == len(before_rows) - 1
+    total_ops = probe_fs.ops
+    assert total_ops >= 5
+
+    outcomes = set()
+    for crash_at in range(total_ops):
+        path = str(tmp_path / f"run{crash_at}")
+        shutil.copytree(pristine, path)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            dd.compact_signature_table(
+                spark, path, coalesce_files=1, purge_tombstones=True, fs=fs
+            )
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            mfs.break_writer_lease(mfs.LOCAL_FS, path + ".lock")
+        dd.recover_signature_table(path)
+        got_rows = sig_rows(path)
+        assert got_rows in (before_rows, after_rows), f"torn at op {crash_at}"
+        outcomes.add(
+            "rolled_back" if got_rows == before_rows else "rolled_forward"
+        )
+        # THE erasure invariant: the crawl answer is the takedown answer
+        # at EVERY crash point (rolled back -> tombstones still filter;
+        # rolled forward -> rows physically gone)
+        assert crawl(path) == want, f"erased doc resurfaced at op {crash_at}"
+        # re-run converges to the purged state
+        dd.compact_signature_table(
+            spark, path, coalesce_files=1, purge_tombstones=True
+        )
+        assert sig_rows(path) == after_rows
+        shutil.rmtree(path)
+    assert outcomes == {"rolled_back", "rolled_forward"}
