@@ -45,8 +45,12 @@ def corpus(spark, n_occurrences: int):
         spark.range(n_occurrences)
         .select(
             (F.col("id") / 1000).cast("long").alias("doc_id"),
+            # 40-char OOV spellings: long enough that the ranked-merge
+            # rewrite is real per-word work (production words + subword
+            # junk), still deterministic
             F.concat(
-                F.lit("zz"), (F.col("id") % N_DISTINCT).cast("string"), F.lit("x")
+                F.lit("zz"), (F.col("id") % N_DISTINCT).cast("string"),
+                F.lit("xqwertyuiopasdfghjklzxcvbnmqwertyuiop"),
             ).alias("w"),
         )
         .groupBy("doc_id")
@@ -101,9 +105,9 @@ def main() -> None:
     )
     merges_df, vocab = tx.bpe_train(train, n_merges=3, return_vocab=True)
     real = [(r.pair, r.merged) for r in merges_df.orderBy("merge_rank").collect()]
-    padded = real + [
-        (f"q{i} r{i}", f"q{i}r{i}") for i in range(tx.BPE_EXPR_MAX_MERGES + 1)
-    ]
+    # production-shaped merge list: 512 entries (a 32k-merge deployment
+    # is 60x this; the per-occurrence cost scales with it)
+    padded = real + [(f"q{i} r{i}", f"q{i}r{i}") for i in range(512)]
     vocab = vocab.localCheckpoint(eager=True)
 
     def run(fn):
@@ -116,12 +120,26 @@ def main() -> None:
     run(lambda: tx.bpe_encode_ids(corpus(spark, 10_000), vocab, merges=padded))
 
     print(f"distinct OOV words fixed at {N_DISTINCT}")
+    print("A. occurrence sweep (512 merges)")
     print(f"{'occurrences':>12} {'per-occurrence s':>18} {'per-distinct s':>16} {'x':>6}")
     for n in (25_000, 100_000, 400_000):
         docs = corpus(spark, n).localCheckpoint(eager=True)
         t_old = run(lambda: per_occurrence_encode(docs, vocab, padded))
         t_new = run(lambda: tx.bpe_encode_ids(docs, vocab, merges=padded))
         print(f"{n:>12} {t_old:>18} {t_new:>16} {round(t_old / t_new, 1):>6}")
+
+    # B. merge-list sweep at fixed occurrences: the udf's per-row cost is
+    # linear in the merge list (a production vocab is 32k merges), so the
+    # per-occurrence shape diverges while per-distinct stays flat — this
+    # is the regime the operator actually runs in
+    print("B. merge-list sweep (100k occurrences)")
+    print(f"{'merges':>12} {'per-occurrence s':>18} {'per-distinct s':>16} {'x':>6}")
+    docs = corpus(spark, 100_000).localCheckpoint(eager=True)
+    for n_m in (512, 2048, 8192):
+        big = real + [(f"q{i} r{i}", f"q{i}r{i}") for i in range(n_m)]
+        t_old = run(lambda: per_occurrence_encode(docs, vocab, big))
+        t_new = run(lambda: tx.bpe_encode_ids(docs, vocab, merges=big))
+        print(f"{n_m:>12} {t_old:>18} {t_new:>16} {round(t_old / t_new, 1):>6}")
 
 
 if __name__ == "__main__":
