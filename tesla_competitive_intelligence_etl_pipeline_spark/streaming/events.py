@@ -976,6 +976,29 @@ def merge_table_stats(
     cdir = os.path.join(target, _CHANGES_DIR)
     if fs.isdir(cdir):
         stats["commit_deltas"] = len(fs.listdir(cdir))
+    # commit-log health (r9): how far back the CURRENT chain is walkable
+    # (read_commit_changes' reach before its loud read_changes fallback),
+    # and whether any walkable commit was merged with
+    # capture_changes=False (its presence caps every range crossing it).
+    # Driver-side JSON reads only, bounded by the retained log.
+    stats["walkable_commits"] = 0
+    stats["uncaptured_commits"] = 0
+    cur = (manifest.get("commit") or {}).get("id") if manifest else None
+    import json as _json
+
+    while cur is not None:
+        try:
+            rec = _json.loads(
+                fs.read_bytes(os.path.join(cdir, cur, "_commit.json")).decode()
+            )
+        except FileNotFoundError:
+            break  # aged out under changes_keep — the chain ends here
+        stats["walkable_commits"] += 1
+        if rec.get("captured", True) is False:
+            stats["uncaptured_commits"] += 1
+        cur = rec.get("parent")
+        if stats["walkable_commits"] > 100_000:
+            break
     staging = os.path.join(target, ".staging")
     if fs.isdir(staging):
         stats["staging_dirs"] = len(fs.listdir(staging))

@@ -2090,3 +2090,89 @@ def test_signature_table_compact_and_purge(spark, sf_dir, tmp_path):
     )
     assert out3["purged_rows"] == 0 and not out3["tombstones_cleared"]
     assert crawl(path) == want_takedown
+
+
+def test_takedown_orchestrator_end_to_end(spark, sf_dir, tmp_path):
+    """r9: operators.takedown.takedown routes ONE erasure request through
+    the corpus merge table (keys or predicate mode), the commit log's
+    delete records, and every downstream store — IVF-PQ index, plain IVF
+    index, LSH signature table — so searches and crawl dedups behave as
+    if the content never existed. Propagation is driven by what the
+    delete ACTUALLY removed (predicate matches discovered during the
+    delete; ids absent from the corpus propagate nothing)."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+        clustering,
+        dedup as dd,
+        similarity as sim,
+        takedown as td,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    # --- embeddings corpus + both ANN index kinds -------------------------
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 160
+    ).select("vec_id", "embedding", "label")
+    doomed = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") % 2 == 0))
+    corpus = str(tmp_path / "emb_gold")
+    strm.merge_table(emb, corpus, keys=["vec_id"], order_cols=["vec_id"])
+
+    ivfpq = str(tmp_path / "ivfpq")
+    books = clustering.build_ivfpq_index(
+        emb, ivfpq, m=4, k=8, max_iters=2, round_decimals=6)
+    ivf = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, ivf)
+
+    out = td.takedown(
+        spark, corpus, keys=doomed.select("vec_id"), id_col="vec_id",
+        ivfpq_indexes=(ivfpq,), ivf_indexes=(ivf,),
+    )
+    n_doomed = doomed.count()
+    assert out["corpus_deleted"] == n_doomed
+    assert out["stores"] == {ivfpq: n_doomed, ivf: n_doomed}
+    # corpus no longer holds them; indexes never surface them
+    left = {r.vec_id for r in strm.read_merged(spark, corpus).collect()}
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    assert not left & doomed_ids
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 102).first()["embedding"]]
+    got = {r.vec_id for r in clustering.ivfpq_topk_indexed(
+        spark, ivfpq, qv, k=10, n_probe=2, refine=4, codebooks=books).collect()}
+    assert not got & doomed_ids
+    got2 = {r[0] for r in sim.ivf_topk_indexed(spark, ivf, 1, k=10, n_probe=2).collect()}
+    assert not got2 & doomed_ids
+
+    # ids absent from the corpus: nothing deleted, nothing propagated
+    out2 = td.takedown(
+        spark, corpus,
+        keys=spark.createDataFrame([(990001,)], "vec_id long"),
+        id_col="vec_id", ivfpq_indexes=(ivfpq,), ivf_indexes=(ivf,),
+    )
+    assert out2 == {"corpus_deleted": 0, "stores": {ivfpq: 0, ivf: 0}}
+
+    # --- documents corpus + signature table, PREDICATE mode ---------------
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 100)
+    dcorpus = str(tmp_path / "doc_gold")
+    strm.merge_table(docs, dcorpus, keys=["doc_id"], order_cols=["doc_id"])
+    sig = str(tmp_path / "sig")
+    dd.write_signature_table(docs, sig)
+
+    out3 = td.takedown(
+        spark, dcorpus, predicate="doc_id % 7 = 2", id_col="doc_id",
+        signature_tables=(sig,),
+    )
+    assert out3["corpus_deleted"] > 0
+    assert out3["stores"][sig] == out3["corpus_deleted"]
+    increment = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    clean = str(tmp_path / "sig_clean")
+    dd.write_signature_table(docs.filter(F.col("doc_id") % 7 != 2), clean)
+    got_c = sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
+        increment, spark, sig, threshold=0.5).collect())
+    want_c = sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
+        increment, spark, clean, threshold=0.5).collect())
+    assert got_c == want_c and len(got_c) > 0

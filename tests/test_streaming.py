@@ -1786,6 +1786,10 @@ def test_capture_changes_opt_out(spark, tmp_path):
     cdir = os.path.join(target, "changes", m["commit"]["id"])
     assert os.path.exists(os.path.join(cdir, "_commit.json"))
     assert not os.path.exists(os.path.join(cdir, "delta"))
+    # stats surface the log health: chain fully walkable, one uncaptured
+    stats = strm.merge_table_stats(target)
+    assert stats["walkable_commits"] == 2
+    assert stats["uncaptured_commits"] == 1
     # a captured commit AFTER the opt-out is readable from its own tag
     strm.snapshot_merge_table(target, "s2")
     df3 = spark.createDataFrame([(3, 30, "c")], "k long, v long, s string")
