@@ -254,3 +254,68 @@ def test_global_cumsum_exact_under_empty_range_partitions(spark, vals, nparts):
     for i, v in enumerate(vals):
         run += v
         assert got[i] == run, (i, got[i], run)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            # printable unicode incl. multi-byte; exclude whitespace
+            # beyond ' ' (the tokenizer's split axis) and surrogates
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc", "Zl", "Zp"),
+            ),
+            min_size=1,
+            max_size=40,
+        ).filter(lambda t: t.strip() != ""),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_byte_fallback_roundtrip_any_unicode(spark, texts):
+    """r9 byte-fallback property: decode(encode(x)) recovers the
+    whitespace-normalized lowercased input for ARBITRARY unicode — every
+    out-of-alphabet symbol (any codepoint the tiny training corpus never
+    saw) must round-trip through its UTF-8 byte tokens, multi-byte
+    characters decoding only as whole runs. One documented exclusion: text
+    that literally spells a byte token ('<0xNN>') is ambiguous at the
+    string level (see bpe_decode's docstring)."""
+    import re as _re
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    docs_rows = []
+    want = {}
+    for i, t in enumerate(texts):
+        # the tokenizer lowercases and splits on whitespace; normalize the
+        # expectation the same way. Skip the documented literal-byte-token
+        # ambiguity.
+        norm = " ".join(t.lower().split())
+        if not norm or _re.search(r"<0x[0-9A-F]{2}>", norm):
+            continue
+        docs_rows.append((i, t))
+        want[i] = norm
+    if not docs_rows:
+        return
+    if "_BPE_PROP" not in globals():
+        train = spark.createDataFrame(
+            [(100, "banana bandana"), (101, "banana cabana")],
+            "doc_id long, text string",
+        )
+        merges_df, vocab = tx.bpe_train(
+            train, n_merges=2, return_vocab=True, eow="</w>"
+        )
+        globals()["_BPE_PROP"] = (
+            [(r.pair, r.merged) for r in merges_df.orderBy("merge_rank").collect()],
+            vocab.localCheckpoint(eager=True),
+        )
+    merges, vocab = globals()["_BPE_PROP"]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    enc = tx.bpe_encode_ids(
+        docs, vocab, merges=merges, eow="</w>", byte_fallback=True
+    )
+    got = {
+        r.doc_id: r.text
+        for r in tx.bpe_decode(enc, vocab, eow="</w>", byte_fallback=True).collect()
+    }
+    assert got == want
