@@ -427,3 +427,86 @@ def test_portable_indexed_dedup_plan_bands_not_text(spark, sf_dir, registry):
     assert sig_scan and all("text" not in s for s in sig_scan)
     # the band join is a real equi-join on (band, bucket)
     assert re.search(r"Left keys \[\d+\]: \[band#\d+L?, bucket#", plan)
+
+
+def test_sig_takedown_plan_broadcast_anti_before_banding(spark, sf_dir, registry):
+    """x2_sig_takedown (r9): the tombstone filter must ride a BROADCAST
+    anti-join (the tombstone table is bounded by takedown volume, never
+    corpus size) ahead of the band join, and the crawl plan keeps the
+    indexed shape — no cartesian, no raw text in any shuffle key."""
+    import re
+
+    df = registry["x2_sig_takedown"][0](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in keys, f"raw text in a shuffle key: {keys}"
+
+
+def test_sig_purge_plan_is_bare_scan_again(spark, sf_dir, registry):
+    """x2_sig_purge (r9): after the physical purge cleared the tombstones,
+    the crawl plan must be back to the never-deleted shape — NO anti-join
+    at all (load_signature_tombstones returned None), same banding."""
+    df = registry["x2_sig_purge"][0](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_purge_locate_scan_prunes_to_id_column(spark, sf_dir, tmp_path):
+    """compact_ivfpq_index(purge_tombstones=True)'s cell-locate scan must
+    read ONLY the id column (plus the partition column, which costs
+    nothing — it is derived from dir names): column pruning is what keeps
+    the locate pass a sliver of the table at 100 TB. Pinned on the scan
+    the operator actually builds."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 100).select("vec_id", "embedding", "label")
+    path = str(tmp_path / "idx")
+    clustering.build_ivfpq_index(emb, path, m=4, k=8, max_iters=2,
+                                 round_decimals=6)
+    purge_ids = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    locate = (
+        spark.read.parquet(path + "/vectors")
+        .join(F.broadcast(purge_ids), "vec_id", "semi")
+        .select("label")
+        .distinct()
+    )
+    plan = _plan(locate)
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    vec_scan = [s for s in scans if "vec_id" in s]
+    assert vec_scan and all(
+        "embedding" not in s for s in vec_scan
+    ), f"locate scan reads data columns: {scans}"
+
+
+def test_bpe_udf_regime_plan_single_arrow_over_distinct(spark, sf_dir):
+    """bpe_encode_ids past BPE_EXPR_MAX_MERGES (r9): exactly ONE
+    ArrowEvalPython node, and it sits over the distinct-OOV-word subtree
+    (anti-join against the vocabulary) — never over the per-occurrence
+    rows."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    docs = src.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20).select("doc_id", "text")
+    merges_df, vocab = tx.bpe_train(docs, n_merges=2, return_vocab=True)
+    real = [(r.pair, r.merged) for r in merges_df.orderBy("merge_rank").collect()]
+    padded = real + [
+        (f"q{i} r{i}", f"q{i}r{i}") for i in range(tx.BPE_EXPR_MAX_MERGES + 1)
+    ]
+    plan = tx.bpe_encode_ids(
+        docs, vocab, merges=padded
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    idx = plan.find("ArrowEvalPython")
+    assert "LeftAnti" in plan[idx:], "udf not over the distinct-OOV table"
