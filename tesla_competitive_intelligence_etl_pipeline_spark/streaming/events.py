@@ -1618,6 +1618,7 @@ def _merge_locked(
 
     # ---- phase 2: atomic commit ------------------------------------------
     old_rels = {b: manifest["buckets"].get(b) for b in new_rels}
+    base_schema = manifest.get("schema")  # as of OUR read, pre-update
     manifest["buckets"].update(new_rels)
     # the table schema AS OF this commit (all-nullable: evolved columns are
     # null in pre-evolution rows) — snapshots copy the manifest, so every
@@ -1635,14 +1636,65 @@ def _merge_locked(
             if first_commit
             else fs.put_if_match(_manifest_path(target), data, manifest_etag)
         )
+        # Disjoint-bucket REBASE (r9): a failed precondition means another
+        # writer committed since our read. If that writer touched NONE of
+        # our buckets (its head still points every one of our buckets at
+        # the exact versions we merged against), didn't change params, and
+        # didn't evolve the schema, then our staged bucket versions — and
+        # our captured delta — are just as valid against ITS head: re-point
+        # our commit's parent at its head, apply our bucket updates to its
+        # manifest, and retry the conditional put. This is Delta/Iceberg
+        # logical conflict resolution: concurrent writers to DISJOINT key
+        # ranges both succeed; a genuine overlap (same bucket, params
+        # change, concurrent schema evolution) still raises. Bounded
+        # retries — each loop is driver-side JSON I/O only, no data work.
+        rebases = 0
+        while not committed and not first_commit and rebases < 5:
+            try:
+                raw2, etag2 = fs.read_with_etag(_manifest_path(target))
+            except FileNotFoundError:
+                break  # manifest vanished — fall through to the raise
+            theirs = json.loads(raw2.decode())
+            if (
+                theirs.get("params") != manifest.get("params")
+                or theirs.get("schema") != base_schema
+                or any(
+                    theirs["buckets"].get(b) != old_rels.get(b)
+                    for b in new_rels
+                )
+            ):
+                break  # genuine conflict — fall through to the raise
+            parent2 = (theirs.get("commit") or {}).get("id")
+            fs.put_atomic(
+                os.path.join(target, _CHANGES_DIR, commit_id, "_commit.json"),
+                json.dumps(
+                    {
+                        "id": commit_id,
+                        "parent": parent2,
+                        "kind": "merge",
+                        "empty": False,
+                        "captured": capture_changes,
+                    }
+                ).encode(),
+            )
+            manifest = dict(theirs)
+            manifest["buckets"] = dict(theirs["buckets"])
+            manifest["buckets"].update(new_rels)
+            manifest["schema"] = _nullable_schema_json(merged.schema)
+            manifest["commit"] = {"id": commit_id, "parent": parent2}
+            data = json.dumps(manifest).encode()
+            committed = fs.put_if_match(_manifest_path(target), data, etag2)
+            rebases += 1
         if not committed:
             raise merge_fs.ConcurrentWriterError(
                 f"manifest at {target} changed between this merge's read "
                 "and its commit — another writer raced past the lease "
-                "(expired TTL or lease-free deployment). This merge "
-                "committed NOTHING (its staged versions are invisible "
-                "debris; vacuum reclaims them) — re-run it against the "
-                "new state."
+                "(expired TTL or lease-free deployment) and its commit "
+                "CONFLICTS with this one (same bucket, params change, or "
+                "concurrent schema evolution), so no rebase is possible. "
+                "This merge committed NOTHING (its staged versions are "
+                "invisible debris; vacuum reclaims them) — re-run it "
+                "against the new state."
             )
     else:
         fs.put_atomic(_manifest_path(target), data)

@@ -601,17 +601,29 @@ def test_cas_manifest_commit_detects_racing_writer(spark, tmp_path):
     """r9 (VERDICT r8 item 5): on a CAS store the manifest commit is
     conditional on the generation the merge read — two mergers that both
     got past the lease (same stable lease_owner: the retried-job-races-
-    its-predecessor case the lease deliberately admits) cannot lose an
-    update: one wins, the other raises ConcurrentWriterError having
-    committed NOTHING, and a clean retry lands its batch on top."""
+    its-predecessor case the lease deliberately admits) and write the
+    SAME bucket cannot lose an update: one wins, the other raises
+    ConcurrentWriterError having committed NOTHING (no rebase is possible
+    for a genuine overlap), and a clean retry lands its batch on top."""
     import threading
 
     import pytest
+    from pyspark.sql import functions as F
 
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
 
     fs = _ManifestGateCASFS()
     target = str(tmp_path / "gold")
+
+    # three keys in the SAME bucket (disjoint buckets would rebase —
+    # see test_cas_disjoint_bucket_rebase_both_writers_commit)
+    byb: dict = {}
+    for r in spark.range(1, 60).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("b"),
+    ).collect():
+        byb.setdefault(r.b, []).append(r.k)
+    k1, k2, k3 = next(ks for ks in byb.values() if len(ks) >= 3)[:3]
 
     def rows(ks):
         return spark.createDataFrame(
@@ -621,7 +633,7 @@ def test_cas_manifest_commit_detects_racing_writer(spark, tmp_path):
     # seed so both racing commits are put_if_match (not first-commit
     # put_if_absent); arm the gate only afterwards
     fs.armed = False
-    strm.merge_table(rows([1]), target, keys=["k"], order_cols=["v"],
+    strm.merge_table(rows([k1]), target, keys=["k"], order_cols=["v"],
                      n_buckets=4, fs=fs, lease_owner="job")
     fs.armed = True
 
@@ -629,7 +641,7 @@ def test_cas_manifest_commit_detects_racing_writer(spark, tmp_path):
 
     def writer_a():
         try:
-            strm.merge_table(rows([2]), target, keys=["k"], order_cols=["v"],
+            strm.merge_table(rows([k2]), target, keys=["k"], order_cols=["v"],
                              n_buckets=4, fs=fs, lease_owner="job")
             result["a"] = "committed"
         except mfs.ConcurrentWriterError as e:
@@ -638,21 +650,21 @@ def test_cas_manifest_commit_detects_racing_writer(spark, tmp_path):
     ta = threading.Thread(target=writer_a)
     ta.start()
     assert fs.entered.wait(timeout=60.0)  # A read the manifest, now gated
-    # B races past (same owner -> reentrant lease) and commits
-    strm.merge_table(rows([3]), target, keys=["k"], order_cols=["v"],
+    # B races past (same owner -> reentrant lease) and commits the bucket
+    strm.merge_table(rows([k3]), target, keys=["k"], order_cols=["v"],
                      n_buckets=4, fs=fs, lease_owner="job")
-    fs.gate.set()  # A resumes: its put_if_match must FAIL
+    fs.gate.set()  # A resumes: its put_if_match must FAIL, rebase refused
     ta.join(timeout=120.0)
     assert isinstance(result["a"], mfs.ConcurrentWriterError), result
 
     # B's update survived; A committed nothing
     got = {r.k for r in strm.read_merged(spark, target, fs=fs).collect()}
-    assert got == {1, 3}
+    assert got == {k1, k3}
     # A's retry lands cleanly on the new state
-    strm.merge_table(rows([2]), target, keys=["k"], order_cols=["v"],
+    strm.merge_table(rows([k2]), target, keys=["k"], order_cols=["v"],
                      n_buckets=4, fs=fs, lease_owner="job")
     got2 = {r.k for r in strm.read_merged(spark, target, fs=fs).collect()}
-    assert got2 == {1, 2, 3}
+    assert got2 == {k1, k2, k3}
     # the losing attempt's staged version is invisible debris -> vacuum
     strm.vacuum_merge_table(target, fs=fs)
     assert {r.k for r in strm.read_merged(spark, target, fs=fs).collect()} == got2
@@ -711,3 +723,107 @@ def test_heartbeat_undo_spares_restarted_same_owner_lease(tmp_path):
     assert mfs.lease_info(fs, table) is not None, "undo deleted a live lease"
     assert fs.read_bytes(path) == new_record
     mfs.release_writer_lease(fs, table, "job")
+
+
+def test_cas_disjoint_bucket_rebase_both_writers_commit(spark, tmp_path):
+    """r9 rebase: two mergers racing past the lease whose batches touch
+    DISJOINT buckets must BOTH commit (Delta-style logical conflict
+    resolution) — the loser re-points its commit at the winner's head and
+    retries its conditional put; the commit chain carries both commits in
+    winner-then-loser order. A genuine overlap (same bucket) still
+    raises, committing nothing."""
+    import threading
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    # pick keys by their actual bucket under n_buckets=4
+    buckets = {
+        r.k: r.b
+        for r in spark.range(1, 40)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("b"),
+        )
+        .collect()
+    }
+    by_bucket: dict = {}
+    for k, b in buckets.items():
+        by_bucket.setdefault(b, []).append(k)
+    b0, b1 = sorted(by_bucket)[:2]
+    k_seed, k_a = by_bucket[b0][0], by_bucket[b0][1]  # same bucket as seed
+    k_b = by_bucket[b1][0]  # different bucket
+
+    def rows(ks):
+        return spark.createDataFrame(
+            [(k, k * 10, "x") for k in ks], "k long, v long, s string"
+        )
+
+    fs = _ManifestGateCASFS()
+    target = str(tmp_path / "gold")
+    fs.armed = False
+    strm.merge_table(rows([k_seed]), target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, fs=fs, lease_owner="job")
+    strm.snapshot_merge_table(target, "pre", fs=fs)
+    fs.armed = True
+
+    result: dict = {}
+
+    def writer_a():
+        try:
+            # touches bucket b0 only (k_a shares k_seed's bucket)
+            strm.merge_table(rows([k_a]), target, keys=["k"], order_cols=["v"],
+                             n_buckets=4, fs=fs, lease_owner="job")
+            result["a"] = "committed"
+        except mfs.ConcurrentWriterError as e:  # pragma: no cover
+            result["a"] = e
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    assert fs.entered.wait(timeout=60.0)  # A read + staged, gated pre-commit
+    # B commits bucket b1 while A is gated — disjoint from A's bucket
+    strm.merge_table(rows([k_b]), target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, fs=fs, lease_owner="job")
+    fs.gate.set()  # A resumes: precondition fails -> REBASE -> commits
+    ta.join(timeout=120.0)
+    assert result["a"] == "committed", result
+
+    got = {r.k for r in strm.read_merged(spark, target, fs=fs).collect()}
+    assert got == {k_seed, k_a, k_b}
+    # the chain carries both commits, B (winner) then A (rebased loser)
+    log = strm.read_commit_changes(spark, target, since="pre", fs=fs)
+    seqs = {(r._commit_seq, r.k) for r in log.collect()}
+    assert seqs == {(1, k_b), (2, k_a)}
+
+    # genuine overlap: same interleaving, but B writes A's bucket -> A
+    # must raise and commit nothing
+    fs.entered.clear(); fs.gate.clear(); fs.armed = True
+    k_a2, k_b2 = by_bucket[b0][2], by_bucket[b0][3]
+    result2: dict = {}
+
+    def writer_a2():
+        try:
+            strm.merge_table(rows([k_a2]), target, keys=["k"], order_cols=["v"],
+                             n_buckets=4, fs=fs, lease_owner="job")
+            result2["a"] = "committed"
+        except mfs.ConcurrentWriterError as e:
+            result2["a"] = e
+
+    ta2 = threading.Thread(target=writer_a2)
+    ta2.start()
+    assert fs.entered.wait(timeout=60.0)
+    strm.merge_table(rows([k_b2]), target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, fs=fs, lease_owner="job")
+    fs.gate.set()
+    ta2.join(timeout=120.0)
+    assert isinstance(result2["a"], mfs.ConcurrentWriterError), result2
+    got2 = {r.k for r in strm.read_merged(spark, target, fs=fs).collect()}
+    assert got2 == {k_seed, k_a, k_b, k_b2}
+    # the loser's retry lands cleanly
+    strm.merge_table(rows([k_a2]), target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, fs=fs, lease_owner="job")
+    assert {r.k for r in strm.read_merged(spark, target, fs=fs).collect()} == {
+        k_seed, k_a, k_b, k_b2, k_a2
+    }
