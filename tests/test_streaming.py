@@ -1876,3 +1876,104 @@ def test_commit_log_retention_at_depth(spark, tmp_path):
     shutil.rmtree(os.path.join(target, "changes", head, "delta"))
     with pytest.raises(ValueError, match="delta vacuumed.*use read_changes"):
         strm.read_commit_changes(spark, target, since="after3")
+
+
+def test_manifest_stats_and_bucket_skipping(spark, tmp_path):
+    """r9 data skipping: merge_table(stats_cols=[...]) records per-bucket
+    min/max in the manifest; read_merged(range_filters=...) prunes
+    provably-disjoint buckets DRIVER-SIDE (fewer input files) while the
+    filter itself guarantees correctness; an all-pruned range returns a
+    typed empty DF; a stats-less merge drops its touched buckets' stats
+    (stale protection); deletes keep stats (conservative superset);
+    snapshots pin stats and rollback restores them; rebucket drops them."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+
+    def rows(kvs):
+        return spark.createDataFrame(
+            [(k, v, "x") for k, v in kvs], "k long, v long, s string"
+        )
+
+    # enough keys that all 4 buckets carry rows; v correlates with the
+    # key's BUCKET so bucket v-spans are genuinely disjoint (a real
+    # time-ordered or range-partitioned ingest has exactly this shape)
+    kb = {
+        r.k: r.b
+        for r in spark.range(1, 25).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("b"),
+        ).collect()
+    }
+    kvs = [(k, int(b) * 1000 + k) for k, b in kb.items()]
+    strm.merge_table(rows(kvs), target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, stats_cols=["v"])
+    m = json.loads(open(strm._manifest_path(target)).read())
+    assert set(m["stats"]) == set(m["buckets"])
+    assert all("v" in st for st in m["stats"].values())
+
+    full = strm.read_merged(spark, target)
+    # pick a range covering exactly ONE bucket's v-span
+    spans = {b: tuple(st["v"]) for b, st in m["stats"].items()}
+    b_lo = min(spans, key=lambda b: spans[b][0])
+    lo, hi = spans[b_lo]
+    overlapping = [b for b, (mn, mx) in spans.items() if not (mn > hi or mx < lo)]
+    skipped = strm.read_merged(spark, target, range_filters={"v": (lo, hi)})
+    want = sorted(tuple(r) for r in full.filter(
+        (F.col("v") >= lo) & (F.col("v") <= hi)).collect())
+    assert sorted(tuple(r) for r in skipped.collect()) == want
+    # the skip is REAL: only the overlapping buckets' files were read
+    n_all = len(full.inputFiles())
+    n_skip = len(skipped.inputFiles())
+    assert n_skip < n_all
+    assert n_skip == sum(
+        len([f for f in full.inputFiles() if f"/store/{b}/" in f])
+        for b in overlapping
+    )
+
+    # all-pruned range: typed empty DF, not None
+    vmax = max(mx for _, mx in spans.values())
+    empty = strm.read_merged(spark, target, range_filters={"v": (vmax + 1, None)})
+    assert empty is not None and empty.count() == 0
+    assert "k" in empty.columns
+
+    # snapshot pins stats; a stats-less merge drops touched buckets' stats
+    strm.snapshot_merge_table(target, "pinned")
+    strm.merge_table(rows([(1, 99999)]), target, keys=["k"],
+                     order_cols=["v"], n_buckets=4)
+    m2 = json.loads(open(strm._manifest_path(target)).read())
+    assert len(m2.get("stats", {})) < len(m["stats"])
+    # ...so a range read stays CORRECT (no pruning on the dropped bucket)
+    big = strm.read_merged(spark, target, range_filters={"v": (99999, None)})
+    assert {r.k for r in big.collect()} == {1}
+    # rollback restores the pinned stats
+    strm.rollback_merge_table(target, "pinned", spark=spark)
+    m3 = json.loads(open(strm._manifest_path(target)).read())
+    assert m3["stats"] == m["stats"]
+
+    # delete keeps stats (bounds stay valid supersets)
+    strm.delete_from_merge_table(
+        spark, target, keys=spark.createDataFrame([(2,)], "k long"))
+    m4 = json.loads(open(strm._manifest_path(target)).read())
+    assert set(m4["stats"]) == set(m4["buckets"])
+    after_del = strm.read_merged(spark, target, range_filters={"v": (lo, hi)})
+    want2 = sorted(
+        t for t in want if t[full.columns.index("k")] != 2
+    )
+    assert sorted(tuple(r) for r in after_del.collect()) == want2
+
+    # rebucket invalidates bucket-keyed stats wholesale
+    strm.rebucket_merge_table(spark, target, 8)
+    m5 = json.loads(open(strm._manifest_path(target)).read())
+    assert "stats" not in m5
+    # reads stay correct without stats (no pruning, filter still applied)
+    assert sorted(
+        tuple(r)[:3] for r in strm.read_merged(
+            spark, target, range_filters={"v": (lo, hi)}).select(
+            "k", "v", "s").collect()
+    ) == sorted(t[:3] for t in want2)
