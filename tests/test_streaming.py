@@ -1977,3 +1977,82 @@ def test_manifest_stats_and_bucket_skipping(spark, tmp_path):
             spark, target, range_filters={"v": (lo, hi)}).select(
             "k", "v", "s").collect()
     ) == sorted(t[:3] for t in want2)
+
+
+def test_incremental_dedup_consumer_survives_rollback(spark, tmp_path):
+    """r9 composition: the O(delta) incremental-dedup consumer (commit-log
+    CDC inserts -> hash join against the pinned base) keeps working when a
+    bad crawl batch is ROLLED BACK with delta capture in the middle of its
+    range — the chain stays walkable, the synthetic delta cancels the bad
+    batch's inserts, and compacting the log (last post per key, minus keys
+    whose first-pre cancels) yields exactly the surviving new docs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "docs_gold")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    strm.merge_table(
+        docs([(1, "alpha"), (2, "beta")]), target,
+        keys=["doc_id"], order_cols=["doc_id"],
+    )
+    strm.snapshot_merge_table(target, "base")
+    # good crawl batch
+    strm.merge_table(docs([(10, "alpha"), (11, "gamma")]), target,
+                     keys=["doc_id"], order_cols=["doc_id"])
+    strm.snapshot_merge_table(target, "good1")
+    # bad crawl batch, rolled back WITH capture
+    strm.merge_table(docs([(20, "junk"), (21, "junk2")]), target,
+                     keys=["doc_id"], order_cols=["doc_id"])
+    strm.rollback_merge_table(target, "good1", spark=spark)
+    # another good batch on top of the rollback
+    strm.merge_table(docs([(12, "beta")]), target,
+                     keys=["doc_id"], order_cols=["doc_id"])
+
+    log = strm.read_commit_changes(spark, target, since="base")
+    # per-commit view contains the bad inserts AND their synthetic deletes
+    kinds = {(r.doc_id, r._change_type) for r in log.collect()}
+    assert (20, "insert") in kinds and (20, "delete") in kinds
+    # compact to net: last post per key, cancelled by matching first pre
+    cols = [c for c in log.columns if c != "_commit_seq"]
+    w_last = Window.partitionBy("doc_id").orderBy(F.col("_commit_seq").desc())
+    w_first = Window.partitionBy("doc_id").orderBy(F.col("_commit_seq").asc())
+    post = (
+        log.filter(F.col("_change_type").isin("insert", "update_postimage"))
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter("__rn = 1").select(*cols)
+    )
+    pre = (
+        log.filter(F.col("_change_type").isin("delete", "update_preimage"))
+        .withColumn("__rn", F.row_number().over(w_first))
+        .filter("__rn = 1").select(*cols)
+    )
+    i_ct = cols.index("_change_type")
+    strip = lambda t: tuple(v for j, v in enumerate(t) if j != i_ct)
+    pre_rows = {strip(tuple(r)) for r in pre.collect()}
+    net_inserts = {
+        r.doc_id
+        for r in post.collect()
+        if strip(tuple(r)) not in pre_rows
+    }
+    assert net_inserts == {10, 11, 12}  # bad batch cancelled, good ones kept
+
+    # ...and the dedup flag over the net inserts matches the base corpus
+    base_h = (
+        strm.read_merged(spark, target, snapshot="base")
+        .select(F.md5("text").alias("h")).distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    flags = {
+        r.doc_id: r.is_dup
+        for r in post.filter(F.col("doc_id").isin(*net_inserts))
+        .select("doc_id", F.md5("text").alias("h"))
+        .join(base_h, "h", "left")
+        .select("doc_id", F.coalesce("__dup", F.lit(False)).alias("is_dup"))
+        .collect()
+    }
+    assert flags == {10: True, 11: False, 12: True}
