@@ -508,16 +508,30 @@ def read_merged(
     stats = manifest.get("stats") or {}
 
     def _skippable(b: str) -> bool:
+        import datetime as _dt
+
         st = stats.get(b)
         if not range_filters or st is None:
             return False
         for c, (lo, hi) in range_filters.items():
-            if c in st:
-                mn, mx = st[c]
+            if c not in st:
+                continue
+            ent = st[c]
+            mn, mx = ent[0], ent[1]
+            if len(ent) == 3 and ent[2] == "ts":
+                mn, mx = (_dt.datetime.fromisoformat(v) for v in (mn, mx))
+            elif len(ent) == 3 and ent[2] == "date":
+                mn, mx = (_dt.date.fromisoformat(v) for v in (mn, mx))
+            try:
                 if hi is not None and mn is not None and mn > hi:
                     return True
                 if lo is not None and mx is not None and mx < lo:
                     return True
+            except TypeError:
+                # incomparable bound types (caller passed a mismatched
+                # filter value): never prune on them — the row-level
+                # filter below still applies, so only the skip is lost
+                continue
         return False
 
     paths = [
@@ -1677,16 +1691,25 @@ def _merge_locked(
         for c in stats_cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
+        import datetime as _dt
+
         stats_update = {}
         for r in merged.groupBy("__bucket").agg(*aggs).collect():
             d = {}
             for c in stats_cols:
                 mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
-                ok = all(
+                if isinstance(mn, _dt.datetime) and isinstance(mx, _dt.datetime):
+                    # JSON-safe ISO encoding with a type tag; the reader
+                    # parses it back for pruning and the filter side takes
+                    # datetime bounds (event-time ranges are THE skipping
+                    # use case for an events gold table)
+                    d[c] = [mn.isoformat(), mx.isoformat(), "ts"]
+                elif isinstance(mn, _dt.date) and isinstance(mx, _dt.date):
+                    d[c] = [mn.isoformat(), mx.isoformat(), "date"]
+                elif all(
                     isinstance(v, (int, float, str)) and not isinstance(v, bool)
                     for v in (mn, mx)
-                )
-                if ok:
+                ):
                     d[c] = [mn, mx]
             stats_update[str(r["__bucket"])] = d
 

@@ -2056,3 +2056,50 @@ def test_incremental_dedup_consumer_survives_rollback(spark, tmp_path):
         .collect()
     }
     assert flags == {10: True, 11: False, 12: True}
+
+
+def test_manifest_stats_timestamp_skipping(spark, tmp_path):
+    """r9: stats_cols record TIMESTAMP bounds (ISO-tagged in the
+    manifest) and event-time range_filters prune buckets driver-side —
+    the canonical events-table use case; rows stay exactly the filter's
+    result and the skip is real (fewer input files)."""
+    import datetime
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    # event time correlated with the key's bucket: four disjoint day spans
+    kb = {
+        r.k: int(r.b)
+        for r in spark.range(1, 25).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("b"),
+        ).collect()
+    }
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(days=b, minutes=int(k)))
+        for k, b in kb.items()
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    strm.merge_table(df, target, keys=["k"], order_cols=["ts"],
+                     n_buckets=4, stats_cols=["ts"])
+    m = json.loads(open(strm._manifest_path(target)).read())
+    assert all(st["ts"][2] == "ts" for st in m["stats"].values())
+
+    day1 = (base, base + datetime.timedelta(hours=23))
+    full = strm.read_merged(spark, target)
+    got = strm.read_merged(spark, target, range_filters={"ts": day1})
+    want = sorted(
+        tuple(r) for r in full.filter(
+            (F.col("ts") >= day1[0]) & (F.col("ts") <= day1[1])).collect()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == want and want
+    assert len(got.inputFiles()) < len(full.inputFiles())
+
+    # mismatched filter type: no pruning, row filter still correct
+    odd = strm.read_merged(spark, target, range_filters={"ts": (None, None)})
+    assert odd.count() == full.count()
