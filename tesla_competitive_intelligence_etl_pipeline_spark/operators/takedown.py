@@ -25,6 +25,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_EPHEMERAL_PREFIX = "takedown-"
+
+
+def sweep_takedown_pins(target: str, fs=None) -> list[str]:
+    """Restart healing for a crashed takedown: drop the ephemeral
+    ``takedown-*`` snapshots a process crash stranded between the pin and
+    the finally-drop — stranded, they pin the PRE-DELETE store versions
+    (including the erased rows) against vacuum forever, quietly defeating
+    the erasure. Named snapshots are never touched (the prefix is
+    reserved for this module's ephemeral pins). Idempotent; run it where
+    the other recover_* functions run. Returns the dropped tags."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    dropped = []
+    for tag in strm.list_snapshots(target, fs):
+        if tag.startswith(_EPHEMERAL_PREFIX):
+            strm.drop_snapshot(target, tag, fs=fs)
+            dropped.append(tag)
+    return dropped
+
 
 def takedown(
     spark: SparkSession,
@@ -67,8 +89,12 @@ def takedown(
 
     fs = fs or mfs.LOCAL_FS
     # ephemeral, collision-free tag (dot prefixes are reserved by the
-    # snapshot-tag validator, so namespace by name instead)
-    tag = f"takedown-{uuid.uuid4().hex[:8]}"
+    # snapshot-tag validator, so namespace by name instead). A PROCESS
+    # crash between the pin and the finally-drop strands the tag, which
+    # would pin the pre-delete versions against vacuum forever — restart
+    # healing is sweep_takedown_pins (run it where the other recover_*
+    # functions run).
+    tag = f"{_EPHEMERAL_PREFIX}{uuid.uuid4().hex[:8]}"
     strm.snapshot_merge_table(corpus, tag, fs=fs, lease_owner=lease_owner)
     try:
         strm.delete_from_merge_table(

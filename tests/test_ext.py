@@ -2176,3 +2176,45 @@ def test_takedown_orchestrator_end_to_end(spark, sf_dir, tmp_path):
     want_c = sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
         increment, spark, clean, threshold=0.5).collect())
     assert got_c == want_c and len(got_c) > 0
+
+
+def test_takedown_pin_sweep(spark, tmp_path):
+    """r9: a process crash between takedown's ephemeral snapshot pin and
+    its drop strands a 'takedown-*' tag that pins the PRE-DELETE versions
+    (erased rows included) against vacuum. sweep_takedown_pins drops
+    exactly those tags — named snapshots survive — after which vacuum
+    reclaims the superseded versions."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    df = spark.createDataFrame(
+        [(k, k * 10, "x") for k in range(8)], "k long, v long, s string"
+    )
+    strm.merge_table(df, target, keys=["k"], order_cols=["v"], n_buckets=4)
+    strm.snapshot_merge_table(target, "keepme")
+    # simulate the crash residue: the ephemeral pin exists, delete ran
+    strm.snapshot_merge_table(target, "takedown-deadbeef")
+    strm.delete_from_merge_table(
+        spark, target, keys=spark.createDataFrame([(1,), (2,)], "k long")
+    )
+    # the stranded pin protects the pre-delete versions from vacuum
+    removed_before = strm.vacuum_merge_table(target)
+    stats = strm.merge_table_stats(target)
+    assert stats["snapshot_only_versions"] > 0
+
+    dropped = td.sweep_takedown_pins(target)
+    assert dropped == ["takedown-deadbeef"]
+    assert strm.list_snapshots(target) == ["keepme"]
+    # now vacuum reclaims what only the stranded pin was holding...
+    strm.vacuum_merge_table(target)
+    # ...except what 'keepme' still legitimately pins
+    stats2 = strm.merge_table_stats(target)
+    assert stats2["snapshot_only_versions"] <= stats["snapshot_only_versions"]
+    # idempotent
+    assert td.sweep_takedown_pins(target) == []
+    assert {r.k for r in strm.read_merged(spark, target).collect()} == {
+        0, 3, 4, 5, 6, 7
+    }
