@@ -1707,14 +1707,19 @@ def recover_signature_table(path: str, fs=None) -> dict:
     token = mfs.acquire_writer_lease(fs, lock_scope)
     try:
         out = index_commit.recover_appends(fs, path)
-        swaps = _recover_sig_swaps(fs, path)
-        out["completed"].extend(swaps["completed"])
-        out["removed"].extend(swaps["removed"])
+        # land crashed TOMBSTONE appends before replaying swaps (ADVICE
+        # r9): a swap marker records exactly which tombstone files its
+        # purge consumed and the replay deletes only those, so a tombstone
+        # landed here — committed after the crashed compaction's read —
+        # survives the replay instead of being wiped with the dir
         tdir = path.rstrip("/") + "/_tombstones"
         if fs.isdir(tdir):
             tout = index_commit.recover_appends(fs, tdir)
             out["completed"].extend(tout["completed"])
             out["removed"].extend("_tombstones/" + s for s in tout["removed"])
+        swaps = _recover_sig_swaps(fs, path)
+        out["completed"].extend(swaps["completed"])
+        out["removed"].extend(swaps["removed"])
         return out
     finally:
         mfs.release_writer_lease(fs, lock_scope, token)
@@ -1738,8 +1743,15 @@ def _roll_sig_swap_forward(fs, path: str, meta: dict) -> None:
     """Complete a marked compaction swap from any intermediate state:
     every listed old file is removed, every staged file lands under its
     tag-prefixed name (the three per-file states of the module-standard
-    copy+delete crash model), staging and — for a purge — the tombstone
-    dir are dropped, then the marker."""
+    copy+delete crash model), staging and — for a purge — exactly the
+    tombstone files the compaction CONSUMED (``tomb_files``, recorded in
+    the marker) are dropped, then the marker. Deleting only the consumed
+    tombstones (ADVICE r9, high) is what makes the replay safe against a
+    tombstone committed AFTER the crashed compaction's read: rmtree'ing
+    the whole ``_tombstones/`` dir here would silently un-erase that doc.
+    Legacy markers without ``tomb_files`` predate the fix and keep the
+    dir-wide clear (they could only exist in a table compacted by the r9
+    code that crashed post-marker and was never healed)."""
     import os
 
     staging = os.path.join(path, meta["staging"])
@@ -1754,7 +1766,19 @@ def _roll_sig_swap_forward(fs, path: str, meta: dict) -> None:
             fs.rename(src, dst)
     fs.rmtree(staging)
     if meta.get("purge"):
-        fs.rmtree(os.path.join(path, "_tombstones"))
+        if "tomb_files" in meta:
+            tdir = os.path.join(path, "_tombstones")
+            for f in meta["tomb_files"]:
+                p = os.path.join(tdir, f)
+                if fs.exists(p):
+                    fs.rmtree(p)
+            # drop the dir only when NOTHING remains (no later tombstone,
+            # no in-flight append staging or marker) — pure cleanup, so
+            # the common no-deletes-ever read stays a bare listdir miss
+            if fs.isdir(tdir) and not fs.listdir(tdir):
+                fs.rmtree(tdir)
+        else:  # legacy pre-fix marker
+            fs.rmtree(os.path.join(path, "_tombstones"))
     fs.rmtree(os.path.join(path, f"{_SIG_SWAP_PREFIX}{meta['tag']}.json"))
 
 
@@ -1810,13 +1834,19 @@ def compact_signature_table(
 
     Crash-safe via the module-standard atomic marker: the batch stages in
     a dot-prefixed dir, ONE ``.sigswap_<tag>.json`` put (recording old
-    files, staged files, and the purge flag) is the commit point, then
-    old files drop, staged files land tag-prefixed, and — last — a purge
-    clears ``_tombstones/``. recover_signature_table rolls a marked swap
-    forward from any intermediate state; before the marker the table is
-    byte-identical. Tombstone semantics are monotone through every crash
-    point: rows are only ever dropped AFTER the marker that also records
-    the tombstone clear, so a query never sees an erased doc resurface.
+    files, staged files, the purge flag, and — ADVICE r9 — the exact
+    tombstone files the purge consumed) is the commit point, then old
+    files drop, staged files land tag-prefixed, and — last — a purge
+    clears exactly the CONSUMED tombstone files. recover_signature_table
+    rolls a marked swap forward from any intermediate state; before the
+    marker the table is byte-identical. Tombstone semantics are monotone
+    through every crash point: crashed tombstone APPENDS are landed
+    before the tombstone read (so a committed-but-unlanded erasure is
+    purged, not wiped), rows are only ever dropped AFTER the marker that
+    also records the tombstone clear, and a tombstone committed after
+    this run's read survives any replay (the marker clears only the
+    files it lists) — so a query never sees an erased doc resurface and
+    no committed erasure is ever lost.
     Like the ANN compactors, run it where a deployment runs OPTIMIZE —
     readers concurrent with the file swap can see a torn file set (the
     flat table has no manifest indirection). Serialized on the sibling
@@ -1828,6 +1858,7 @@ def compact_signature_table(
 
     from pyspark.sql import Observation
 
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
@@ -1835,7 +1866,18 @@ def compact_signature_table(
     token = mfs.acquire_writer_lease(fs, lock_scope, owner=lease_owner)
     try:
         with mfs.lease_heartbeat(fs, lock_scope, token):
-            # self-heal any crashed prior run first (idempotent)
+            # self-heal any crashed prior run first (idempotent). Order
+            # matters (ADVICE r9, high): crashed APPENDS — data rows at
+            # the root AND tombstone ids under _tombstones/ — must land
+            # BEFORE the swap replay and before this run reads either
+            # list, else a committed-but-unlanded tombstone is invisible
+            # to the purge (its staged file isn't a .parquet in the dir)
+            # and the old dir-wide tombstone clear then destroyed it —
+            # silently un-erasing the doc.
+            index_commit.recover_appends(fs, path)
+            tdir = path.rstrip("/") + "/_tombstones"
+            if fs.isdir(tdir):
+                index_commit.recover_appends(fs, tdir)
             _recover_sig_swaps(fs, path)
             olds = _sig_data_files(fs, path)
             if not olds:
@@ -1845,7 +1887,19 @@ def compact_signature_table(
                     "purged_rows": 0,
                     "tombstones_cleared": False,
                 }
-            tombs = load_signature_tombstones(spark, path, fs) if purge_tombstones else None
+            # pin the exact tombstone FILES this purge consumes — the swap
+            # marker records them and roll-forward deletes only them, so a
+            # tombstone committed after this listing survives any replay
+            tomb_files: list[str] = []
+            tombs = None
+            if purge_tombstones and fs.isdir(tdir):
+                tomb_files = sorted(
+                    f for f in fs.listdir(tdir) if f.endswith(".parquet")
+                )
+                if tomb_files:
+                    tombs = spark.read.parquet(
+                        *[os.path.join(tdir, f) for f in tomb_files]
+                    )
             df = spark.read.parquet(*[os.path.join(path, f) for f in olds])
             obs = Observation()
             n_before = df.count()  # parquet-footer count, no data scan
@@ -1872,6 +1926,7 @@ def compact_signature_table(
                 "files": staged,
                 "old_files": olds,
                 "purge": bool(purge_tombstones),
+                "tomb_files": tomb_files,
             }
             fs.put_atomic(
                 os.path.join(path, f"{_SIG_SWAP_PREFIX}{tag}.json"),

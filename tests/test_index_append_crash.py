@@ -462,3 +462,145 @@ def test_signature_compact_purge_crash_at_every_op_never_resurfaces(spark, tmp_p
         assert sig_rows(path) == after_rows
         shutil.rmtree(path)
     assert outcomes == {"rolled_back", "rolled_forward"}
+
+
+def test_compact_purge_lands_crashed_tombstone_append_before_purge(
+    spark, tmp_path
+):
+    """ADVICE r10 (high, a): a delete_signature_entries that crashed AFTER
+    its marker committed but BEFORE the staged tombstone file landed left
+    an erasure that load_signature_tombstones cannot see — the old purge
+    then rmtree'd _tombstones/ and destroyed the committed tombstone while
+    the doc's rows survived the rewrite (silent GDPR-erasure loss).
+    compact_signature_table must land crashed tombstone appends FIRST, so
+    the purge consumes them: erased rows off disk, nothing resurfaces."""
+    import json
+    import os
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import index_commit as ic
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(4)]
+        + [(9, " ".join(f"shared_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [(1000, " ".join(f"shared_{j}" for j in range(30)) + " tail")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "table")
+    dd.write_signature_table(base, path)
+
+    # hand-build the exact crash state: tombstone staged + marker PUT
+    # (the commit point), files never landed — what a process crash
+    # inside delete_signature_entries leaves behind
+    tdir = path + "/_tombstones"
+    tag, staging = ic.new_staging(tdir)
+    spark.createDataFrame([(9,)], "doc_id long").coalesce(1).write.parquet(
+        staging
+    )
+    files = ic._staged_files(mfs.LOCAL_FS, staging)
+    assert files, "staged tombstone file missing"
+    mfs.LOCAL_FS.put_atomic(
+        os.path.join(tdir, f"{ic.MARKER_PREFIX}{tag}.json"),
+        json.dumps({"tag": tag, "files": files}).encode(),
+    )
+    # committed but unlanded: the plain tombstone read cannot see it yet
+    assert dd.load_signature_tombstones(spark, path) is None
+
+    out = dd.compact_signature_table(
+        spark, path, coalesce_files=1, purge_tombstones=True
+    )
+    # the purge consumed the landed tombstone: rows physically gone
+    assert out["purged_rows"] > 0
+    assert 9 not in {r.doc_id for r in spark.read.parquet(path).collect()}
+    got = dd.cross_corpus_neardup_indexed(
+        increment, spark, path, threshold=0.5
+    ).collect()
+    assert got == [], "erased doc resurfaced after purge"
+    # and the consumed tombstone is cleared (no leftover erasure debris)
+    assert dd.load_signature_tombstones(spark, path) is None
+
+
+def test_compaction_crash_replay_spares_later_tombstones(spark, tmp_path):
+    """ADVICE r10 (high, b): a tombstone committed BETWEEN a post-marker
+    compaction crash and its recovery must survive the stale marker's
+    replay — the marker now records exactly the tombstone files its purge
+    consumed and roll-forward deletes only those, never the whole dir.
+    Sweep every crash point; at each, erase a SECOND doc after the crash,
+    heal, and require both erasures to hold (doc 9 via purge-or-tombstone,
+    doc 8 via its post-crash tombstone) with a clean re-purge landing."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(4)]
+        + [(9, " ".join(f"shared_{j}" for j in range(30)))]
+        + [(8, " ".join(f"second_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    inc9 = spark.createDataFrame(
+        [(1000, " ".join(f"shared_{j}" for j in range(30)) + " tail")],
+        "doc_id long, text string",
+    )
+    inc8 = spark.createDataFrame(
+        [(2000, " ".join(f"second_{j}" for j in range(30)) + " tail")],
+        "doc_id long, text string",
+    )
+
+    pristine = str(tmp_path / "pristine")
+    dd.write_signature_table(base, pristine)
+    dd.delete_signature_entries(
+        spark, pristine, spark.createDataFrame([(9,)], "doc_id long")
+    )
+
+    def crawl(p, inc):
+        return sorted(
+            tuple(r)
+            for r in dd.cross_corpus_neardup_indexed(
+                inc, spark, p, threshold=0.5
+            ).collect()
+        )
+
+    probe = str(tmp_path / "probe")
+    shutil.copytree(pristine, probe)
+    probe_fs = mfs.NonAtomicRenameFS()
+    dd.compact_signature_table(
+        spark, probe, coalesce_files=1, purge_tombstones=True, fs=probe_fs
+    )
+    total_ops = probe_fs.ops
+
+    doomed8 = spark.createDataFrame([(8,)], "doc_id long")
+    spared = 0
+    for crash_at in range(total_ops):
+        path = str(tmp_path / f"run{crash_at}")
+        shutil.copytree(pristine, path)
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            dd.compact_signature_table(
+                spark, path, coalesce_files=1, purge_tombstones=True, fs=fs
+            )
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            mfs.break_writer_lease(mfs.LOCAL_FS, path + ".lock")
+        # the window the advice names: a NEW erasure commits between the
+        # crash and the restart healing
+        dd.delete_signature_entries(spark, path, doomed8)
+        marked_post_commit = any(
+            e.startswith(".sigswap_")
+            for e in mfs.LOCAL_FS.listdir(path)
+        )
+        dd.recover_signature_table(path)
+        # BOTH erasures hold at every crash point
+        assert crawl(path, inc9) == [], f"doc 9 resurfaced at op {crash_at}"
+        assert crawl(path, inc8) == [], f"doc 8 erasure lost at op {crash_at}"
+        if marked_post_commit:
+            spared += 1  # replay ran with the later tombstone present
+        # a clean purge then lands doc 8's physical erasure too
+        dd.compact_signature_table(
+            spark, path, coalesce_files=1, purge_tombstones=True
+        )
+        left = {r.doc_id for r in spark.read.parquet(path).collect()}
+        assert 8 not in left and 9 not in left
+        assert crawl(path, inc8) == [] and crawl(path, inc9) == []
+        shutil.rmtree(path)
+    assert spared > 0, "sweep never exercised a post-marker replay"
