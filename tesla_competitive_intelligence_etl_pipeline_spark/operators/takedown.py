@@ -1,51 +1,244 @@
-"""End-to-end takedown orchestration (r9): one erasure request, every
-store that could surface the content.
+"""End-to-end takedown orchestration (r9; durable-request rework r10).
 
-The pieces exist individually — merge-table DELETE (streaming.events),
-commit-log delete records (read_commit_changes), ANN-index tombstones
-(similarity / clustering), signature-table tombstones (dedup) — and their
-pairwise compositions are pinned in tests. This module is the operator a
-deployment actually schedules: it routes ONE request through all of them
-and reports what each store did, so an id can never be erased from the
-corpus but keep matching crawl increments or surfacing from an index
-(the gap VERDICT r8 item 1 closed store-by-store).
+One erasure request, every store that could surface the content. The pieces
+exist individually — merge-table DELETE (streaming.events), commit-log
+delete records (read_commit_changes), ANN-index tombstones (similarity /
+clustering), signature-table tombstones (dedup) — and their pairwise
+compositions are pinned in tests. This module is the operator a deployment
+actually schedules: it routes ONE request through all of them and reports
+what each store did, so an id can never be erased from the corpus but keep
+matching crawl increments or surfacing from an index (the gap VERDICT r8
+item 1 closed store-by-store).
+
+Durability (ADVICE r9, medium): the request is recorded UNDER THE CORPUS
+TABLE (``<corpus>/_takedown/<request_id>.json``) BEFORE anything mutates,
+and removed only after every listed store has its tombstones. A crash at
+any point therefore leaves either nothing (pre-record) or a record that
+``recover_takedowns`` completes: it re-derives the delete set from the
+commit log (the exact delete commit when the record carries its id; the
+pinned-snapshot CDC read otherwise) and re-runs the tombstone fan-out —
+tombstone appends are idempotent, so recovery converges no matter how much
+of the fan-out already ran. The ephemeral snapshot pin that anchors the CDC
+since-point lives exactly as long as its record (record put -> pin ->
+delete -> fan-out -> record removed -> pin dropped), so
+``sweep_takedown_pins`` can tell a LIVE takedown's pin (its record exists —
+spared) from one stranded by a crash AFTER propagation completed (record
+gone — safe to drop), closing ADVICE r9 low's live-pin race without age
+heuristics.
+
+Run ``recover_takedowns`` at restart healing, where the other recover_*
+functions run, BEFORE resuming other writers to the corpus: a record
+without a recorded delete-commit id (the crash hit before the delete
+committed, or before the stamp landed) falls back to the pinned-state CDC
+read, which is exact only while no LATER commit has landed on the table.
+With the stamp present — the common case, it lands in the same call as the
+delete — recovery is exact regardless of later traffic.
 
 Scale shape: the corpus DELETE is bucket-span / pruning-pass I/O, the CDC
 read is O(delta) (exactly the delete records the commit captured), every
-tombstone append is O(batch). Nothing reads the corpus or any index's
-data files. Physical purge stays a scheduled job
-(compact_*(purge_tombstones=True) — see DEPLOYMENT.md's maintenance
-table); this operator is the request-time half.
+tombstone append is O(batch), and the request record is one tiny JSON.
+Nothing reads the corpus or any index's data files. Physical purge stays a
+scheduled job (compact_*(purge_tombstones=True) — see DEPLOYMENT.md's
+maintenance table); this operator is the request-time half.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _EPHEMERAL_PREFIX = "takedown-"
+_REQUEST_DIR = "_takedown"
+
+
+def _request_dir(corpus: str) -> str:
+    return os.path.join(corpus, _REQUEST_DIR)
+
+
+def _request_path(corpus: str, request_id: str) -> str:
+    return os.path.join(_request_dir(corpus), request_id + ".json")
+
+
+def _list_requests(corpus: str, fs) -> list[dict]:
+    d = _request_dir(corpus)
+    if not fs.isdir(d):
+        return []
+    out = []
+    for f in sorted(fs.listdir(d)):
+        if f.endswith(".json"):
+            out.append(json.loads(fs.read_bytes(os.path.join(d, f)).decode()))
+    return out
+
+
+def _propagate(
+    spark: SparkSession,
+    gone_rows: list,
+    id_col: str,
+    ivf_indexes: tuple[str, ...],
+    ivfpq_indexes: tuple[str, ...],
+    signature_tables: tuple[str, ...],
+    fs,
+    lease_owner: str | None,
+) -> dict[str, int]:
+    """Tombstone the delete set in every listed store — idempotent (each
+    store's delete_* treats repeated / absent ids as harmless), so both
+    the happy path and crash recovery drive the same fan-out."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+        clustering,
+        dedup,
+        similarity,
+    )
+
+    stores: dict[str, int] = {}
+    if gone_rows:
+        ids = spark.createDataFrame(gone_rows)
+        for path in ivfpq_indexes:
+            stores[path] = clustering.ivfpq_index_delete(
+                spark, path, ids, id_col=id_col, fs=fs, lease_owner=lease_owner
+            )
+        for path in ivf_indexes:
+            stores[path] = similarity.ivf_index_delete(
+                spark, path, ids, id_col=id_col, fs=fs, lease_owner=lease_owner
+            )
+        for path in signature_tables:
+            stores[path] = dedup.delete_signature_entries(
+                spark, path, ids, id_col=id_col, fs=fs, lease_owner=lease_owner
+            )
+    else:
+        for path in (*ivfpq_indexes, *ivf_indexes, *signature_tables):
+            stores[path] = 0
+    return stores
 
 
 def sweep_takedown_pins(target: str, fs=None) -> list[str]:
-    """Restart healing for a crashed takedown: drop the ephemeral
-    ``takedown-*`` snapshots a process crash stranded between the pin and
-    the finally-drop — stranded, they pin the PRE-DELETE store versions
-    (including the erased rows) against vacuum forever, quietly defeating
-    the erasure. Named snapshots are never touched (the prefix is
-    reserved for this module's ephemeral pins). Idempotent; run it where
-    the other recover_* functions run. Returns the dropped tags."""
+    """Drop the ephemeral ``takedown-*`` snapshot pins that no LIVE
+    request record references — stranded, they pin the pre-delete store
+    versions (including the erased rows) against vacuum forever, quietly
+    defeating the erasure. A pin whose record still exists under
+    ``_takedown/`` belongs to an in-flight or crashed-but-recoverable
+    takedown (the record is written BEFORE the pin and removed BEFORE the
+    pin is dropped) and is always spared — so this sweep can run as
+    routine maintenance on a host that didn't issue the takedown without
+    racing a live one (ADVICE r9, low). Run ``recover_takedowns`` first:
+    it completes crashed requests, removes their records, and drops their
+    pins, leaving this sweep only the record-less debris of crashes in
+    the final drop itself. Named (non-``takedown-``) snapshots are never
+    touched. Idempotent; returns the dropped tags."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
+    live = {rec["tag"] for rec in _list_requests(target, fs)}
     dropped = []
     for tag in strm.list_snapshots(target, fs):
-        if tag.startswith(_EPHEMERAL_PREFIX):
+        if tag.startswith(_EPHEMERAL_PREFIX) and tag not in live:
             strm.drop_snapshot(target, tag, fs=fs)
             dropped.append(tag)
     return dropped
+
+
+def recover_takedowns(
+    spark: SparkSession,
+    corpus: str,
+    fs=None,
+    lease_owner: str | None = None,
+) -> list[dict]:
+    """Complete every takedown whose process crashed between the durable
+    request record and the final cleanup — the retry path ADVICE r9
+    (medium) found missing: without it, a crash after the corpus DELETE
+    committed but before the tombstone fan-out permanently lost
+    propagation (re-running takedown found nothing left to delete).
+
+    Per stranded record, oldest first:
+
+    - pin missing -> the crash hit before the snapshot (so before the
+      delete): nothing mutated; drop the record.
+    - record carries the delete's commit id -> read EXACTLY that commit's
+      delta (``changes/<id>/delta``) for the delete rows. If a
+      ``vacuum(changes_keep=N)`` already reclaimed it, raise loudly —
+      the erasure obligation cannot be silently dropped; tombstone the
+      stores manually from the request's source list, then remove the
+      record. (Operationally: retention must outlive recovery, the same
+      contract Delta's CDF retention carries.)
+    - no commit id (crash before the delete committed, or before the
+      stamp landed) -> the pinned-snapshot CDC read
+      (``read_commit_changes(since=tag)``, state-diff fallback) supplies
+      the delete set. Exact while nothing else has committed since the
+      crash — hence the module contract: run this at restart BEFORE
+      resuming other writers.
+
+    Then re-run the idempotent tombstone fan-out to the record's stores,
+    remove the record, and drop the pin. Returns one summary dict per
+    record handled."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    out: list[dict] = []
+    snapshots = set(strm.list_snapshots(corpus, fs))
+    for rec in _list_requests(corpus, fs):
+        rid, tag, id_col = rec["id"], rec["tag"], rec["id_col"]
+        rpath = _request_path(corpus, rid)
+        if tag not in snapshots:
+            fs.rmtree(rpath)
+            out.append({"id": rid, "action": "dropped_pre_pin", "stores": {}})
+            continue
+        commit_id = rec.get("delete_commit")
+        if commit_id:
+            delta_dir = os.path.join(corpus, strm._CHANGES_DIR, commit_id, "delta")
+            if not fs.isdir(delta_dir):
+                raise ValueError(
+                    f"takedown {rid} at {corpus}: its delete commit "
+                    f"{commit_id}'s delta was vacuumed (changes_keep "
+                    "retention) before propagation completed — the delete "
+                    "set is unrecoverable from the log. Tombstone the "
+                    "request's stores manually from the original source "
+                    "list, then remove "
+                    f"{rpath} and drop snapshot {tag!r}."
+                )
+            gone = (
+                spark.read.parquet(delta_dir)
+                .filter(F.col("_change_type") == "delete")
+                .select(id_col)
+                .distinct()
+            )
+        else:
+            try:
+                gone = strm.read_commit_changes(spark, corpus, since=tag, fs=fs)
+            except ValueError:
+                gone = strm.read_changes(spark, corpus, since=tag, fs=fs)
+            gone = (
+                gone.filter(F.col("_change_type") == "delete")
+                .select(id_col)
+                .distinct()
+            )
+        gone_rows = gone.collect()
+        stores = _propagate(
+            spark,
+            gone_rows,
+            id_col,
+            tuple(rec.get("ivf_indexes") or ()),
+            tuple(rec.get("ivfpq_indexes") or ()),
+            tuple(rec.get("signature_tables") or ()),
+            fs,
+            lease_owner,
+        )
+        fs.rmtree(rpath)  # obligation met — BEFORE the pin drop (see sweep)
+        strm.drop_snapshot(corpus, tag, fs=fs)
+        out.append(
+            {
+                "id": rid,
+                "action": "propagated",
+                "corpus_deleted": len(gone_rows),
+                "stores": stores,
+            }
+        )
+    return out
 
 
 def takedown(
@@ -74,61 +267,80 @@ def takedown(
     x2_sig_takedown composition, now one call). An empty delete (nothing
     matched) propagates nothing and reports zeros.
 
-    The pre-delete state is pinned under an ephemeral snapshot for the
-    CDC read and dropped afterwards; the delete records are collected
-    into a small local DataFrame first (bounded by the request size), so
-    the tombstone appends don't re-read the log per store. Returns
-    ``{"corpus_deleted": n, "stores": {path: tombstoned}}``."""
-    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
-        clustering,
-        dedup,
-        similarity,
-    )
+    Crash-durable (ADVICE r9, medium): a request record lands under
+    ``<corpus>/_takedown/`` BEFORE the pin and the delete, is stamped with
+    the delete's commit id right after the delete commits (verified
+    against the pre-delete head via the commit chain, so a racing writer
+    can never be mis-attributed), and is removed only after every store's
+    tombstones landed. A crash anywhere in between leaves a record that
+    ``recover_takedowns`` completes exactly. The pre-delete state is
+    pinned under an ephemeral snapshot for the CDC read; the delete
+    records are collected into a small local list (bounded by the request
+    size), so the tombstone appends don't re-read the log per store.
+    Returns ``{"corpus_deleted": n, "stores": {path: tombstoned}}``."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
+    request_id = uuid.uuid4().hex[:12]
     # ephemeral, collision-free tag (dot prefixes are reserved by the
-    # snapshot-tag validator, so namespace by name instead). A PROCESS
-    # crash between the pin and the finally-drop strands the tag, which
-    # would pin the pre-delete versions against vacuum forever — restart
-    # healing is sweep_takedown_pins (run it where the other recover_*
-    # functions run).
-    tag = f"{_EPHEMERAL_PREFIX}{uuid.uuid4().hex[:8]}"
-    strm.snapshot_merge_table(corpus, tag, fs=fs, lease_owner=lease_owner)
-    try:
-        strm.delete_from_merge_table(
-            spark, corpus, keys=keys, predicate=predicate, fs=fs,
-            lease_owner=lease_owner,
-        )
-        gone = (
-            strm.read_commit_changes(spark, corpus, since=tag, fs=fs)
-            .filter(F.col("_change_type") == "delete")
-            .select(id_col)
-            .distinct()
-        )
-        # bounded by the request size — pin it once so each store's
-        # tombstone append doesn't re-walk the log
-        gone_rows = gone.collect()
-    finally:
-        strm.drop_snapshot(corpus, tag, fs=fs)
-    n = len(gone_rows)
-    stores: dict[str, int] = {}
-    if n:
-        ids = spark.createDataFrame(gone_rows)
-        for path in ivfpq_indexes:
-            stores[path] = clustering.ivfpq_index_delete(
-                spark, path, ids, id_col=id_col, fs=fs, lease_owner=lease_owner
+    # snapshot-tag validator, so namespace by name instead)
+    tag = f"{_EPHEMERAL_PREFIX}{request_id}"
+    rec = {
+        "id": request_id,
+        "tag": tag,
+        "id_col": id_col,
+        "ivf_indexes": list(ivf_indexes),
+        "ivfpq_indexes": list(ivfpq_indexes),
+        "signature_tables": list(signature_tables),
+        "created_at": time.time(),
+        "delete_commit": None,
+    }
+    # durable intent FIRST: from here, a crash at any point leaves a
+    # record recover_takedowns can complete (or safely drop, pre-pin)
+    fs.put_atomic(_request_path(corpus, request_id), json.dumps(rec).encode())
+    pinned = strm.snapshot_merge_table(corpus, tag, fs=fs, lease_owner=lease_owner)
+    pre_head = (pinned.get("commit") or {}).get("id")
+    strm.delete_from_merge_table(
+        spark, corpus, keys=keys, predicate=predicate, fs=fs,
+        lease_owner=lease_owner,
+    )
+    # stamp the delete's commit id into the record so recovery reads
+    # EXACTLY its delta, immune to later traffic. Attribution check: the
+    # head moved, the new head is a delete commit, and its parent is the
+    # head we read — with writers lease-serialized that is our delete; if
+    # anything interleaved, leave the stamp off (recovery then uses the
+    # pinned-state CDC read under its restart-ordering contract).
+    head = ((strm._load_manifest(corpus, fs) or {}).get("commit") or {}).get("id")
+    if head and head != pre_head:
+        try:
+            crec = json.loads(
+                fs.read_bytes(
+                    os.path.join(corpus, strm._CHANGES_DIR, head, "_commit.json")
+                ).decode()
             )
-        for path in ivf_indexes:
-            stores[path] = similarity.ivf_index_delete(
-                spark, path, ids, id_col=id_col, fs=fs, lease_owner=lease_owner
+        except FileNotFoundError:
+            crec = {}
+        if crec.get("kind") == "delete" and crec.get("parent") == pre_head:
+            rec["delete_commit"] = head
+            fs.put_atomic(
+                _request_path(corpus, request_id), json.dumps(rec).encode()
             )
-        for path in signature_tables:
-            stores[path] = dedup.delete_signature_entries(
-                spark, path, ids, id_col=id_col, fs=fs, lease_owner=lease_owner
-            )
-    else:
-        for path in (*ivfpq_indexes, *ivf_indexes, *signature_tables):
-            stores[path] = 0
-    return {"corpus_deleted": n, "stores": stores}
+    gone = (
+        strm.read_commit_changes(spark, corpus, since=tag, fs=fs)
+        .filter(F.col("_change_type") == "delete")
+        .select(id_col)
+        .distinct()
+    )
+    # bounded by the request size — pin it once so each store's
+    # tombstone append doesn't re-walk the log
+    gone_rows = gone.collect()
+    stores = _propagate(
+        spark, gone_rows, id_col,
+        ivf_indexes, ivfpq_indexes, signature_tables, fs, lease_owner,
+    )
+    # obligation met: record first, THEN the pin (sweep_takedown_pins
+    # treats a record-less pin as safely droppable debris)
+    fs.rmtree(_request_path(corpus, request_id))
+    strm.drop_snapshot(corpus, tag, fs=fs)
+    return {"corpus_deleted": len(gone_rows), "stores": stores}

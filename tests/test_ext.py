@@ -2218,3 +2218,108 @@ def test_takedown_pin_sweep(spark, tmp_path):
     assert {r.k for r in strm.read_merged(spark, target).collect()} == {
         0, 3, 4, 5, 6, 7
     }
+
+
+def test_takedown_crash_recovery_never_loses_propagation(spark, tmp_path):
+    """ADVICE r10 (medium): a crash anywhere inside takedown() must never
+    lose the erasure obligation. The request record lands durably BEFORE
+    anything mutates, so at every injected crash point either (a) the
+    corpus delete never committed — recover_takedowns drops/completes the
+    record and a clean retry converges — or (b) it committed — recovery
+    re-derives the delete set from the commit log and re-runs the
+    idempotent tombstone fan-out. Also pins the sweep guard: while the
+    record lives, sweep_takedown_pins spares the pin."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(6)]
+        + [(9, " ".join(f"shared_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    doomed = spark.createDataFrame([(9,)], "doc_id long")
+    increment = spark.createDataFrame(
+        [(1000, " ".join(f"shared_{j}" for j in range(30)) + " tail")],
+        "doc_id long, text string",
+    )
+
+    root = tmp_path / "pristine"
+    corpus_p = str(root / "corpus")
+    sig_p = str(root / "sig")
+    strm.merge_table(docs, corpus_p, keys=["doc_id"], order_cols=["doc_id"],
+                     n_buckets=2)
+    dd.write_signature_table(docs, sig_p)
+
+    def crawl(sig):
+        return sorted(tuple(r) for r in dd.cross_corpus_neardup_indexed(
+            increment, spark, sig, threshold=0.5).collect())
+
+    assert len(crawl(sig_p)) == 1  # doc 9 matches pre-takedown
+
+    # reference run: count mutating bookkeeping ops + the final state
+    probe = tmp_path / "probe"
+    shutil.copytree(root, probe)
+    probe_fs = mfs.NonAtomicRenameFS()
+    out = td.takedown(
+        spark, str(probe / "corpus"), keys=doomed,
+        signature_tables=(str(probe / "sig"),), fs=probe_fs,
+    )
+    assert out["corpus_deleted"] == 1
+    assert crawl(str(probe / "sig")) == []
+    total_ops = probe_fs.ops
+    assert total_ops >= 10
+
+    recovered, retried = 0, 0
+    for crash_at in range(total_ops):
+        run = tmp_path / f"run{crash_at}"
+        shutil.copytree(root, run)
+        corpus, sig = str(run / "corpus"), str(run / "sig")
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            td.takedown(spark, corpus, keys=doomed,
+                        signature_tables=(sig,), fs=fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            mfs.break_writer_lease(mfs.LOCAL_FS, corpus)
+            mfs.break_writer_lease(mfs.LOCAL_FS, sig + ".lock")
+        # sweep guard: a live record's pin must be spared
+        recs = td._list_requests(corpus, mfs.LOCAL_FS)
+        pins = [t for t in strm.list_snapshots(corpus)
+                if t.startswith("takedown-")]
+        if recs and pins:
+            assert td.sweep_takedown_pins(corpus) == []
+            assert strm.list_snapshots(corpus) == pins
+        td.recover_takedowns(spark, corpus)
+        # post-recovery: no stranded record; the sweep reclaims any
+        # record-less pin (a crash between the record removal and the
+        # pin drop in the happy path strands exactly that) and after it
+        # no takedown pin survives
+        assert td._list_requests(corpus, mfs.LOCAL_FS) == []
+        td.sweep_takedown_pins(corpus)
+        assert not [t for t in strm.list_snapshots(corpus)
+                    if t.startswith("takedown-")]
+        live = strm.read_merged(spark, corpus)
+        left = {r.doc_id for r in live.collect()}
+        if 9 in left:
+            # crash before the delete committed: nothing half-done; a
+            # clean retry converges
+            retried += 1
+            out2 = td.takedown(spark, corpus, keys=doomed,
+                               signature_tables=(sig,))
+            assert out2["corpus_deleted"] == 1
+        else:
+            recovered += 1
+        # THE invariant, at every crash point after healing: the corpus
+        # no longer holds doc 9 AND the crawl can never match it again
+        assert 9 not in {
+            r.doc_id for r in strm.read_merged(spark, corpus).collect()
+        }
+        assert crawl(sig) == [], f"propagation lost at op {crash_at}"
+        shutil.rmtree(run)
+    # the sweep exercised both sides of the delete's commit point
+    assert recovered > 0 and retried > 0
