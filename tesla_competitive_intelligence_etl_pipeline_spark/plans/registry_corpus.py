@@ -1091,6 +1091,8 @@ def _bpe_oracle_sql(
     eow: str | None = None,
     encode_ids: bool = False,
     byte_fallback: bool = False,
+    target_vocab: int | None = None,
+    min_pair_count: int | None = None,
 ) -> str:
     """Unrolled merge rounds (the unrolled-Lloyd precedent): each round is
     a pair-count CTE, an argmax CTE (count DESC, pair ASC), and a
@@ -1108,7 +1110,19 @@ def _bpe_oracle_sql(
     symbol string instead of the legacy char-count fallback — the oracle
     twin of text.bpe_apply_merges. ``eow`` appends the end-of-word
     marker symbol in wf0 (and to the OOV encode base), mirroring
-    bpe_train(eow=...)."""
+    bpe_train(eow=...).
+
+    Stop rules (r10, bpe_train's target_vocab / min_pair_count twins —
+    driver-visible scalars, so they unroll as per-round GATES on the
+    argmax CTE): ``target_vocab`` gates round r on
+    |alphabet| + r <= target (each merge adds one symbol — the a0 CTE
+    counts the alphabet from the data, so the oracle derives the same
+    data-dependent round budget the engine does); ``min_pair_count``
+    gates on the round's best count >= floor AND the previous round
+    having fired (EXISTS b{prev} — a BREAK, not a skip: merging can
+    create new above-floor pairs later, which the engine's loop never
+    sees). A gated-off round's b{r} is empty, its rewrite a no-op, and
+    the merges output simply truncates."""
     eow_sql = " || ' {m}'".format(m=eow) if eow else ""
 
     def _applied(base: str) -> str:
@@ -1125,6 +1139,14 @@ def _bpe_oracle_sql(
         return inner
 
     rounds = []
+    if target_vocab is not None:
+        # the alphabet size, counted from the data exactly as the engine
+        # does — the round budget is target_vocab - a0.c
+        rounds.append(
+            """
+    a0 AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS c FROM (
+      SELECT unnest(string_split(sym, ' ')) AS s FROM wf0))"""
+        )
     for r in range(1, n_merges + 1):
         p = r - 1
         # COALESCE('') when a round finds NO pair: ' '||''||' ' = '  '
@@ -1138,18 +1160,34 @@ def _bpe_oracle_sql(
         inner = "' ' || sym || ' '"
         for _ in range(3):
             inner = "replace({inner}, {rep})".format(inner=inner, rep=rep)
+        gates = ""
+        if target_vocab is not None:
+            gates += " AND (SELECT c FROM a0) + {r} <= {t}".format(
+                r=r, t=int(target_vocab)
+            )
+        if min_pair_count is not None:
+            gates += " AND cnt >= {m}".format(m=int(min_pair_count))
+            if p >= 1:
+                gates += " AND EXISTS (SELECT 1 FROM b{p})".format(p=p)
+        # AS MATERIALIZED throughout (r10): b{r} is referenced 6+ times per
+        # round (3 replace passes x 2 args, the next round's pc, gates) —
+        # DuckDB would otherwise INLINE each reference, recursively
+        # re-expanding every earlier round and re-opening the corpus
+        # parquet exponentially many times (observed: fd exhaustion at a
+        # 6-round unroll; the [[duckdb-oracle-materialized-ctes]] lesson)
         rounds.append(
             """
-    pc{r} AS (
+    pc{r} AS MATERIALIZED (
       SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         SELECT a.freq, a.arr[g.i] || ' ' || a.arr[g.i + 1] AS pair
         FROM (SELECT string_split(sym, ' ') AS arr, freq FROM wf{p}) a,
              LATERAL (SELECT unnest(generate_series(1, len(a.arr) - 1)) AS i) g
       ) GROUP BY pair
     ),
-    b{r} AS (SELECT pair, cnt FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
-    wf{r} AS (SELECT word, trim({inner}) AS sym, freq FROM wf{p})""".format(
-                r=r, p=p, inner=inner
+    b{r} AS MATERIALIZED (SELECT pair, cnt FROM pc{r} WHERE TRUE{gates}
+             ORDER BY cnt DESC, pair ASC LIMIT 1),
+    wf{r} AS MATERIALIZED (SELECT word, trim({inner}) AS sym, freq FROM wf{p})""".format(
+                r=r, p=p, inner=inner, gates=gates
             )
         )
     if encode_ids:
@@ -1229,7 +1267,7 @@ def _bpe_oracle_sql(
             ).format(et=enc_text, n=n_merges, applied=_applied(oov_base))
             return (
                 """
-    WITH wf0 AS (
+    WITH wf0 AS MATERIALIZED (
       SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')){eow} AS sym,
              CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
@@ -1312,7 +1350,7 @@ def _bpe_oracle_sql(
         )
     return (
         """
-    WITH wf0 AS (
+    WITH wf0 AS MATERIALIZED (
       SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')){eow} AS sym,
              CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
@@ -1428,6 +1466,35 @@ def x5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.bpe_train's 100 TB cost model)."""
     docs = src.load_table(spark, sf_dir, "documents")
     return tx.bpe_train(docs, n_merges=3)
+
+
+@register("x5_bpe_min_count", _bpe_oracle_sql(6, min_pair_count=2000))
+def x5_bpe_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5k2 (r10): BPE training with the HF-trainer min_frequency floor —
+    training STOPS before learning a merge whose best pair occurs under
+    2000 times (on this corpus: the floor bites at round 6 at both gate
+    SFs, so exactly 5 merges are learned from a 6-round budget; sub-floor
+    merges memorize noise). Hash-checked against the unrolled oracle
+    whose argmax CTEs carry the cnt >= floor gate plus the EXISTS
+    cascade that makes it a BREAK, not a skip (text.bpe_train
+    min_pair_count)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, n_merges=6, min_pair_count=2000)
+
+
+@register("x5_bpe_target_vocab", _bpe_oracle_sql(5, target_vocab=28))
+def x5_bpe_target_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5k3 (r10): BPE training to a TARGET VOCABULARY SIZE — the way
+    real tokenizers are specified (|vocab| = 28 here): each merge adds
+    exactly one symbol, so the engine derives the round budget as
+    target - |alphabet| (24 on this corpus at both gate SFs -> 4 merges)
+    from one vocab-sized distinct count; n_merges is ignored. The oracle
+    unrolls MORE rounds (5) than the budget and derives the same
+    data-dependent cutoff via its a0 alphabet-count CTE — proving the
+    gate truncates, not the unroll depth (text.bpe_train
+    target_vocab)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, target_vocab=28)
 
 
 @register("x5_bpe_train_eow", _bpe_oracle_sql(3, eow="</w>"))

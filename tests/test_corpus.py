@@ -625,3 +625,72 @@ def test_bpe_udf_regime_encodes_each_distinct_oov_once(spark, monkeypatch):
         tuple(r) for r in tx.bpe_token_counts(held, vocab, merges=real).collect()
     )
     assert cnt == want_cnt
+
+
+def test_bpe_train_stop_rules(spark):
+    """r10 stop rules: target_vocab trains exactly |target| - |alphabet|
+    merges (each merge adds one symbol — the final vocabulary hits the
+    target exactly), min_pair_count BREAKS before a sub-floor merge, the
+    two compose (whichever binds first), and degenerate values (target
+    below the alphabet, floor above every count) train zero merges."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat the cats sat") for i in range(6)],
+        "doc_id long, text string",
+    )
+    alpha = (
+        tx.bpe_train(docs, n_merges=0, return_vocab=True)[1]
+        .select(F.explode(F.split("sym", " ")).alias("s"))
+        .distinct()
+        .count()
+    )
+    # plain n_merges baseline for comparison
+    base = [tuple(r) for r in tx.bpe_train(docs, n_merges=4).collect()]
+    assert len(base) == 4
+
+    # target_vocab = alphabet + 3 -> exactly 3 merges, the first 3 of base
+    # (the NOMINAL vocabulary — alphabet + one entry per merge — hits the
+    # target; the realized symbol table can be smaller when a merge
+    # consumes every occurrence of a base symbol, e.g. 't' after 'th')
+    m, vocab = tx.bpe_train(docs, target_vocab=alpha + 3, return_vocab=True)
+    got = [tuple(r) for r in m.collect()]
+    assert got == base[:3]
+    n_syms = (
+        vocab.select(F.explode(F.split("sym", " ")).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_syms <= alpha + 3
+
+    # min_pair_count: floor strictly between round counts -> break there
+    counts = [t[3] for t in base]
+    assert counts == sorted(counts, reverse=True) and counts[1] > counts[3]
+    # exact semantics: learned merges are precisely the prefix with
+    # cnt >= floor up to the first violation, for every candidate floor
+    for floor in sorted({c for c in counts}) + [counts[0] + 1]:
+        want_f = []
+        for t in base:
+            if t[3] < floor:
+                break
+            want_f.append(t)
+        got_f = [
+            tuple(r)
+            for r in tx.bpe_train(
+                docs, n_merges=4, min_pair_count=floor
+            ).collect()
+        ]
+        assert got_f == want_f, floor
+    floor = counts[2]
+
+    # composition: the earlier stop wins
+    both = [tuple(r) for r in tx.bpe_train(
+        docs, target_vocab=alpha + 1, min_pair_count=floor).collect()]
+    assert both == base[:1]
+
+    # degenerate: nothing to learn
+    assert tx.bpe_train(docs, target_vocab=alpha).count() == 0
+    assert tx.bpe_train(docs, target_vocab=5).count() == 0
+    assert tx.bpe_train(docs, n_merges=4, min_pair_count=counts[0] + 1).count() == 0
