@@ -59,10 +59,19 @@ DRIVER_WINDOW: list[str] = [
     # takedown, hash-checked against the survivor-excluding portable
     # oracle (and the X-2 row keeps two in-window verifiers).
     "x2_sig_takedown",
-    "x2_embedding_neardup",
+    # r10 rotation (the r8/r9 precedent), two swaps this round:
+    # x2_embedding_neardup -> x_takedown_e2e (the one-call takedown
+    # orchestrator — corpus DELETE -> commit-log CDC -> tombstone fan-out —
+    # hash-checked against the survivor-excluding oracle; SemDeDup stays
+    # registered + locally parity-checked, and the X-2 row keeps
+    # x2_sig_takedown in-window), and x4_feature_extract ->
+    # x9_clustered_skipping (the clustered-layout file-level data skip,
+    # hash-checked; feature-extract stays registered + parity-checked and
+    # X-4 keeps x4_multimodal_meta in-window).
+    "x_takedown_e2e",
     "x3_cosine_topk",
     "x4_multimodal_meta",
-    "x4_feature_extract",
+    "x9_clustered_skipping",
     "x5_text_profile",
     "x5_sentiment_language",
     "x6_exact_distinct_quantiles",

@@ -523,6 +523,7 @@ def read_merged(
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
     snapshot: str | None = None,
     range_filters: dict[str, tuple] | None = None,
+    null_filters: dict[str, str] | None = None,
 ):
     """Read the committed state of a merge gold table. ``buckets`` prunes the
     read to those buckets' committed dirs (manifest-level partition pruning —
@@ -546,6 +547,14 @@ def read_merged(
     stats min/max ignore them, so a pruned bucket cannot hide a kept
     row.
 
+    ``null_filters`` (r10 — VERDICT r9 item 6): ``{col: 'not_null'|'null'}``
+    predicates. The filter always applies row-level; in addition buckets
+    whose recorded null counts (merge_table ``stats_cols``) prove emptiness
+    are pruned — ``'not_null'`` skips all-null buckets (nulls == rows),
+    ``'null'`` skips null-free buckets (nulls == 0). Both proofs stay valid
+    across DELETEs (row removal can neither create nulls nor un-null a
+    value), so deletes keep the counts like the min/max bounds.
+
     Within every surviving bucket, versions written with merge_table
     ``cluster_by=col`` additionally prune at FILE granularity (r10):
     the manifest records each file's span of the cluster column (files
@@ -564,16 +573,33 @@ def read_merged(
         return None
     want = None if buckets is None else {str(b) for b in buckets}
     stats = manifest.get("stats") or {}
+    nullstats = manifest.get("nullstats") or {}
     filestats = manifest.get("filestats") or {}
+    if null_filters:
+        bad = {m for m in null_filters.values() if m not in ("not_null", "null")}
+        if bad:
+            raise ValueError(
+                f"null_filters values must be 'not_null' or 'null', got {bad}"
+            )
 
     def _skippable(b: str) -> bool:
         st = stats.get(b)
-        if not range_filters or st is None:
-            return False
-        return any(
+        if range_filters and st is not None and any(
             c in st and _range_disjoint(st[c], lo, hi)
             for c, (lo, hi) in range_filters.items()
-        )
+        ):
+            return True
+        ns = nullstats.get(b)
+        if null_filters and ns is not None:
+            for c, mode in null_filters.items():
+                if c not in ns.get("nulls", {}):
+                    continue
+                n = ns["nulls"][c]
+                if mode == "not_null" and n == ns.get("rows"):
+                    return True  # provably all-null for c
+                if mode == "null" and n == 0:
+                    return True  # provably null-free for c
+        return False
 
     def _bucket_paths(b: str, rel: str) -> list[str]:
         """The bucket's read paths: its version dir, or — when the version
@@ -608,18 +634,22 @@ def read_merged(
     ]
 
     def _ranged(df):
-        if not range_filters:
+        if not range_filters and not null_filters:
             return df
         cond = F.lit(True)
-        for c, (lo, hi) in range_filters.items():
+        for c, (lo, hi) in (range_filters or {}).items():
             if lo is not None:
                 cond = cond & (F.col(c) >= F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(c) <= F.lit(hi))
+        for c, mode in (null_filters or {}).items():
+            cond = cond & (
+                F.col(c).isNotNull() if mode == "not_null" else F.col(c).isNull()
+            )
         return df.filter(cond)
 
     if not paths:
-        if range_filters and "schema" in manifest and manifest["buckets"]:
+        if (range_filters or null_filters) and "schema" in manifest and manifest["buckets"]:
             # every bucket skipped: a well-typed EMPTY result, not None
             # (the table exists; the predicate just matches nothing)
             from pyspark.sql.types import StructType
@@ -1389,6 +1419,16 @@ def delete_from_merge_table(
                         manifest["stats"].pop(str(b), None)
                 if not manifest["stats"]:
                     del manifest["stats"]
+            # null/row counts stay valid prune evidence under row removal
+            # (a delete can neither create nulls nor un-null a value, and
+            # both prune rules — all-null, zero-null — are monotone that
+            # way), so keep them like the min/max bounds
+            if "nullstats" in manifest:
+                for b in touched:
+                    if str(b) not in manifest["buckets"]:
+                        manifest["nullstats"].pop(str(b), None)
+                if not manifest["nullstats"]:
+                    del manifest["nullstats"]
             # per-FILE cluster stats are version-specific (they name the
             # version's files), so the delete's rewrite MUST drop them for
             # every touched bucket — the new version has new file names;
@@ -1847,12 +1887,18 @@ def _merge_locked(
     # state, like params — snapshots/rollback keep stats consistent with
     # the buckets they describe). Only JSON-safe scalar types record.
     stats_update: dict[str, dict] | None = None
+    nullstats_update: dict[str, dict] | None = None
     if stats_cols:
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stats_cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
-        stats_update = {}
+            # null counts (r10 — VERDICT r9 item 6): power IS [NOT] NULL
+            # pruning (read_merged null_filters); approx ndv rides the
+            # same aggregate as a join-size hint (merge_table_stats)
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nu_{c}"))
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+        stats_update, nullstats_update = {}, {}
         for r in merged.groupBy("__bucket").agg(*aggs).collect():
             d = {}
             for c in stats_cols:
@@ -1862,7 +1908,13 @@ def _merge_locked(
                 ent = _enc_bounds(r[f"__mn_{c}"], r[f"__mx_{c}"])
                 if ent is not None:
                     d[c] = ent
-            stats_update[str(r["__bucket"])] = d
+            b = str(r["__bucket"])
+            stats_update[b] = d
+            nullstats_update[b] = {
+                "rows": int(r["__rows"]),
+                "nulls": {c: int(r[f"__nu_{c}"]) for c in stats_cols},
+                "ndv": {c: int(r[f"__nd_{c}"]) for c in stats_cols},
+            }
 
     # per-FILE cluster stats (r10): the staged versions were range-laid-out
     # by _stage_bucket_versions, so one input_file_name pass over exactly
@@ -1873,6 +1925,7 @@ def _merge_locked(
 
     def _apply_stats(man: dict) -> None:
         stats = dict(man.get("stats") or {})
+        nstats = dict(man.get("nullstats") or {})
         fstats = dict(man.get("filestats") or {})
         for b in new_rels:
             if stats_update is not None and b in stats_update:
@@ -1883,6 +1936,10 @@ def _merge_locked(
                 # no longer cover the bucket (pruning on them could hide
                 # rows)
                 stats.pop(b, None)
+            if nullstats_update is not None and b in nullstats_update:
+                nstats[b] = nullstats_update[b]
+            else:
+                nstats.pop(b, None)
             if filestats_update is not None and b in filestats_update:
                 fstats[b] = filestats_update[b]
             else:
@@ -1896,6 +1953,10 @@ def _merge_locked(
             man["stats"] = stats
         else:
             man.pop("stats", None)
+        if nstats:
+            man["nullstats"] = nstats
+        else:
+            man.pop("nullstats", None)
         if fstats:
             man["filestats"] = fstats
         else:

