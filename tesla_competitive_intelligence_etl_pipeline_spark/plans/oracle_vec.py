@@ -961,3 +961,163 @@ fin AS (
 SELECT query_id, vec_id, cos_sim FROM fin WHERE rn <= {topk}"""
     )
     return "".join(parts)
+
+
+# ===========================================================================
+# Fixture-backed oracles for the xxhash64 production family (r10 — VERDICT
+# r9 item 4). The engine persists its hash OUTPUTS (plans/fixtures.py);
+# these builders re-derive everything downstream — band grouping, bucket
+# cap, candidate joins, exact Jaccard, hamming, removal policy, transitive
+# closure — in SQL from those values. Only the xxhash64 call itself stays
+# engine-side. Every fixture read filters corpus_n to the connection's own
+# documents count, so one fixture root serves every SF.
+# ===========================================================================
+
+_FX_GATE = "corpus_n = (SELECT COUNT(*) FROM documents)"
+
+
+def _fx(group: str, table: str) -> str:
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans.fixtures import FIXTURE_ROOT
+
+    return f"read_parquet('{FIXTURE_ROOT}/{group}/{table}/*/*.parquet')"
+
+
+def _minhash_fixture_ctes(max_bucket_size: int) -> str:
+    """sh/bb fixture reads -> capped band buckets -> candidate pairs ->
+    exact-Jaccard verdicts (dedup.minhash_lsh_pairs' tail, from the
+    engine's own signatures). All MATERIALIZED: pairs feeds multiple
+    consumers in the canonical/cluster builders."""
+    return f"""
+    sh AS MATERIALIZED (
+      SELECT doc_id, sh FROM {_fx('minhash', 'sh')} WHERE {_FX_GATE}),
+    bb AS MATERIALIZED (
+      SELECT doc_id, band, bucket FROM {_fx('minhash', 'bb')} WHERE {_FX_GATE}),
+    keep AS (SELECT band, bucket FROM bb
+             GROUP BY band, bucket HAVING COUNT(*) <= {max_bucket_size}),
+    bk AS MATERIALIZED (
+      SELECT bb.doc_id, bb.band, bb.bucket FROM bb JOIN keep USING (band, bucket)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bk l JOIN bk r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    pairs AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   CAST(len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+               AS jaccard
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b)"""
+
+
+def minhash_fixture_pairs_sql(
+    threshold: float = 0.5, max_bucket_size: int = 256
+) -> str:
+    """Oracle for x2_minhash_lsh: verified near-dup pairs from the engine's
+    persisted xxhash64 signatures and band buckets."""
+    return f"""
+    WITH {_minhash_fixture_ctes(max_bucket_size)}
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}"""
+
+
+def minhash_fixture_canonical_sql(
+    threshold: float = 0.5, max_bucket_size: int = 256
+) -> str:
+    """Oracle for x2_near_dedup_canonical: drop every doc that is anybody's
+    HIGHER-id near-dup partner (doc_b of a verified pair); survivors keep
+    (doc_id, lang, source)."""
+    return f"""
+    WITH {_minhash_fixture_ctes(max_bucket_size)}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= {threshold})"""
+
+
+def minhash_fixture_cluster_sql(
+    threshold: float = 0.5, max_bucket_size: int = 256
+) -> str:
+    """Oracle for x2_cluster_dedup: transitive closure (recursive
+    reachability CTE over the symmetrized verified-pair graph; min
+    reachable id labels the cluster, singletons label themselves) —
+    exactly dedup.connected_components' min-label fixpoint, over the
+    ENGINE's pair graph instead of the portable twin's."""
+    return f"""
+    WITH RECURSIVE {_minhash_fixture_ctes(max_bucket_size)},
+    vp AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {threshold}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vp
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM vp
+    ),
+    reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.r), d.doc_id)) AS cluster_id
+    FROM documents d
+    LEFT JOIN reach r ON r.id = d.doc_id
+    GROUP BY d.doc_id"""
+
+
+def simhash_fixture_sql(max_hamming: int = 8) -> str:
+    """Oracle for x2_simhash: candidates from the engine's persisted 16-bit
+    band chunks (recall above hamming 3 depends on the exact chunk values,
+    so they are fixture data, not re-derived), hamming verified via
+    bit_count(xor) over the persisted 64-bit signatures."""
+    return f"""
+    WITH sg AS MATERIALIZED (
+      SELECT doc_id, sig FROM {_fx('simhash', 'sig')} WHERE {_FX_GATE}),
+    bb AS MATERIALIZED (
+      SELECT doc_id, band, chunk FROM {_fx('simhash', 'bb')} WHERE {_FX_GATE}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bb l JOIN bb r
+        ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+      FROM cand c
+      JOIN sg x ON x.doc_id = c.doc_a
+      JOIN sg y ON y.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {max_hamming}"""
+
+
+def cross_corpus_fixture_sql(
+    threshold: float = 0.5, max_bucket_size: int = 256
+) -> str:
+    """Oracle for x2_cross_corpus_lsh AND x2_cross_corpus_indexed (pinned
+    equal in tests; the stored signature table holds byte-identical values,
+    so one fixture serves both): cross-side-only candidates from the
+    engine's band buckets — the cap judged on the COMBINED bucket
+    population, mirroring the tagged-union operator — verified with exact
+    Jaccard over the engine's hashed shingle sets."""
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT side, doc_id, sh FROM {_fx('crosslsh', 'sh')} WHERE {_FX_GATE}),
+    bb AS MATERIALIZED (
+      SELECT side, doc_id, band, bucket FROM {_fx('crosslsh', 'bb')}
+      WHERE {_FX_GATE}),
+    keep AS (SELECT band, bucket FROM bb
+             GROUP BY band, bucket HAVING COUNT(*) <= {max_bucket_size}),
+    bk AS MATERIALIZED (
+      SELECT bb.side, bb.doc_id, bb.band, bb.bucket
+      FROM bb JOIN keep USING (band, bucket)),
+    cand AS (
+      SELECT DISTINCT n.doc_id, o.doc_id AS match_id
+      FROM bk n JOIN bk o
+        ON n.band = o.band AND n.bucket = o.bucket
+       AND n.side = 1 AND o.side = 0),
+    pairs AS (
+      SELECT c.doc_id, c.match_id,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   CAST(len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+               AS jaccard
+      FROM cand c
+      JOIN s a ON a.side = 1 AND a.doc_id = c.doc_id
+      JOIN s b ON b.side = 0 AND b.doc_id = c.match_id)
+    SELECT doc_id, match_id, jaccard FROM pairs WHERE jaccard >= {threshold}"""

@@ -31,6 +31,7 @@ from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import joins as J
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
 from tesla_competitive_intelligence_etl_pipeline_spark.operators import topk
+from tesla_competitive_intelligence_etl_pipeline_spark.plans import oracle_vec as _oracle_vec
 from tesla_competitive_intelligence_etl_pipeline_spark.plans import pipeline
 from tesla_competitive_intelligence_etl_pipeline_spark.plans import registry_fns as rf
 from tesla_competitive_intelligence_etl_pipeline_spark.plans.registry import _dsum, register
@@ -1290,12 +1291,22 @@ REGISTRY["x9_stream_state_merge"] = (
 # ===========================================================================
 
 
-@register("x2_cluster_dedup", None)  # LSH-based graph -> rows-only
+@register(
+    "x2_cluster_dedup",
+    _oracle_vec.minhash_fixture_cluster_sql(0.5, 256),
+)
 def x2_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2f: transitive near-dup clusters — connected components (iterative
     min-label propagation, lineage truncated per round) over the MinHash-LSH
     pair graph; one row per doc with its cluster representative (smallest
-    id). Recall on a 3-doc transitive chain is pinned in tests/test_ext.py."""
+    id). Recall on a 3-doc transitive chain is pinned in tests/test_ext.py.
+    Hash-checked since r10 (previously rows-only): the oracle closes the
+    ENGINE's own pair graph — re-derived in SQL from the persisted xxhash64
+    minhash fixture (plans/fixtures.py) — with a recursive reachability
+    CTE, the same min-label fixpoint (VERDICT r9 item 4)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_minhash_fixture(spark, sf_dir)
     docs = src.load_table(spark, sf_dir, "documents")
     clusters = dd.near_dup_clusters(docs, threshold=0.5, max_bucket_size=256)
     return clusters.select("doc_id", "cluster_id")

@@ -74,12 +74,19 @@ def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(recrawl)
 
 
-@register("x2_minhash_lsh", None)  # approximate -> rows-only; recall tested in tests/test_ext.py
+@register("x2_minhash_lsh", oracle_vec.minhash_fixture_pairs_sql(0.5, 256))
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2: MinHash(32 hashes) + LSH(8 bands) candidate generation with exact
     Jaccard verification at 0.5 on word-3-gram shingles. The 256 bucket cap
     is ENGINE POLICY set here, not an operator default (ADVICE r3) — what it
-    would drop is measurable via dd.lsh_oversized_buckets."""
+    would drop is measurable via dd.lsh_oversized_buckets. Hash-checked
+    since r10 (previously rows-only): the engine persists its xxhash64
+    signatures + band buckets as a fixture (plans/fixtures.py) and the
+    oracle re-derives capping/candidates/Jaccard in SQL from them — only
+    the hash call stays engine-side (VERDICT r9 item 4)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_minhash_fixture(spark, sf_dir)
     docs = src.load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=256)
 
@@ -189,10 +196,18 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, threshold=0.8, n=1, max_token_df=_NGRAM_DF_CAP)
 
 
-@register("x2_near_dedup_canonical", None)  # LSH-based -> rows-only
+@register(
+    "x2_near_dedup_canonical", oracle_vec.minhash_fixture_canonical_sql(0.5, 256)
+)
 def x2_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2e: near-duplicate REMOVAL — documents surviving the drop-if-a-
-    smaller-id-near-dup-exists policy (the practical pre-training dedup)."""
+    smaller-id-near-dup-exists policy (the practical pre-training dedup).
+    Hash-checked since r10 via the minhash fixture (VERDICT r9 item 4):
+    the oracle re-derives the verified pair set from the engine's
+    persisted signatures and applies the same removal policy in SQL."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_minhash_fixture(spark, sf_dir)
     docs = src.load_table(spark, sf_dir, "documents")
     return dd.near_dedup_canonical(
         docs, threshold=0.5, max_bucket_size=256
@@ -268,14 +283,20 @@ def _ensure_sig_table(spark: SparkSession, sf_dir: str) -> str:
     return _SIG_TABLE[sf_dir]
 
 
-@register("x2_cross_corpus_indexed", None)  # MinHash-LSH based -> rows-only
+@register("x2_cross_corpus_indexed", oracle_vec.cross_corpus_fixture_sql(0.5, 256))
 def x2_cross_corpus_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2g steady state: the same incoming crawl deduped against the
     MATERIALIZED signature table (_ensure_sig_table, built once per
     session/sf_dir — the ingest-time cost, like the IVF/PQ indexes). The
     timed query shingles ONLY the increment and band-joins it against stored
     signatures; the existing corpus's text is never re-read. Must return
-    exactly what x2_cross_corpus_lsh returns (pinned in tests/test_ext.py)."""
+    exactly what x2_cross_corpus_lsh returns (pinned in tests/test_ext.py).
+    Hash-checked since r10 against the SAME crosslsh-fixture oracle as the
+    unindexed twin — the stored table holds byte-identical (sh, sig) values
+    (deterministic expressions), so indexed == unindexed == oracle."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_crosslsh_fixture(spark, sf_dir)
     sig_path = _ensure_sig_table(spark, sf_dir)
     docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     new = docs.filter(F.col("doc_id") < 50).select(
@@ -510,13 +531,19 @@ def x_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x2_cross_corpus_lsh", None)  # MinHash-LSH based -> rows-only
+@register("x2_cross_corpus_lsh", oracle_vec.cross_corpus_fixture_sql(0.5, 256))
 def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2g at scale: the same cross-corpus dedup through MinHash-LSH
     (dd.cross_corpus_neardup) — tagged union, band join filtered to
     cross-side pairs only, exact-Jaccard verify on candidates. Planted
-    cross-corpus dups pinned in tests/test_ext.py; the exact twin above is
-    the oracle-backed entry."""
+    cross-corpus dups pinned in tests/test_ext.py. Hash-checked since r10
+    (previously rows-only) via the crosslsh fixture: the oracle re-derives
+    the combined-population cap, the cross-side-only candidate join, and
+    exact Jaccard from the engine's persisted xxhash64 values (VERDICT r9
+    item 4)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_crosslsh_fixture(spark, sf_dir)
     docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     old = docs.filter(F.col("doc_id") < 100)
     new = docs.filter(F.col("doc_id") < 50).select(
@@ -548,9 +575,17 @@ def x2_cross_corpus_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cross_corpus_neardup_portable(new, old, threshold=0.5)
 
 
-@register("x2_simhash", None)  # signature bits depend on xxhash64 -> rows-only
+@register("x2_simhash", oracle_vec.simhash_fixture_sql(max_hamming=8))
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-2c: SimHash(64-bit) near-dup pairs, hamming <= 8, band-pruned."""
+    """X-2c: SimHash(64-bit) near-dup pairs, hamming <= 8, band-pruned.
+    Hash-checked since r10 (previously rows-only): the engine persists its
+    xxhash64-derived signatures AND 16-bit band chunks (candidate recall
+    above hamming 3 depends on the exact chunk values) as a fixture; the
+    oracle re-derives candidates and bit_count(xor) hamming in SQL from
+    them (VERDICT r9 item 4)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_simhash_fixture(spark, sf_dir)
     docs = src.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dd.simhash_pairs(docs, max_hamming=8)
 
