@@ -71,7 +71,11 @@ DRIVER_WINDOW: list[str] = [
     "x_takedown_e2e",
     "x3_cosine_topk",
     "x4_multimodal_meta",
-    "x9_clustered_skipping",
+    # r10 third swap: x9_clustered_skipping -> x9_zorder_skipping (the
+    # multi-column Z-order file skip subsumes the 1-D read shape — same
+    # machinery plus per-column bounds; the 1-D entry stays registered +
+    # locally parity-checked at both SFs).
+    "x9_zorder_skipping",
     "x5_text_profile",
     "x5_sentiment_language",
     "x6_exact_distinct_quantiles",

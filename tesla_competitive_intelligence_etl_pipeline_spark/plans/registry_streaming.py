@@ -788,3 +788,77 @@ def x9_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strm.read_merged(
         spark, target, range_filters={"last_value": (25.0, 45.0)}
     ).select("user_id", "last_event_type", "last_value", "event_id")
+
+
+# ===========================================================================
+# X-9m (r10): Z-ORDER (multi-column cluster_by) -> file skipping on EITHER
+# of two independent columns. 1-D clustering (x9_clustered_skipping) buys
+# pruning on exactly one column; the canonical events read filters BOTH a
+# score band and an event-time window, and a 1-D value layout gives the
+# time dimension nothing. cluster_by=["last_value", "ts"] bit-interleaves
+# per-column range-bin ids (Delta OPTIMIZE ZORDER's shape) so each file's
+# span is narrow in BOTH dimensions and the conjunctive filter prunes
+# multiplicatively.
+# ===========================================================================
+
+_ZORDER_GOLD: dict[str, str] = {}
+
+
+def _ensure_zorder_gold(spark: SparkSession, sf_dir: str) -> str:
+    """The FULL events fact as a merge table keyed by event_id, Z-ordered
+    on ``['value', 'ts']`` — both columns hash-scatter across event_id
+    buckets (bucket min/max prunes nothing on either), so only the z-tiled
+    file layout earns the skip. Keying by event_id (not user_id) keeps
+    every event: the canonical fact-table shape whose reads filter a score
+    band AND a time window together. Offline ingest (warmed by bench.py);
+    the timed entry is the read."""
+    if sf_dir not in _ZORDER_GOLD:
+        import tempfile
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+
+        ev = io_mod.load_events(spark, sf_dir)
+        target = tempfile.mkdtemp(prefix="zorder_gold_") + "/gold"
+        strm.merge_table(
+            ev.select("event_id", "user_id", "event_type", "value", "ts"),
+            target,
+            keys=["event_id"],
+            order_cols=["ts"],
+            n_buckets=8,
+            stats_cols=["value", "ts"],
+            cluster_by=["value", "ts"],
+            cluster_files=4,
+        )
+        _ZORDER_GOLD[sf_dir] = target
+    return _ZORDER_GOLD[sf_dir]
+
+
+@register(
+    "x9_zorder_skipping",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value >= 20.0 AND value <= 120.0
+      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-18 00:00:00'
+    """,
+)
+def x9_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9m (r10): conjunctive 2-D range read (score band x event-time
+    window) over the Z-ORDERED events fact — read_merged prunes files
+    whose recorded span misses EITHER dimension, the multiplicative skip a
+    1-D layout cannot give (its second column's per-file span converges to
+    the full range). The same predicate still applies row-level, so
+    correctness never depends on the layout. Hash-checked against the
+    plain 2-D-range oracle; the both-dimensions file skip is pinned in
+    tests/test_plans.py::test_zorder_skipping_prunes_on_both_dims."""
+    import datetime as _dt
+
+    target = _ensure_zorder_gold(spark, sf_dir)
+    return strm.read_merged(
+        spark, target,
+        range_filters={
+            "value": (20.0, 120.0),
+            "ts": (_dt.datetime(2024, 1, 8), _dt.datetime(2024, 1, 18)),
+        },
+    ).select("event_id", "user_id", "event_type", "value")

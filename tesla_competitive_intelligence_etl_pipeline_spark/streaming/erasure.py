@@ -334,7 +334,13 @@ def erase_everywhere(
                     )
                     updated.append(tag)
             # ---- vacuum: superseded + rewritten-away versions -------------
-            strm.vacuum_merge_table(target, fs=fs, lease_owner=owner)
+            # staged_grace_sec=0: the erasure DEADLINE wants the erased
+            # rows' superseded versions off disk NOW, and this vacuum runs
+            # under the table's writer lease (owner above) so no commit can
+            # be mid-flight to protect
+            strm.vacuum_merge_table(
+                target, fs=fs, lease_owner=owner, staged_grace_sec=0.0
+            )
             # ---- commit-log scrub -----------------------------------------
             scrubbed: list[str] = []
             if scrub_changes:

@@ -193,6 +193,66 @@ def _load_manifest(target: str, fs: merge_fs.MergeFS = merge_fs.LOCAL_FS) -> dic
     return m
 
 
+def _load_manifest_cas(
+    target: str, fs: merge_fs.MergeFS
+) -> tuple[dict | None, str | None]:
+    """_load_manifest plus the CAS generation it was read at: on a store
+    with the CAS capability returns (manifest, etag) so the caller's
+    commit can be CONDITIONAL on that generation; elsewhere (or when the
+    table does not exist yet) the etag is None and the caller falls back
+    to put_atomic / put_if_absent. Shared by every manifest WRITER (r10 —
+    ADVICE r9: merge was the only conditional committer; delete/rollback/
+    rebucket/adopt/vacuum put unconditionally and could lose a racing
+    commit on lease-free deployments)."""
+    import json
+
+    if getattr(fs, "supports_cas", False):
+        try:
+            raw, etag = fs.read_with_etag(_manifest_path(target))
+        except FileNotFoundError:
+            return None, None
+        m = json.loads(raw.decode())
+        if "buckets" not in m or not isinstance(m["buckets"], dict):
+            raise ValueError(
+                f"corrupt merge manifest at {_manifest_path(target)}: {m!r}"
+            )
+        return m, etag
+    return _load_manifest(target, fs), None
+
+
+def _put_manifest_conditional(
+    target: str, fs: merge_fs.MergeFS, manifest: dict, etag: str | None, op: str
+) -> None:
+    """THE commit point for the non-merge manifest writers: one atomic
+    manifest put, CONDITIONAL on the generation the caller read
+    (_load_manifest_cas) where the store supports CAS. A failed
+    precondition means another writer raced past the lease and committed
+    since our read; unlike merge_table there is no rebase here — a
+    delete/rollback/rebucket/params-adopt computed against a superseded
+    state is simply re-run — so the loser raises having committed NOTHING
+    (its staged versions, if any, are invisible debris vacuum reclaims)."""
+    import json
+
+    data = json.dumps(manifest).encode()
+    if getattr(fs, "supports_cas", False):
+        committed = (
+            fs.put_if_absent(_manifest_path(target), data)
+            if etag is None
+            else fs.put_if_match(_manifest_path(target), data, etag)
+        )
+        if not committed:
+            raise merge_fs.ConcurrentWriterError(
+                f"manifest at {target} changed between this {op}'s read "
+                "and its commit — another writer raced past the lease "
+                "(expired TTL or lease-free deployment) and committed "
+                f"first. This {op} committed NOTHING (staged work, if "
+                "any, is invisible debris the next vacuum reclaims) — "
+                "re-run it against the new state."
+            )
+    else:
+        fs.put_atomic(_manifest_path(target), data)
+
+
 _SNAPSHOT_DIR = "_snapshots"
 
 
@@ -415,8 +475,11 @@ def rollback_merge_table(
     try:
         snap = _load_snapshot(target, tag, fs)
         manifest = dict(snap)
+        # CAS (r10 — ADVICE r9): the restore is conditional on the head it
+        # diffed against; a commit landing in between would make both the
+        # captured rollback delta and the restored state stale
+        current, manifest_etag = _load_manifest_cas(target, fs)
         if spark is not None:
-            current = _load_manifest(target, fs)
             if current is not None and (current.get("commit") or {}).get("id"):
                 params = snap.get("params") or current.get("params")
                 keys = params["keys"] if params else ["user_id"]
@@ -429,7 +492,7 @@ def rollback_merge_table(
                     target, commit_id, parent, changes, fs, kind="rollback"
                 )
                 manifest["commit"] = {"id": commit_id, "parent": parent}
-        fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
+        _put_manifest_conditional(target, fs, manifest, manifest_etag, "rollback")
         return manifest
     finally:
         merge_fs.release_writer_lease(fs, target, token)
@@ -612,12 +675,25 @@ def read_merged(
         but cheap insurance against a manual manifest edit) falls back to
         the whole dir."""
         fst = filestats.get(b)
-        if (
-            not range_filters
-            or fst is None
-            or fst.get("rel") != rel
-            or fst.get("col") not in range_filters
-        ):
+        if not range_filters or fst is None or fst.get("rel") != rel:
+            return [os.path.join(target, rel)]
+        if "cols" in fst:  # Z-order layout: bounds entry PER cluster column
+            active = [
+                (j, *range_filters[c])
+                for j, c in enumerate(fst["cols"])
+                if c in range_filters
+            ]
+            if not active:
+                return [os.path.join(target, rel)]
+            return [
+                os.path.join(target, rel, f[0])
+                for f in fst["files"]
+                if not any(
+                    f[1 + j] is not None and _range_disjoint(f[1 + j], lo, hi)
+                    for j, lo, hi in active
+                )
+            ]
+        if fst.get("col") not in range_filters:
             return [os.path.join(target, rel)]
         lo, hi = range_filters[fst["col"]]
         return [
@@ -1040,6 +1116,7 @@ def vacuum_merge_table(
     lease_owner: str | None = None,
     lease_ttl_sec: float = 3600.0,
     changes_keep: int | None = None,
+    staged_grace_sec: float = 3600.0,
 ) -> list[str]:
     """Garbage-collect a merge gold table: remove everything neither the
     committed manifest NOR any retained snapshot references — leftover
@@ -1064,24 +1141,78 @@ def vacuum_merge_table(
     stranded off-chain by a rollback) — the blunt time-window retention
     every changelog carries (Delta logRetentionDuration): consumers must
     read their range before it ages out; a walk into a dropped range
-    fails loudly and falls back to read_changes."""
+    fails loudly and falls back to read_changes.
+
+    Staged-version protection (r10 — ADVICE r9): an unreferenced version
+    may be a LIVE commit's phase-1 staging whose manifest put has not
+    landed yet — a writer that raced past the lease (expired TTL,
+    lease-free deployment). Reclaiming it would let that commit's manifest
+    point at deleted files. Two complementary guards:
+
+    - ``staged_grace_sec``: unreferenced store versions and ``.staging``
+      trees YOUNGER than the grace are spared (Delta's
+      deletedFileRetentionDuration shape) — a live commit finishes well
+      inside an hour; genuinely orphaned debris ages past it and the next
+      vacuum takes it. Pass 0 only when no writer can be in flight (e.g.
+      under the table lease in a single-writer deployment — erasure does).
+    - On a CAS store, vacuum lands a conditional ``gc_epoch`` bump in the
+      manifest BEFORE reclaiming: any commit that read the pre-bump
+      generation then fails its conditional put, and the merge's rebase
+      path re-verifies its staged versions still exist — raising loudly if
+      this vacuum reclaimed them — so the winning manifest can never name
+      files vacuum deleted, even at ``staged_grace_sec=0``."""
     import json
     import os
+    import time as _time
 
     token = merge_fs.acquire_writer_lease(
         fs, target, owner=lease_owner, ttl_sec=lease_ttl_sec
     )
     try:
-        manifest = _load_manifest(target, fs)
+        manifest, etag = _load_manifest_cas(target, fs)
         if manifest is None:
             return []
+        if getattr(fs, "supports_cas", False):
+            for _ in range(5):
+                bumped = dict(manifest)
+                bumped["gc_epoch"] = int(manifest.get("gc_epoch", 0)) + 1
+                if fs.put_if_match(
+                    _manifest_path(target), json.dumps(bumped).encode(), etag
+                ):
+                    manifest = bumped
+                    break
+                # a commit landed between our read and the bump — re-read
+                # so the retained set below includes ITS versions, and so
+                # the bump preconditions on the new generation
+                manifest, etag = _load_manifest_cas(target, fs)
+                if manifest is None:
+                    return []
+            else:
+                raise merge_fs.ConcurrentWriterError(
+                    f"vacuum at {target} could not land its gc_epoch bump "
+                    "after 5 attempts — writers are committing "
+                    "continuously past the lease; re-run vacuum later"
+                )
         removed: list[str] = []
+        now = _time.time()
+
+        def _in_grace(path: str) -> bool:
+            try:
+                return now - fs.mtime(path) < staged_grace_sec
+            except FileNotFoundError:
+                return True  # vanished concurrently — nothing to reclaim
+
         staging = os.path.join(target, ".staging")
         if fs.isdir(staging):
-            fs.rmtree(staging)
-            removed.append(staging)
+            for d in fs.listdir(staging):
+                sub = os.path.join(staging, d)
+                if not _in_grace(sub):
+                    fs.rmtree(sub)
+                    removed.append(sub)
+            if not fs.listdir(staging):
+                fs.rmtree(staging)
         for rel, is_ref in _store_versions(target, fs, _retained_rels(target, fs)):
-            if not is_ref:
+            if not is_ref and not _in_grace(os.path.join(target, rel)):
                 fs.rmtree(os.path.join(target, rel))
                 removed.append(os.path.join(target, rel))
         if changes_keep is not None:
@@ -1265,7 +1396,7 @@ def adopt_table_params(
             "n_buckets": int(n_buckets)}
     token = merge_fs.acquire_writer_lease(fs, target, owner=lease_owner)
     try:
-        manifest = _load_manifest(target, fs)
+        manifest, manifest_etag = _load_manifest_cas(target, fs)
         if manifest is None:
             raise ValueError(f"no committed state at {target}")
         have = manifest.get("params")
@@ -1297,7 +1428,9 @@ def adopt_table_params(
                 f"for the table at {target}"
             )
         manifest["params"] = want
-        fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
+        _put_manifest_conditional(
+            target, fs, manifest, manifest_etag, "params adoption"
+        )
         return manifest
     finally:
         merge_fs.release_writer_lease(fs, target, token)
@@ -1345,7 +1478,7 @@ def delete_from_merge_table(
     )
     try:
         with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
-            manifest = _load_manifest(target, fs)
+            manifest, manifest_etag = _load_manifest_cas(target, fs)
             if manifest is None:
                 return 0
             params = manifest.get("params")
@@ -1438,8 +1571,10 @@ def delete_from_merge_table(
                     manifest["filestats"].pop(str(b), None)
                 if not manifest["filestats"]:
                     del manifest["filestats"]
-            # THE commit point
-            fs.put_atomic(_manifest_path(target), json.dumps(manifest).encode())
+            # THE commit point — conditional on the generation read above
+            # (r10): a merge/vacuum racing past the lease fails THIS delete
+            # loudly instead of losing one side's update
+            _put_manifest_conditional(target, fs, manifest, manifest_etag, "delete")
             pinned = _pinned_rels(target, fs)
             for b, rel in old_rels.items():
                 if rel and rel != new_rels.get(b) and os.path.normpath(rel) not in pinned:
@@ -1463,7 +1598,7 @@ def merge_table(
     lease_ttl_sec: float = 3600.0,
     capture_changes: bool = True,
     stats_cols: list[str] | None = None,
-    cluster_by: str | None = None,
+    cluster_by=None,
     cluster_files: int = 4,
 ) -> None:
     """MERGE one (micro-)batch of ANY schema into the bucket-versioned gold
@@ -1533,7 +1668,13 @@ def merge_table(
     ``range_filters`` entry on ``col`` then prunes FILES inside every
     bucket — the Delta OPTIMIZE ZORDER / liquid-clustering shape, giving
     ~1/``cluster_files`` read I/O on selective ranges regardless of key
-    correlation. Like ``stats_cols`` it is per-commit: a merge that
+    correlation. A LIST of columns Z-ORDERS (r10): per-column range-bin
+    ids (sampling range partitioner — skew-adaptive, any orderable type)
+    bit-interleave into one z-value and files tile the multi-dim space,
+    so a ``range_filters`` entry on ANY of the listed columns prunes
+    files (each column's per-file span ≈ range/files^(1/dims) — the
+    multi-dim trade every Z-order makes). Like ``stats_cols`` it is
+    per-commit: a merge that
     omits it drops its touched buckets' file stats (they name the old
     version's files), and a DELETE rewrite or rebucket drops them too —
     correctness never depends on them; pass it consistently to keep the
@@ -1627,7 +1768,7 @@ def _nullable_schema_json(schema) -> dict:
 
 def _stage_bucket_versions(
     df, target: str, buckets: list[int], fs,
-    cluster_by: str | None = None, cluster_files: int = 4,
+    cluster_by=None, cluster_files: int = 4,
 ) -> tuple[dict, str]:
     """Phase-1 of the commit protocol: write ``df`` (carrying __bucket) to a
     dot-prefixed staging dir, one sub-dir per bucket, and move each present
@@ -1641,19 +1782,64 @@ def _stage_bucket_versions(
     row-group stats compound the win). This is what makes per-FILE stats
     prune on a column that does NOT correlate with the key hash — the
     bucket's min/max spans everything, but each file's span is 1/Nth of
-    it (Delta OPTIMIZE ZORDER's 1-D case / liquid clustering's shape)."""
+    it (Delta OPTIMIZE ZORDER's 1-D case / liquid clustering's shape).
+
+    A LIST of columns Z-ORDERS (r10, multi-dim): each column gets a
+    range-bin id from the sampling range partitioner
+    (``repartitionByRange`` + ``spark_partition_id`` — monotone in the
+    column, skew-adaptive, any orderable type; exactly Delta OPTIMIZE
+    ZORDER's range_partition_id), the per-column bits interleave into one
+    z-value, and files tile on (__bucket, z) — so EVERY cluster column's
+    per-file span is ~1/(files^(1/dims)) of its range and a filter on ANY
+    of them prunes files. Costs one extra row-shuffle per extra column on
+    the TOUCHED rows only (the bin-id passes), same O(batch) class as the
+    merge itself."""
     import os
 
     version = uuid.uuid4().hex[:12]
     staging = os.path.join(target, ".staging", version)
-    if cluster_by is not None:
+    cols = (
+        None if cluster_by is None
+        else [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    )
+    if cols is not None and len(cols) == 1:
         # one range shuffle replaces the write's default partitioning —
         # same single-shuffle cost class, but the files it produces are
         # range-disjoint in the cluster column instead of arbitrary
         df = df.repartitionByRange(
             max(len(buckets) * int(cluster_files), 1),
-            F.col("__bucket"), F.col(cluster_by),
-        ).sortWithinPartitions("__bucket", cluster_by)
+            F.col("__bucket"), F.col(cols[0]),
+        ).sortWithinPartitions("__bucket", cols[0])
+    elif cols is not None:
+        nbits = 4  # 16 range-bins per dimension
+        zb = [f"__zb_{j}" for j in range(len(cols))]
+        for j, c in enumerate(cols):
+            # spark_partition_id AFTER a range repartition IS the range-bin
+            # id: non-deterministic, so Catalyst pins its evaluation
+            # between this exchange and the next (verified monotone +
+            # independent in tests). AQE may coalesce adjacent ranges —
+            # ids stay monotone in the column, bins just get coarser.
+            df = df.repartitionByRange(1 << nbits, F.col(c)).withColumn(
+                zb[j], F.spark_partition_id()
+            )
+        z = F.lit(0)
+        for i in range(nbits):
+            for j in range(len(cols)):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(F.col(zb[j]), i).bitwiseAND(F.lit(1)),
+                        i * len(cols) + j,
+                    )
+                )
+        df = (
+            df.withColumn("__zval", z)
+            .repartitionByRange(
+                max(len(buckets) * int(cluster_files), 1),
+                F.col("__bucket"), F.col("__zval"),
+            )
+            .sortWithinPartitions("__bucket", "__zval")
+            .drop("__zval", *zb)
+        )
     # __bucket stays a DATA column in the files; __bucket_p only routes the
     # write into one dir per bucket for the per-bucket moves below
     df.withColumn("__bucket_p", F.col("__bucket")).write.partitionBy(
@@ -1707,7 +1893,7 @@ def rebucket_merge_table(
     )
     try:
         with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
-            manifest = _load_manifest(target, fs)
+            manifest, manifest_etag = _load_manifest_cas(target, fs)
             if manifest is None:
                 raise ValueError(f"no committed state to rebucket at {target}")
             params = manifest.get("params")
@@ -1742,9 +1928,11 @@ def rebucket_merge_table(
                 "schema": _nullable_schema_json(df.schema),
                 "commit": {"id": commit_id, "parent": parent},
             }
-            # THE commit point — readers flip to the new bucketing atomically
-            fs.put_atomic(
-                _manifest_path(target), json.dumps(new_manifest).encode()
+            # THE commit point — readers flip to the new bucketing
+            # atomically; conditional (r10) so a racing writer cannot be
+            # silently overwritten by the O(table) rewrite
+            _put_manifest_conditional(
+                target, fs, new_manifest, manifest_etag, "rebucket"
             )
             # best-effort GC of the entire old generation (spare pins)
             pinned = _pinned_rels(target, fs)
@@ -1758,26 +1946,34 @@ def rebucket_merge_table(
 
 
 def _file_stats_for(
-    sess, target: str, new_rels: dict[str, str], cluster_by: str
+    sess, target: str, new_rels: dict[str, str], cluster_by
 ) -> dict[str, dict]:
-    """Per-file min/max of the cluster column for freshly landed bucket
+    """Per-file min/max of the cluster column(s) for freshly landed bucket
     versions — ONE pass over exactly the files the merge just wrote
     (touched-bucket-proportional, same cost class as the stats_cols
-    aggregate), grouped by input_file_name. Entry format:
-    {bucket: {"rel": version_rel, "col": cluster_by,
-              "files": [[fname, mn, mx(, tag)], ...]}} — the rel pins
+    aggregate), grouped by input_file_name. Entry formats ("rel" pins
     which version the file list describes, so a reader can never apply it
-    to a different version's files."""
+    to a different version's files):
+
+    - single column: {bucket: {"rel": version_rel, "col": c,
+      "files": [[fname, mn, mx(, tag)], ...]}}
+    - Z-order list:  {bucket: {"rel": version_rel, "cols": [c1, c2, ...],
+      "files": [[fname, [mn1, mx1(, tag)]|None, [mn2, mx2(, tag)]|None,
+      ...], ...]}} — one bounds entry PER cluster column (None = not a
+      stats-recordable type; that column never prunes)."""
     import os
     from urllib.parse import unquote, urlparse
 
+    single = isinstance(cluster_by, str)
+    cols = [cluster_by] if single else list(cluster_by)
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"__mn_{j}"))
+        aggs.append(F.max(c).alias(f"__mx_{j}"))
     rows = (
         sess.read.parquet(*[os.path.join(target, rel) for rel in new_rels.values()])
         .groupBy(F.input_file_name().alias("__f"))
-        .agg(
-            F.min(cluster_by).alias("__mn"),
-            F.max(cluster_by).alias("__mx"),
-        )
+        .agg(*aggs)
         .collect()
     )
     by_rel = {os.path.normpath(rel): b for b, rel in new_rels.items()}
@@ -1787,10 +1983,16 @@ def _file_stats_for(
         b = by_rel.get(os.path.normpath(os.path.relpath(os.path.dirname(p), target)))
         if b is None:
             continue
-        ent = _enc_bounds(r["__mn"], r["__mx"]) or [None, None]
-        out.setdefault(
-            b, {"rel": new_rels[b], "col": cluster_by, "files": []}
-        )["files"].append([os.path.basename(p), *ent])
+        if single:
+            ent = _enc_bounds(r["__mn_0"], r["__mx_0"]) or [None, None]
+            entry = [os.path.basename(p), *ent]
+            meta = {"rel": new_rels[b], "col": cols[0], "files": []}
+        else:
+            entry = [os.path.basename(p)] + [
+                _enc_bounds(r[f"__mn_{j}"], r[f"__mx_{j}"]) for j in range(len(cols))
+            ]
+            meta = {"rel": new_rels[b], "cols": cols, "files": []}
+        out.setdefault(b, meta)["files"].append(entry)
     for d in out.values():
         d["files"].sort()
     return out
@@ -1806,7 +2008,7 @@ def _merge_locked(
     n_buckets: int,
     capture_changes: bool = True,
     stats_cols: list[str] | None = None,
-    cluster_by: str | None = None,
+    cluster_by=None,
     cluster_files: int = 4,
 ) -> None:
     """merge_table's read-merge-commit body, run under the writer lease."""
@@ -2042,6 +2244,24 @@ def _merge_locked(
                 )
             ):
                 break  # genuine conflict — fall through to the raise
+            # staged-version protection (r10 — ADVICE r9): a gc_epoch-only
+            # change (a vacuum ran between our read and this commit)
+            # passes the checks above, but that vacuum may have reclaimed
+            # OUR staged versions as debris (staged_grace_sec=0). Verify
+            # they still exist before re-pointing the commit at the new
+            # head — a committed manifest must never name deleted files.
+            missing = [
+                rel for rel in new_rels.values()
+                if not fs.isdir(os.path.join(target, rel))
+            ]
+            if missing:
+                raise merge_fs.ConcurrentWriterError(
+                    f"a concurrent vacuum at {target} reclaimed this "
+                    f"merge's staged bucket versions ({missing}) before "
+                    "its commit landed — the merge committed NOTHING; "
+                    "re-run it, and give vacuum a nonzero "
+                    "staged_grace_sec when writers may be in flight"
+                )
             parent2 = (theirs.get("commit") or {}).get("id")
             fs.put_atomic(
                 os.path.join(target, _CHANGES_DIR, commit_id, "_commit.json"),

@@ -100,6 +100,15 @@ class MergeFS:
         """Move a file or directory tree; may be copy+delete."""
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float:
+        """Last-modification epoch seconds of ``path`` (object stores:
+        LastModified). Powers vacuum's staged-version GRACE — unreferenced
+        store versions younger than the grace are spared because they may
+        be a live commit's phase-1 staging (Delta's
+        deletedFileRetentionDuration shape). Raises FileNotFoundError when
+        absent."""
+        raise NotImplementedError
+
     def makedirs(self, path: str) -> None:
         raise NotImplementedError
 
@@ -145,6 +154,9 @@ class LocalFS(MergeFS):
     def rename(self, src: str, dst: str) -> None:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)

@@ -2201,7 +2201,7 @@ def test_takedown_pin_sweep(spark, tmp_path):
         spark, target, keys=spark.createDataFrame([(1,), (2,)], "k long")
     )
     # the stranded pin protects the pre-delete versions from vacuum
-    removed_before = strm.vacuum_merge_table(target)
+    removed_before = strm.vacuum_merge_table(target, staged_grace_sec=0.0)
     stats = strm.merge_table_stats(target)
     assert stats["snapshot_only_versions"] > 0
 
@@ -2209,7 +2209,7 @@ def test_takedown_pin_sweep(spark, tmp_path):
     assert dropped == ["takedown-deadbeef"]
     assert strm.list_snapshots(target) == ["keepme"]
     # now vacuum reclaims what only the stranded pin was holding...
-    strm.vacuum_merge_table(target)
+    strm.vacuum_merge_table(target, staged_grace_sec=0.0)
     # ...except what 'keepme' still legitimately pins
     stats2 = strm.merge_table_stats(target)
     assert stats2["snapshot_only_versions"] <= stats["snapshot_only_versions"]

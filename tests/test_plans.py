@@ -544,3 +544,32 @@ def test_clustered_skipping_prunes_files_not_buckets(spark, sf_dir, registry):
     assert 0 < n_read < n_surv, (n_read, n_surv)
     # and the layout gave surviving buckets a skip opportunity
     assert any(len(man["filestats"][b]["files"]) > 1 for b in surviving)
+
+
+def test_zorder_skipping_prunes_on_both_dims(spark, sf_dir, registry):
+    """x9_zorder_skipping (r10): on the Z-ordered gold table the entry
+    reads, the conjunctive 2-D filter prunes files that EACH single
+    dimension alone would keep — the multiplicative skip that makes
+    Z-order worth its layout cost over 1-D clustering."""
+    import datetime as dt
+    import json
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import registry_streaming as rs
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    df = registry["x9_zorder_skipping"][0](spark, sf_dir)
+    target = rs._ZORDER_GOLD[sf_dir]
+    man = json.loads(open(strm._manifest_path(target)).read())
+    for fb in man["filestats"].values():
+        assert fb["cols"] == ["value", "ts"]
+    n_all = sum(len(fb["files"]) for fb in man["filestats"].values())
+    v_rng = {"value": (20.0, 120.0)}
+    t_rng = {"ts": (dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 18))}
+    n_v = len(strm.read_merged(spark, target, range_filters=v_rng).inputFiles())
+    n_t = len(strm.read_merged(spark, target, range_filters=t_rng).inputFiles())
+    n_vt = len(df.inputFiles())
+    # each dimension prunes ALONE (1-D clustering gives only one of these)
+    assert n_v < n_all, (n_v, n_all)
+    assert n_t < n_all, (n_t, n_all)
+    # and the conjunction prunes at least as hard as the best single dim
+    assert 0 < n_vt <= min(n_v, n_t), (n_vt, n_v, n_t)

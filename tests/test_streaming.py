@@ -260,7 +260,7 @@ def test_merge_two_phase_commit_crash_between_buckets(spark, tmp_path):
     import glob
     import os
 
-    removed = strm.vacuum_merge_table(target)
+    removed = strm.vacuum_merge_table(target, staged_grace_sec=0.0)
     assert removed  # the crash really left orphans
     assert not os.path.isdir(os.path.join(target, ".staging"))
     manifest_rels = set(
@@ -498,7 +498,7 @@ def test_merge_crash_at_every_mutating_op_never_tears(spark, tmp_path):
         if not landed and state == committed:
             # debris from the aborted attempt is invisible; vacuum reclaims
             # it without changing the committed state
-            strm.vacuum_merge_table(target, fs=mfs.NonAtomicRenameFS())
+            strm.vacuum_merge_table(target, fs=mfs.NonAtomicRenameFS(), staged_grace_sec=0.0)
             assert sorted(
                 (r.user_id, r.event_id)
                 for r in strm.read_merged(spark, target).collect()
@@ -556,7 +556,7 @@ def test_merge_table_stats_reports_debris_until_vacuum(spark, tmp_path):
     assert crashed["debris_versions"] + crashed["staging_dirs"] > 0
     assert crashed["committed_buckets"] == 4  # committed state untouched
 
-    strm.vacuum_merge_table(target)
+    strm.vacuum_merge_table(target, staged_grace_sec=0.0)
     clean = strm.merge_table_stats(target)
     assert clean["debris_versions"] == 0 and clean["staging_dirs"] == 0
     assert clean["committed_buckets"] == 4
@@ -716,7 +716,7 @@ def test_snapshot_read_rollback_and_vacuum_retention(spark, tmp_path):
     assert stats["snapshots"] == 1
     assert stats["snapshot_only_versions"] > 0
     assert stats["debris_versions"] == 0
-    strm.vacuum_merge_table(target)
+    strm.vacuum_merge_table(target, staged_grace_sec=0.0)
     assert sorted(
         (r.user_id, r.event_id)
         for r in strm.read_merged(spark, target, snapshot="train-run-1").collect()
@@ -730,7 +730,7 @@ def test_snapshot_read_rollback_and_vacuum_retention(spark, tmp_path):
     # the superseded post-snapshot versions are now unreferenced debris
     stats = strm.merge_table_stats(target)
     assert stats["debris_versions"] > 0
-    removed = strm.vacuum_merge_table(target)
+    removed = strm.vacuum_merge_table(target, staged_grace_sec=0.0)
     assert removed
     assert sorted(
         (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
@@ -740,7 +740,7 @@ def test_snapshot_read_rollback_and_vacuum_retention(spark, tmp_path):
     # the (identical) versions it references
     assert strm.drop_snapshot(target, "train-run-1")
     assert not strm.drop_snapshot(target, "train-run-1")
-    assert strm.vacuum_merge_table(target) == []
+    assert strm.vacuum_merge_table(target, staged_grace_sec=0.0) == []
     assert sorted(
         (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
     ) == state_v1
@@ -1189,7 +1189,7 @@ def test_rebucket_crash_at_every_op_never_tears(spark, tmp_path):
         if n_now == 2:
             # rolled back: debris (staged dirs / moved-but-unreferenced
             # versions) is invisible; vacuum reclaims it, then retry lands
-            strm.vacuum_merge_table(target)
+            strm.vacuum_merge_table(target, staged_grace_sec=0.0)
             assert rows(target) == want
             strm.rebucket_merge_table(spark, target, 8)
             assert strm._table_params(target)["n_buckets"] == 8
@@ -1321,7 +1321,7 @@ def test_vacuum_and_stats_tolerate_concurrent_snapshot_drop(spark, tmp_path, mon
 
     monkeypatch.setattr(strm, "list_snapshots", ghost_list)
     # none of these may raise on the vanished tag
-    strm.vacuum_merge_table(target)
+    strm.vacuum_merge_table(target, staged_grace_sec=0.0)
     stats = strm.merge_table_stats(target)
     assert stats["snapshots"] == 2  # the listing still counted the ghost
     strm.merge_micro_batch(  # _merge_locked's GC pin loop
@@ -1526,7 +1526,7 @@ def test_delete_from_merge_table_modes_pins_and_crash(spark, tmp_path):
     assert sorted(
         (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
     ) == state
-    strm.vacuum_merge_table(target)
+    strm.vacuum_merge_table(target, staged_grace_sec=0.0)
     assert sorted(
         (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
     ) == state
@@ -1638,7 +1638,7 @@ def test_commit_log_cdc_o_delta_reads(spark, tmp_path):
     strm.merge_micro_batch(
         _ev(spark, [(9, 900, 9, "z", 9.0)]), target, n_buckets=8
     )
-    strm.vacuum_merge_table(target, changes_keep=1)
+    strm.vacuum_merge_table(target, changes_keep=1, staged_grace_sec=0.0)
     assert strm.merge_table_stats(target)["commit_deltas"] == 1
     with pytest.raises(ValueError, match="broken"):
         strm.read_commit_changes(spark, target, since="s1")
@@ -1856,7 +1856,7 @@ def test_commit_log_retention_at_depth(spark, tmp_path):
         strm.snapshot_merge_table(target, f"after{i}")
 
     # keep only the 2 most recent commit deltas
-    strm.vacuum_merge_table(target, changes_keep=2)
+    strm.vacuum_merge_table(target, changes_keep=2, staged_grace_sec=0.0)
     # inside the window: after2 -> head covers commits 3 and 4
     ok = strm.read_commit_changes(spark, target, since="after2")
     assert {r.k for r in ok.collect()} == {3, 4}
@@ -2276,7 +2276,7 @@ def test_clustered_merge_crash_at_every_op_never_tears(spark, tmp_path):
         assert got in (before, after), f"torn clustered merge at {crash_at}"
         outcomes.add("back" if got == before else "forward")
         if got == before:
-            strm.vacuum_merge_table(target)
+            strm.vacuum_merge_table(target, staged_grace_sec=0.0)
             assert ranged(target) == before
             merge(target, batch, mfs.LOCAL_FS)
             assert ranged(target) == after
@@ -2476,3 +2476,79 @@ def test_nullstats_and_null_filter_skipping(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="not_null"):
         strm.read_merged(spark, target, null_filters={"v": "nope"})
+
+
+def test_zorder_multi_column_file_skipping(spark, tmp_path):
+    """r10 Z-order (multi-dim cluster_by): a LIST of cluster columns
+    range-bins each column (sampling range partitioner), interleaves the
+    bits into one z-value, and tiles each bucket version's files on it —
+    so a range filter on EITHER column prunes files (1-D clustering gives
+    the second column nothing), per-file bounds are recorded per column,
+    and correctness never depends on the layout."""
+    import os as _os
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    rows = spark.createDataFrame(
+        [(i, (i * 37) % 997, (i * 61) % 991) for i in range(1600)],
+        "k long, v long, w long",
+    )
+    strm.merge_table(rows, target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, stats_cols=["v", "w"],
+                     cluster_by=["v", "w"], cluster_files=8)
+
+    m = strm._load_manifest(target)
+    assert set(m["filestats"]) == set(m["buckets"])
+    for fb in m["filestats"].values():
+        assert fb["cols"] == ["v", "w"]
+        for f in fb["files"]:
+            assert len(f) == 3  # fname + one bounds entry per column
+            assert f[1] is not None and f[2] is not None
+
+    full = strm.read_merged(spark, target)
+    n_all = len(full.inputFiles())
+    assert n_all == sum(len(fb["files"]) for fb in m["filestats"].values())
+
+    # a selective range on EACH dimension prunes files on its own
+    v_rng, w_rng = (100, 220), (650, 760)
+    rd_v = strm.read_merged(spark, target, range_filters={"v": v_rng})
+    rd_w = strm.read_merged(spark, target, range_filters={"w": w_rng})
+    rd_vw = strm.read_merged(
+        spark, target, range_filters={"v": v_rng, "w": w_rng}
+    )
+    n_v, n_w, n_vw = (len(d.inputFiles()) for d in (rd_v, rd_w, rd_vw))
+    assert n_v < n_all, (n_v, n_all)   # 1-D layout gives w this, z gives BOTH
+    assert n_w < n_all, (n_w, n_all)
+    assert n_vw <= min(n_v, n_w)       # conjunction prunes at least as hard
+
+    # correctness: pruned reads == full read filtered row-level
+    from pyspark.sql import functions as F
+
+    def rowset(df):
+        return sorted(tuple(r) for r in df.select("k", "v", "w").collect())
+
+    assert rowset(rd_v) == rowset(
+        full.filter((F.col("v") >= v_rng[0]) & (F.col("v") <= v_rng[1]))
+    )
+    assert rowset(rd_w) == rowset(
+        full.filter((F.col("w") >= w_rng[0]) & (F.col("w") <= w_rng[1]))
+    )
+    assert rowset(rd_vw) == rowset(
+        full.filter(
+            (F.col("v") >= v_rng[0]) & (F.col("v") <= v_rng[1])
+            & (F.col("w") >= w_rng[0]) & (F.col("w") <= w_rng[1])
+        )
+    )
+
+    # a later NON-clustering merge drops its touched buckets' file stats
+    # (they name the superseded version) — reads stay correct, just unpruned
+    strm.merge_table(
+        spark.createDataFrame([(1, 5000, 5000)], "k long, v long, w long"),
+        target, keys=["k"], order_cols=["v"], n_buckets=4,
+    )
+    m2 = strm._load_manifest(target)
+    touched = {b for b in m2["buckets"] if m2["buckets"][b] != m["buckets"][b]}
+    assert touched and all(b not in m2.get("filestats", {}) for b in touched)
+    after = strm.read_merged(spark, target, range_filters={"v": (4000, None)})
+    assert rowset(after) == [(1, 5000, 5000)]

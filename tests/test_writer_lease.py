@@ -147,7 +147,7 @@ def test_merge_and_vacuum_refuse_concurrent_writer(spark, tmp_path):
     with pytest.raises(mfs.ConcurrentWriterError):
         strm.merge_micro_batch(_ev(spark, update), target, n_buckets=2)
     with pytest.raises(mfs.ConcurrentWriterError):
-        strm.vacuum_merge_table(target)
+        strm.vacuum_merge_table(target, staged_grace_sec=0.0)
     assert sorted(
         (r.user_id, r.event_id) for r in strm.read_merged(spark, target).collect()
     ) == committed
@@ -666,7 +666,7 @@ def test_cas_manifest_commit_detects_racing_writer(spark, tmp_path):
     got2 = {r.k for r in strm.read_merged(spark, target, fs=fs).collect()}
     assert got2 == {k1, k2, k3}
     # the losing attempt's staged version is invisible debris -> vacuum
-    strm.vacuum_merge_table(target, fs=fs)
+    strm.vacuum_merge_table(target, fs=fs, staged_grace_sec=0.0)
     assert {r.k for r in strm.read_merged(spark, target, fs=fs).collect()} == got2
 
 
@@ -827,3 +827,247 @@ def test_cas_disjoint_bucket_rebase_both_writers_commit(spark, tmp_path):
     assert {r.k for r in strm.read_merged(spark, target, fs=fs).collect()} == {
         k_seed, k_a, k_b, k_b2, k_a2
     }
+
+
+# ---------------------------------------------------------------------------
+# r10 (ADVICE r9): conditional puts for the NON-merge manifest writers, and
+# vacuum's staged-version protection
+# ---------------------------------------------------------------------------
+
+
+def _evdf(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts_s long, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id", "event_type", "value",
+    )
+
+
+def test_delete_conditional_commit_loses_to_racing_merge(spark, tmp_path):
+    """r10: delete_from_merge_table's manifest put is conditional on the
+    generation it read — a merge that races past the lease (same stable
+    owner) and commits in the delete's read-to-put window makes the delete
+    raise ConcurrentWriterError having committed NOTHING; its clean retry
+    then deletes against the new state."""
+    import threading
+
+    fs = _ManifestGateCASFS()
+    target = str(tmp_path / "gold")
+    fs.armed = False
+    strm.merge_micro_batch(
+        _evdf(spark, [(i, 100 + i, i, "a", 1.0) for i in range(1, 6)]),
+        target, n_buckets=4, fs=fs, lease_owner="job",
+    )
+    fs.armed = True
+
+    result: dict = {}
+
+    def deleter():
+        try:
+            n = strm.delete_from_merge_table(
+                spark, target,
+                keys=spark.createDataFrame([(3,)], "user_id long"),
+                fs=fs, lease_owner="job",
+            )
+            result["d"] = n
+        except mfs.ConcurrentWriterError as e:
+            result["d"] = e
+
+    td = threading.Thread(target=deleter)
+    td.start()
+    assert fs.entered.wait(timeout=60.0)  # delete staged, gated at its put
+    strm.merge_micro_batch(  # racing merge commits first
+        _evdf(spark, [(9, 900, 9, "b", 2.0)]),
+        target, n_buckets=4, fs=fs, lease_owner="job",
+    )
+    fs.gate.set()
+    td.join(timeout=120.0)
+    assert isinstance(result["d"], mfs.ConcurrentWriterError), result
+    # the losing delete changed nothing: user 3 still present, merge's row in
+    got = {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()}
+    assert got == {1, 2, 3, 4, 5, 9}
+    # clean retry lands
+    assert strm.delete_from_merge_table(
+        spark, target, keys=spark.createDataFrame([(3,)], "user_id long"),
+        fs=fs, lease_owner="job",
+    ) == 1
+    got2 = {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()}
+    assert got2 == {1, 2, 4, 5, 9}
+
+
+def test_rollback_conditional_commit_loses_to_racing_merge(spark, tmp_path):
+    """r10: rollback_merge_table's restore put is conditional — a commit
+    landing between the rollback's diff and its put would make both the
+    captured rollback delta and the restored manifest stale, so the
+    rollback raises instead and a re-run restores against the new head."""
+    import threading
+
+    fs = _ManifestGateCASFS()
+    target = str(tmp_path / "gold")
+    fs.armed = False
+    strm.merge_micro_batch(
+        _evdf(spark, [(1, 100, 1, "a", 1.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    strm.snapshot_merge_table(target, "t1", fs=fs, lease_owner="job")
+    strm.merge_micro_batch(
+        _evdf(spark, [(2, 200, 2, "b", 2.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    fs.armed = True
+
+    result: dict = {}
+
+    def roller():
+        try:
+            strm.rollback_merge_table(
+                target, "t1", fs=fs, lease_owner="job", spark=spark
+            )
+            result["r"] = "committed"
+        except mfs.ConcurrentWriterError as e:
+            result["r"] = e
+
+    tr = threading.Thread(target=roller)
+    tr.start()
+    assert fs.entered.wait(timeout=60.0)
+    strm.merge_micro_batch(  # racing merge commits first
+        _evdf(spark, [(3, 300, 3, "c", 3.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    fs.gate.set()
+    tr.join(timeout=120.0)
+    assert isinstance(result["r"], mfs.ConcurrentWriterError), result
+    # rollback committed nothing: the racing merge's row is still there
+    got = {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()}
+    assert got == {1, 2, 3}
+    # re-run restores against the new head
+    strm.rollback_merge_table(target, "t1", fs=fs, lease_owner="job", spark=spark)
+    got2 = {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()}
+    assert got2 == {1}
+
+
+def test_rebucket_conditional_commit_loses_to_racing_merge(spark, tmp_path):
+    """r10: rebucket's whole-generation rewrite cannot silently overwrite a
+    commit that landed during the O(table) restage — its put is
+    conditional and the loser raises with the old bucketing intact."""
+    import threading
+
+    fs = _ManifestGateCASFS()
+    target = str(tmp_path / "gold")
+    fs.armed = False
+    strm.merge_micro_batch(
+        _evdf(spark, [(i, 100 + i, i, "a", 1.0) for i in range(1, 4)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    fs.armed = True
+
+    result: dict = {}
+
+    def rebucketer():
+        try:
+            strm.rebucket_merge_table(
+                spark, target, 8, fs=fs, lease_owner="job"
+            )
+            result["r"] = "committed"
+        except mfs.ConcurrentWriterError as e:
+            result["r"] = e
+
+    tr = threading.Thread(target=rebucketer)
+    tr.start()
+    assert fs.entered.wait(timeout=60.0)
+    strm.merge_micro_batch(  # racing merge commits mid-rebucket
+        _evdf(spark, [(7, 700, 7, "b", 2.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    fs.gate.set()
+    tr.join(timeout=120.0)
+    assert isinstance(result["r"], mfs.ConcurrentWriterError), result
+    assert strm._table_params(target, fs=fs)["n_buckets"] == 2
+    got = {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()}
+    assert got == {1, 2, 3, 7}  # NO lost update
+    # clean retry re-spreads everything
+    strm.rebucket_merge_table(spark, target, 8, fs=fs, lease_owner="job")
+    assert strm._table_params(target, fs=fs)["n_buckets"] == 8
+    assert {
+        r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()
+    } == got
+
+
+def test_vacuum_grace_spares_young_debris(spark, tmp_path):
+    """r10 (ADVICE r9): an unreferenced store version may be a LIVE
+    commit's phase-1 staging — vacuum's staged_grace_sec spares young
+    debris (default: an hour) and reclaims it only once it has aged into
+    genuine orphanhood (forced here with grace=0)."""
+    target = str(tmp_path / "gold")
+    strm.merge_micro_batch(
+        _evdf(spark, [(1, 100, 1, "a", 1.0)]), target, n_buckets=2
+    )
+    # fresh debris: an unreferenced version dir + a staging tree
+    orphan = os.path.join(target, "store", "0", "deadbeefcafe")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x")
+    stage = os.path.join(target, ".staging", "feedface")
+    os.makedirs(stage)
+
+    assert strm.vacuum_merge_table(target) == []  # default grace spares both
+    assert os.path.isdir(orphan) and os.path.isdir(stage)
+    removed = strm.vacuum_merge_table(target, staged_grace_sec=0.0)
+    assert set(removed) == {orphan, stage}
+    assert not os.path.isdir(orphan) and not os.path.isdir(stage)
+    assert {r.user_id for r in strm.read_merged(spark, target).collect()} == {1}
+
+
+class _VacuumDuringCommitCASFS(mfs.CASLocalFS):
+    """Run a grace-less vacuum INSIDE a merge's read-to-put window (on the
+    merge's first manifest put_if_match) — the exact lease-free
+    interleaving of ADVICE r9: vacuum reclaims the merge's staged-but-
+    uncommitted versions, and the merge's commit must then fail LOUDLY
+    instead of landing a manifest that points at deleted files."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.target: str | None = None
+        self.armed = False
+        self.vacuumed: list[str] = []
+
+    def put_if_match(self, path: str, data: bytes, etag: str) -> bool:
+        if self.armed and path.endswith("_MANIFEST.json"):
+            self.armed = False  # un-arm BEFORE vacuum's own epoch-bump put
+            self.vacuumed = strm.vacuum_merge_table(
+                self.target, fs=self, lease_owner="job", staged_grace_sec=0.0
+            )
+        return super().put_if_match(path, data, etag)
+
+
+def test_vacuum_epoch_bump_fails_racing_merge_commit_loudly(spark, tmp_path):
+    """r10 (ADVICE r9): on a CAS store vacuum bumps gc_epoch with a
+    conditional put BEFORE reclaiming, so a merge whose staged versions a
+    grace-less concurrent vacuum just deleted fails its own conditional
+    commit, finds its staged rels gone in the rebase path, and raises —
+    the committed manifest NEVER names deleted files (previously: silent
+    corruption). The merge's retry lands cleanly."""
+    fs = _VacuumDuringCommitCASFS(spark)
+    target = str(tmp_path / "gold")
+    fs.target = target
+    strm.merge_micro_batch(
+        _evdf(spark, [(1, 100, 1, "a", 1.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    fs.armed = True
+    with pytest.raises(mfs.ConcurrentWriterError, match="vacuum"):
+        strm.merge_micro_batch(
+            _evdf(spark, [(2, 200, 2, "b", 2.0)]),
+            target, n_buckets=2, fs=fs, lease_owner="job",
+        )
+    assert fs.vacuumed  # the in-window vacuum really reclaimed staged work
+    # committed state intact and fully readable (no dangling file refs)
+    assert {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()} == {1}
+    # retry lands
+    strm.merge_micro_batch(
+        _evdf(spark, [(2, 200, 2, "b", 2.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    assert {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()} == {1, 2}
