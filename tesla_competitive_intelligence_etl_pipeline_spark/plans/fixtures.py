@@ -15,19 +15,29 @@ a wrong cap, join, Jaccard, policy, or closure now hash-mismatches.
 
 Mechanics and their honest limits:
 
-- Every fixture row is stamped ``corpus_n`` = the sf's full documents
-  count, written to an ``n=<count>`` subdir, and the SQL filters
-  ``corpus_n = (SELECT COUNT(*) FROM documents)`` — one fixture root
-  serves every SF concurrently (different SFs write different subdirs and
-  select their own rows; the driver's gate SF and the two local parity SFs
-  never collide).
-- The QUERY callable writes the fixture synchronously before returning its
-  (lazy) result, and the harness runs each entry's oracle after building
-  its DataFrame — so within one comparison the fixture is always fresh.
-  Two processes verifying the SAME sf at the SAME moment can race the
-  overwrite (identical bytes, tiny window); these entries therefore stay
-  OUTSIDE the driver's 50-entry window, covered by the sequential local
-  parity suites at both SFs.
+- Every fixture row is stamped ``(corpus_n, corpus_len)`` = the sf's full
+  documents (count, total text length), written to an ``n=<count>_<len>``
+  subdir, and the SQL filters both against the connection's own documents
+  view — one fixture root serves every SF. Count ALONE is not a corpus
+  identity: the driver's sf0.001 and sf0.01 documents tables both hold
+  500 docs with different text (observed r10 — the n-only gate silently
+  matched the other SF's fixture rows), hence the content-sensitive
+  length term, verified engine-identical (Spark length == DuckDB LENGTH
+  on this corpus).
+- The QUERY callable ensures the fixture synchronously before returning
+  its (lazy) result, and the harness runs each entry's oracle after
+  building its DataFrame — so within one comparison the fixture is always
+  present. A leaf that already exists (``_SUCCESS`` present) is NOT
+  rewritten — fixture ROWS are deterministic for a given corpus, and the
+  oracle glob spans every ``n=`` subdir, so a concurrent overwrite at ANY
+  sf could yank files out from under another process's mid-glob read
+  (observed r10: a full-suite sf0.001 oracle read raced a second
+  process's sf0.01 replay). Only the first-ever write of a leaf can still
+  race a concurrent reader; these entries therefore stay OUTSIDE the
+  driver's 50-entry window, covered by the sequential local parity suites
+  at both SFs. FIXTURE_ROOT carries a layout VERSION segment — when an
+  operator's hashing layout changes, bump it along with the matching
+  ensure_* so stale on-disk fixtures can never satisfy the skip.
 - The fixture derivation mirrors the operators' expressions
   (dedup._with_shingles_and_sig / _band_explode / simhash64 + the 16-bit
   chunk split); values are deterministic, so fixture and query agree
@@ -41,28 +51,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FIXTURE_ROOT = "/tmp/spark_graft_fixtures"
+FIXTURE_ROOT = "/tmp/spark_graft_fixtures/v1"
 
-_DOC_N: dict[str, int] = {}
+_DOC_KEY: dict[str, tuple[int, int]] = {}
 _WRITTEN: set[tuple[str, str]] = set()
 
 
-def doc_count(spark: SparkSession, sf_dir: str) -> int:
-    if sf_dir not in _DOC_N:
+def corpus_key(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(doc count, total text length) — the corpus identity the fixture
+    leaves and the oracle's _FX_GATE agree on."""
+    if sf_dir not in _DOC_KEY:
         from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
 
-        _DOC_N[sf_dir] = src.load_table(spark, sf_dir, "documents").count()
-    return _DOC_N[sf_dir]
+        r = (
+            src.load_table(spark, sf_dir, "documents")
+            .agg(F.count(F.lit(1)), F.sum(F.length("text")))
+            .collect()[0]
+        )
+        _DOC_KEY[sf_dir] = (int(r[0]), int(r[1]))
+    return _DOC_KEY[sf_dir]
 
 
 def _write(spark, sf_dir: str, group: str, tables: dict[str, DataFrame]) -> None:
-    n = doc_count(spark, sf_dir)
+    import os
+
+    n, tl = corpus_key(spark, sf_dir)
     for name, df in tables.items():
+        leaf = f"{FIXTURE_ROOT}/{group}/{name}/n={n}_{tl}"
+        if os.path.exists(os.path.join(leaf, "_SUCCESS")):
+            continue  # deterministic rows already on disk — rewriting
+            # would only re-create the cross-process mid-glob race
         (
             df.withColumn("corpus_n", F.lit(n).cast("long"))
+            .withColumn("corpus_len", F.lit(tl).cast("long"))
             .coalesce(4)
             .write.mode("overwrite")
-            .parquet(f"{FIXTURE_ROOT}/{group}/{name}/n={n}")
+            .parquet(leaf)
         )
 
 

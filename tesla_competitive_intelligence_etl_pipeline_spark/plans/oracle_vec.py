@@ -969,11 +969,17 @@ SELECT query_id, vec_id, cos_sim FROM fin WHERE rn <= {topk}"""
 # these builders re-derive everything downstream — band grouping, bucket
 # cap, candidate joins, exact Jaccard, hamming, removal policy, transitive
 # closure — in SQL from those values. Only the xxhash64 call itself stays
-# engine-side. Every fixture read filters corpus_n to the connection's own
-# documents count, so one fixture root serves every SF.
+# engine-side. Every fixture read filters (corpus_n, corpus_len) to the
+# connection's own documents count AND total text length — count alone does
+# NOT identify a corpus (the driver's sf0.001 and sf0.01 documents tables
+# both have 500 docs with different text; observed r10), so one fixture
+# root serves every SF only with the content-sensitive key.
 # ===========================================================================
 
-_FX_GATE = "corpus_n = (SELECT COUNT(*) FROM documents)"
+_FX_GATE = (
+    "corpus_n = (SELECT COUNT(*) FROM documents) "
+    "AND corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)"
+)
 
 
 def _fx(group: str, table: str) -> str:
