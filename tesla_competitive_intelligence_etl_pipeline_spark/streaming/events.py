@@ -46,12 +46,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(path).schema
         _EVENTS_SCHEMA_CACHE[path] = schema
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")  # file-source needs a dir
-        .load(sf_dir)
-    )
+    if os.path.isdir(path):
+        # the production layout: events.parquet IS a directory of part
+        # files — stream it directly. (The pathGlobFilter trick below
+        # would match only leaf files literally NAMED events.parquet and
+        # silently stream nothing — observed r10 on the sf1 scale point.)
+        raw = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        # driver testdata layout: events.parquet is a single FILE; the
+        # file source needs a directory, so load the parent dir filtered
+        # to that leaf name
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     return src_io.normalize_event_ts(raw)
 
 
