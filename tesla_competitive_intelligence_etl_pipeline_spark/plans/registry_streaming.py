@@ -862,3 +862,71 @@ def x9_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts": (_dt.datetime(2024, 1, 8), _dt.datetime(2024, 1, 18)),
         },
     ).select("event_id", "user_id", "event_type", "value")
+
+
+_UNCLUSTERED_GOLD: dict[str, str] = {}
+
+
+def _ensure_unclustered_gold(spark: SparkSession, sf_dir: str) -> str:
+    """The same events fact as _ensure_zorder_gold but ingested WITHOUT
+    cluster_by — the pristine input x9_optimize_layout clones and
+    re-lays-out each run."""
+    if sf_dir not in _UNCLUSTERED_GOLD:
+        import tempfile
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+
+        ev = io_mod.load_events(spark, sf_dir)
+        target = tempfile.mkdtemp(prefix="unclustered_gold_") + "/gold"
+        strm.merge_table(
+            ev.select("event_id", "user_id", "event_type", "value", "ts"),
+            target,
+            keys=["event_id"],
+            order_cols=["ts"],
+            n_buckets=8,
+            stats_cols=["value", "ts"],
+        )
+        _UNCLUSTERED_GOLD[sf_dir] = target
+    return _UNCLUSTERED_GOLD[sf_dir]
+
+
+@register(
+    "x9_optimize_layout",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value >= 20.0 AND value <= 120.0
+      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-18 00:00:00'
+    """,
+)
+def x9_optimize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9n (r10): standalone OPTIMIZE — Delta's OPTIMIZE ZORDER BY as an
+    operation. A table ingested WITHOUT cluster_by (no file stats, range
+    reads scan every file) is cloned and re-laid-out by
+    optimize_merge_table(cluster_by=['value','ts']): content no-op, ONE
+    conditional manifest put, per-file bounds appear, and the same 2-D
+    read as x9_zorder_skipping then prunes files. The timed path INCLUDES
+    cloning the warmed pristine table (optimize mutates; clone is setup a
+    re-runnable bench honestly pays) and the O(touched buckets) rewrite —
+    the maintenance cost a deployment schedules, now driver-visible.
+    Hash-checked against the plain 2-D-range oracle; the content no-op and
+    lifecycle are pinned in
+    tests/test_streaming.py::test_optimize_merge_table_clusters_committed_layout."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    pristine = _ensure_unclustered_gold(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="optimize_run_") + "/gold"
+    shutil.copytree(pristine, work)
+    strm.optimize_merge_table(
+        spark, work, cluster_by=["value", "ts"], cluster_files=4
+    )
+    return strm.read_merged(
+        spark, work,
+        range_filters={
+            "value": (20.0, 120.0),
+            "ts": (_dt.datetime(2024, 1, 8), _dt.datetime(2024, 1, 18)),
+        },
+    ).select("event_id", "user_id", "event_type", "value")

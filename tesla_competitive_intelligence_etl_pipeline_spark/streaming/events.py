@@ -1955,6 +1955,90 @@ def rebucket_merge_table(
         merge_fs.release_writer_lease(fs, target, token)
 
 
+def optimize_merge_table(
+    spark: SparkSession,
+    target: str,
+    cluster_by,
+    cluster_files: int = 4,
+    buckets: list[int] | None = None,
+    fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
+    lease_owner: str | None = None,
+    lease_ttl_sec: float = 3600.0,
+) -> dict:
+    """Re-LAYOUT committed buckets without changing a row — Delta's
+    standalone ``OPTIMIZE ZORDER BY`` as an operation: a table ingested
+    WITHOUT ``cluster_by`` (or whose layout decayed under non-clustering
+    merges/deletes, which drop their buckets' file stats) gets the
+    range-disjoint / Z-ordered file layout and per-file bounds without a
+    fake merge. ``cluster_by`` is a column or list (Z-order), same as
+    merge_table's.
+
+    Content no-op by construction: each touched bucket's committed rows
+    are restaged in cluster order and ONE conditional manifest put flips
+    readers — per-bucket column stats/null counts stay untouched (row set
+    unchanged, so they remain exact), file stats are rebuilt for exactly
+    the touched buckets, and the commit chain carries an empty
+    kind='optimize' delta (CDC consumers cross it in O(0), like
+    rebucket). ``buckets`` limits the rewrite (incremental re-clustering
+    — run it bucket-range by bucket-range on a 100 TB table); default is
+    every committed bucket, the honest O(table) maintenance op.
+    Snapshot-pinned versions survive (time travel reads the OLD layout);
+    a crash anywhere before the put leaves readers on the old layout with
+    staged debris for vacuum. A writer operation under the table lease,
+    CAS-conditional on the manifest generation read."""
+    import os
+
+    token = merge_fs.acquire_writer_lease(
+        fs, target, owner=lease_owner, ttl_sec=lease_ttl_sec
+    )
+    try:
+        with merge_fs.lease_heartbeat(fs, target, token, ttl_sec=lease_ttl_sec):
+            manifest, manifest_etag = _load_manifest_cas(target, fs)
+            if manifest is None:
+                raise ValueError(f"no committed state to optimize at {target}")
+            committed = sorted(int(b) for b in manifest["buckets"])
+            touched = (
+                committed
+                if buckets is None
+                else sorted(set(int(b) for b in buckets) & set(committed))
+            )
+            if not touched:
+                return manifest
+            cur = read_merged(spark, target, buckets=touched, fs=fs)
+            new_rels, staging = _stage_bucket_versions(
+                cur, target, touched, fs,
+                cluster_by=cluster_by, cluster_files=cluster_files,
+            )
+            filestats_update = _file_stats_for(spark, target, new_rels, cluster_by)
+            commit_id = uuid.uuid4().hex[:12]
+            parent = (manifest.get("commit") or {}).get("id")
+            _write_commit_delta(target, commit_id, parent, None, fs, kind="optimize")
+            old_rels = {b: manifest["buckets"][b] for b in new_rels}
+            manifest["buckets"].update(new_rels)
+            fstats = dict(manifest.get("filestats") or {})
+            for b in new_rels:
+                if b in filestats_update:
+                    fstats[b] = filestats_update[b]
+                else:
+                    fstats.pop(b, None)
+            if fstats:
+                manifest["filestats"] = fstats
+            else:
+                manifest.pop("filestats", None)
+            manifest["commit"] = {"id": commit_id, "parent": parent}
+            # THE commit point (conditional — a racing writer raises here
+            # having committed nothing, staged layout is vacuum debris)
+            _put_manifest_conditional(target, fs, manifest, manifest_etag, "optimize")
+            pinned = _pinned_rels(target, fs)
+            for b, rel in old_rels.items():
+                if rel and rel != new_rels.get(b) and os.path.normpath(rel) not in pinned:
+                    fs.rmtree(os.path.join(target, rel))
+            fs.rmtree(staging)
+            return manifest
+    finally:
+        merge_fs.release_writer_lease(fs, target, token)
+
+
 def _file_stats_for(
     sess, target: str, new_rels: dict[str, str], cluster_by
 ) -> dict[str, dict]:

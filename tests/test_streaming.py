@@ -2552,3 +2552,71 @@ def test_zorder_multi_column_file_skipping(spark, tmp_path):
     assert touched and all(b not in m2.get("filestats", {}) for b in touched)
     after = strm.read_merged(spark, target, range_filters={"v": (4000, None)})
     assert rowset(after) == [(1, 5000, 5000)]
+
+
+def test_optimize_merge_table_clusters_committed_layout(spark, tmp_path):
+    """r10: optimize_merge_table is Delta's standalone OPTIMIZE ZORDER — a
+    table ingested WITHOUT cluster_by gets the clustered layout + per-file
+    bounds as a content no-op: rows identical, per-bucket stats untouched
+    (still exact), range reads now prune files, time travel keeps the old
+    layout, and the commit chain crosses the optimize with an empty
+    delta."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    rows = spark.createDataFrame(
+        [(i, (i * 37) % 997, (i * 61) % 991) for i in range(800)],
+        "k long, v long, w long",
+    )
+    strm.merge_table(rows, target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, stats_cols=["v"])
+    m0 = strm._load_manifest(target)
+    assert "filestats" not in m0  # unclustered ingest: no file-level skip
+    strm.snapshot_merge_table(target, "pre")
+    before = sorted(tuple(r) for r in strm.read_merged(spark, target)
+                    .select("k", "v", "w").collect())
+
+    m1 = strm.optimize_merge_table(spark, target, cluster_by="v",
+                                   cluster_files=4)
+    assert set(m1["filestats"]) == set(m1["buckets"])
+    assert m1["stats"] == m0["stats"]          # row set unchanged -> exact
+    assert m1["nullstats"] == m0["nullstats"]
+    after = sorted(tuple(r) for r in strm.read_merged(spark, target)
+                   .select("k", "v", "w").collect())
+    assert after == before  # content no-op
+
+    # the layout now earns the skip
+    full = strm.read_merged(spark, target)
+    rd = strm.read_merged(spark, target, range_filters={"v": (100, 220)})
+    assert 0 < len(rd.inputFiles()) < len(full.inputFiles())
+    assert sorted(tuple(r) for r in rd.select("k", "v", "w").collect()) == [
+        t for t in before if 100 <= t[1] <= 220
+    ]
+
+    # time travel: the pre-optimize snapshot still reads the old layout
+    snap = sorted(tuple(r) for r in
+                  strm.read_merged(spark, target, snapshot="pre")
+                  .select("k", "v", "w").collect())
+    assert snap == before
+
+    # commit chain: a merge AFTER the optimize is readable O(delta) from
+    # the pre-optimize head — the optimize contributes an empty delta
+    strm.merge_table(
+        spark.createDataFrame([(2, 9999, 1)], "k long, v long, w long"),
+        target, keys=["k"], order_cols=["v"], n_buckets=4,
+    )
+    ch = strm.read_commit_changes(spark, target, since="pre")
+    upserts = {(r.k, r.v) for r in ch.filter(F.col("_change_type") != "delete").collect()}
+    assert (2, 9999) in upserts
+
+    # Z-order re-optimize over a bucket SUBSET (incremental re-clustering)
+    m2 = strm.optimize_merge_table(spark, target, cluster_by=["v", "w"],
+                                   cluster_files=4, buckets=[0, 1])
+    for b in ("0", "1"):
+        if b in m2["buckets"]:
+            assert m2["filestats"][b]["cols"] == ["v", "w"]
+    final = sorted(tuple(r) for r in strm.read_merged(spark, target)
+                   .select("k", "v", "w").collect())
+    assert final == sorted([t for t in before if t[0] != 2] + [(2, 9999, 1)])
