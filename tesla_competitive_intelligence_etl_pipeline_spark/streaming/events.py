@@ -1961,6 +1961,7 @@ def optimize_merge_table(
     cluster_by,
     cluster_files: int = 4,
     buckets: list[int] | None = None,
+    only_decayed: bool = False,
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
     lease_owner: str | None = None,
     lease_ttl_sec: float = 3600.0,
@@ -1982,6 +1983,12 @@ def optimize_merge_table(
     rebucket). ``buckets`` limits the rewrite (incremental re-clustering
     — run it bucket-range by bucket-range on a 100 TB table); default is
     every committed bucket, the honest O(table) maintenance op.
+    ``only_decayed=True`` restricts further to buckets whose layout has
+    DECAYED — no file stats, stats naming a superseded version (a
+    non-clustering merge/delete rewrote the bucket), or stats recorded
+    for different cluster columns — so the scheduled maintenance run is
+    O(decay since last run), not O(table), and a fully-clustered table
+    is a cheap no-op.
     Snapshot-pinned versions survive (time travel reads the OLD layout);
     a crash anywhere before the put leaves readers on the old layout with
     staged debris for vacuum. A writer operation under the table lease,
@@ -2002,6 +2009,22 @@ def optimize_merge_table(
                 if buckets is None
                 else sorted(set(int(b) for b in buckets) & set(committed))
             )
+            if only_decayed:
+                want_cols = (
+                    [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+                )
+                fstats0 = manifest.get("filestats") or {}
+
+                def _decayed(b: int) -> bool:
+                    fst = fstats0.get(str(b))
+                    if fst is None or fst.get("rel") != manifest["buckets"][str(b)]:
+                        return True
+                    have = fst.get("cols") or (
+                        [fst["col"]] if "col" in fst else []
+                    )
+                    return have != want_cols
+
+                touched = [b for b in touched if _decayed(b)]
             if not touched:
                 return manifest
             cur = read_merged(spark, target, buckets=touched, fs=fs)

@@ -2620,3 +2620,52 @@ def test_optimize_merge_table_clusters_committed_layout(spark, tmp_path):
     final = sorted(tuple(r) for r in strm.read_merged(spark, target)
                    .select("k", "v", "w").collect())
     assert final == sorted([t for t in before if t[0] != 2] + [(2, 9999, 1)])
+
+
+def test_optimize_only_decayed_is_incremental(spark, tmp_path):
+    """r10: only_decayed=True re-clusters exactly the buckets whose layout
+    decayed — untouched on a fully-clustered table (no version churn), and
+    after a non-clustering merge dirties some buckets, only THOSE get new
+    versions while the still-clustered buckets keep their exact files."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    rows = spark.createDataFrame(
+        [(i, (i * 37) % 997) for i in range(800)], "k long, v long"
+    )
+    strm.merge_table(rows, target, keys=["k"], order_cols=["v"],
+                     n_buckets=4, cluster_by="v", cluster_files=4)
+    m1 = strm._load_manifest(target)
+
+    # fully clustered -> no-op: identical manifest, no staged churn
+    m2 = strm.optimize_merge_table(spark, target, cluster_by="v",
+                                   cluster_files=4, only_decayed=True)
+    assert m2["buckets"] == m1["buckets"]
+
+    # a non-clustering merge decays its touched buckets
+    strm.merge_table(
+        spark.createDataFrame([(3, 4444), (5, 5555)], "k long, v long"),
+        target, keys=["k"], order_cols=["v"], n_buckets=4,
+    )
+    m3 = strm._load_manifest(target)
+    dirty = {b for b in m3["buckets"] if b not in m3.get("filestats", {})}
+    clean = set(m3["buckets"]) - dirty
+    assert dirty and clean
+
+    m4 = strm.optimize_merge_table(spark, target, cluster_by="v",
+                                   cluster_files=4, only_decayed=True)
+    for b in clean:  # untouched buckets keep their exact version
+        assert m4["buckets"][b] == m3["buckets"][b]
+    for b in dirty:  # decayed ones were rewritten and re-stat'd
+        assert m4["buckets"][b] != m3["buckets"][b]
+        assert m4["filestats"][b]["rel"] == m4["buckets"][b]
+
+    # different cluster COLUMNS count as decay too
+    m5 = strm.optimize_merge_table(spark, target, cluster_by=["v", "k"],
+                                   cluster_files=4, only_decayed=True)
+    assert all(m5["filestats"][b]["cols"] == ["v", "k"] for b in m5["buckets"])
+    got = sorted(tuple(r) for r in strm.read_merged(spark, target)
+                 .select("k", "v").collect())
+    want = sorted([(i, (i * 37) % 997) for i in range(800) if i not in (3, 5)]
+                  + [(3, 4444), (5, 5555)])
+    assert got == want
