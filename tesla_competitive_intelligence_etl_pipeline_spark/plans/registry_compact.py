@@ -2089,3 +2089,47 @@ def lim_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("rn"),
     )
     return top.unionByName(ded)
+
+
+# ===========================================================================
+# SCD Type 2 — interval dimension from a change log (r10)
+# ===========================================================================
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import scd2 as _scd2  # noqa: E402
+
+
+@register(
+    "xtra_scd2_dim",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                ORDER BY value DESC) AS rn
+      FROM events WHERE user_id < 200
+    )
+    SELECT user_id, event_type, value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current
+    FROM d WHERE rn = 1
+    """,
+)
+def xtra_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build (operators/scd2.py — r10): collapse a
+    keyed change log (each event = a change to the user's state) into
+    ``[valid_from, valid_to)`` intervals with one per-key window pass —
+    the warehouse-standard versioned dimension the reference's
+    overwrite-upsert load (SQLAlchemy merge, latest-row-only) cannot
+    answer historical joins from. Delete semantics (an erasure closes the
+    interval and opens a hole) and the point-in-time join are pinned in
+    tests/test_ext.py; the PIT join agrees row-for-row with asof_join on
+    delete-free logs. Oracle: the same dedup + LEAD window in SQL."""
+    ev = (
+        src.load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "ts", "event_type", "value")
+    )
+    return _scd2.scd2_from_log(
+        ev, ["user_id"], "ts", ["event_type", "value"], tiebreak="value"
+    )

@@ -2323,3 +2323,113 @@ def test_takedown_crash_recovery_never_loses_propagation(spark, tmp_path):
         shutil.rmtree(run)
     # the sweep exercised both sides of the delete's commit point
     assert recovered > 0 and retried > 0
+
+
+# ---------------------------------------------------------------------------
+# r10: SCD Type 2 (operators/scd2.py)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_from_log_intervals_and_deletes(spark):
+    """scd2_from_log: per-key LEAD closes intervals, deletes close without
+    opening (the key has no version in force until re-inserted), exactly
+    one is_current row per live key, same-ts duplicates deterministic."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import scd2
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "bronze", False),
+            (1, 20, "silver", False),
+            (1, 30, None, True),      # delete at 30
+            (1, 50, "gold", False),   # re-insert at 50
+            (2, 15, "basic", False),
+            (2, 15, "basic2", False),  # same-ts dup: tiebreak-max wins
+        ],
+        "k long, ts long, tier string, is_del boolean",
+    )
+    dim = scd2.scd2_from_log(log, ["k"], "ts", ["tier"], delete_col="is_del")
+    rows = {(r.k, r.valid_from): (r.tier, r.valid_to, r.is_current)
+            for r in dim.collect()}
+    assert rows == {
+        (1, 10): ("bronze", 20, False),
+        (1, 20): ("silver", 30, False),   # closed BY the delete
+        (1, 50): ("gold", None, True),
+        (2, 15): ("basic2", None, True),  # dedup kept tiebreak-max
+    }
+
+    # point-in-time: before/within/during-the-hole/after
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 25), (1, 40), (1, 60), (2, 15)], "k long, t long"
+    )
+    pit = scd2.point_in_time_join(facts, dim, ["k"], "t")
+    got = {(r.k, r.t): r.tier for r in pit.collect()}
+    assert got == {
+        (1, 5): None,        # before first version
+        (1, 25): "silver",
+        (1, 40): None,       # the delete hole: nothing in force
+        (1, 60): "gold",
+        (2, 15): "basic2",
+    }
+
+
+def test_scd2_pit_agrees_with_asof_on_delete_free_log(spark, sf_dir):
+    """On a delete-free log, point_in_time_join over scd2 intervals must
+    agree row-for-row with asof_join over the raw log — two plans, one
+    semantics (the SCD2 build is just the materialized form)."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import asof, scd2
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    ev = src.load_events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    log = ev.filter(F.col("user_id") < 50)
+    facts = ev.filter(F.col("user_id") < 50).select(
+        "user_id", F.col("ts").alias("t")
+    ).distinct()
+    dim = scd2.scd2_from_log(log, ["user_id"], "ts", ["event_type", "value"],
+                             tiebreak="value")
+    pit = scd2.point_in_time_join(
+        facts, dim.drop("is_current"), ["user_id"], "t"
+    ).select("user_id", "t", "event_type", "value")
+    a = asof.asof_join(
+        facts, log, on=["user_id"], left_ts="t", right_ts="ts",
+        payload_cols=["event_type", "value"], right_tiebreak="value",
+    ).select("user_id", "t", "event_type", "value")
+    assert sorted(map(tuple, pit.collect())) == sorted(map(tuple, a.collect()))
+
+
+def test_scd2_from_commit_changes_tracks_merge_table(spark, tmp_path):
+    """The table-format composition: commit-log CDC -> SCD2 intervals.
+    Current versions == read_merged state; a DELETEd key has no current
+    interval; superseded versions carry the pre-update attributes."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import scd2
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+
+    def rows(kvs):
+        return spark.createDataFrame(kvs, "k long, tier string")
+
+    strm.merge_table(rows([(1, "bronze"), (2, "basic")]), target,
+                     keys=["k"], order_cols=["tier"], n_buckets=2)
+    strm.snapshot_merge_table(target, "t0")
+    strm.merge_table(rows([(1, "silver")]), target, keys=["k"],
+                     order_cols=["tier"], n_buckets=2)
+    strm.delete_from_merge_table(
+        spark, target, keys=spark.createDataFrame([(2,)], "k long"))
+    strm.merge_table(rows([(3, "gold")]), target, keys=["k"],
+                     order_cols=["tier"], n_buckets=2)
+
+    dim = scd2.scd2_from_commit_changes(
+        spark, target, since="t0", keys=["k"], attrs=["tier"])
+    cur = {(r.k, r.tier) for r in dim.filter("is_current").collect()}
+    live = {(r.k, r.tier) for r in strm.read_merged(spark, target).collect()}
+    assert cur == live == {(1, "silver"), (3, "gold")}
+    hist = {(r.k, r.tier, r.is_current) for r in dim.collect()}
+    assert (1, "silver", True) in hist and (3, "gold", True) in hist
+    # k=2's delete closed its history: no current interval for it
+    assert not [r for r in dim.filter("is_current").collect() if r.k == 2]
