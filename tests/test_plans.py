@@ -573,3 +573,26 @@ def test_zorder_skipping_prunes_on_both_dims(spark, sf_dir, registry):
     assert n_t < n_all, (n_t, n_all)
     # and the conjunction prunes at least as hard as the best single dim
     assert 0 < n_vt <= min(n_v, n_t), (n_vt, n_v, n_t)
+
+
+def test_scd2_pit_join_is_keyed_not_cartesian(spark, sf_dir, registry):
+    """point_in_time_join must plan as a KEYED join with the interval
+    check as a residual predicate — broadcast for a small dim, and never
+    a CartesianProduct / BroadcastNestedLoopJoin (the naive way range
+    conditions degrade)."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import scd2
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    ev = src.load_events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    dim = scd2.scd2_from_log(
+        ev.filter(F.col("user_id") < 50), ["user_id"], "ts",
+        ["event_type", "value"], tiebreak="value",
+    )
+    facts = ev.select("user_id", F.col("ts").alias("t"))
+    out = scd2.point_in_time_join(facts, dim, ["user_id"], "t")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
