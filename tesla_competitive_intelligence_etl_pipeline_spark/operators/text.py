@@ -918,3 +918,59 @@ def bpe_token_counts(
             F.count(F.lit(1)).alias("n_words"),
         )
     )
+
+
+BPE_FORMAT_VERSION = 1
+
+
+def bpe_save(
+    path: str,
+    merges,
+    vocab=None,
+    eow: str | None = None,
+    byte_fallback: bool = False,
+    overwrite: bool = False,
+) -> None:
+    """Persist a trained tokenizer: the ranked merge table, the optional
+    training-corpus (word, sym) vocabulary cache, and a one-row config
+    table pinning the settings encode/decode must replay with (eow
+    marker, byte_fallback, format version). Train ONCE offline, then any
+    later job — other corpora, other clusters — loads the artifact and
+    encodes without retraining (the HF tokenizer.json shape, as parquet
+    so it lives on the same storage as the data). Merges are ∝ the merge
+    count and vocab ∝ distinct training words: both tiny next to any
+    corpus; encode for unseen corpora needs only merges + config (OOV
+    words replay the ranked merges — the trainer's own rewrite)."""
+    mode = "overwrite" if overwrite else "error"
+    spark = merges.sparkSession
+    merges.coalesce(1).write.mode(mode).parquet(f"{path}/merges")
+    if vocab is not None:
+        vocab.write.mode(mode).parquet(f"{path}/vocab")
+    spark.createDataFrame(
+        [(eow, bool(byte_fallback), BPE_FORMAT_VERSION)],
+        "eow string, byte_fallback boolean, format_version int",
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/config")
+
+
+def bpe_load(spark, path: str):
+    """Load a bpe_save artifact: (merges_df, vocab_df_or_None, config
+    dict). Refuses a format version newer than this code understands —
+    fail loudly, never mis-tokenize."""
+    import os as _os
+
+    cfg_rows = spark.read.parquet(f"{path}/config").collect()
+    if len(cfg_rows) != 1:
+        raise ValueError(f"corrupt tokenizer config at {path}: {cfg_rows!r}")
+    cfg = cfg_rows[0].asDict()
+    if int(cfg["format_version"]) > BPE_FORMAT_VERSION:
+        raise ValueError(
+            f"tokenizer at {path} has format_version "
+            f"{cfg['format_version']} > supported {BPE_FORMAT_VERSION}"
+        )
+    merges = spark.read.parquet(f"{path}/merges")
+    vocab = (
+        spark.read.parquet(f"{path}/vocab")
+        if _os.path.isdir(f"{path}/vocab")
+        else None
+    )
+    return merges, vocab, cfg

@@ -2433,3 +2433,58 @@ def test_scd2_from_commit_changes_tracks_merge_table(spark, tmp_path):
     assert (1, "silver", True) in hist and (3, "gold", True) in hist
     # k=2's delete closed its history: no current interval for it
     assert not [r for r in dim.filter("is_current").collect() if r.k == 2]
+
+
+def test_bpe_save_load_round_trip(spark, sf_dir, tmp_path):
+    """Tokenizer persistence (r10): train -> bpe_save -> bpe_load in a
+    'different job' -> encode/decode through the LOADED artifact equals
+    the in-memory tokenizer exactly (ids and text), including the eow +
+    byte_fallback settings replayed from the config table; create-once by
+    default; future format versions refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    docs = src.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    ).select("doc_id", "text")
+    merges, vocab = tx.bpe_train(
+        docs, n_merges=6, eow="</w>", return_vocab=True
+    )
+    path = str(tmp_path / "tok")
+    tx.bpe_save(path, merges, vocab, eow="</w>", byte_fallback=True)
+
+    m2, v2, cfg = tx.bpe_load(spark, path)
+    assert cfg["eow"] == "</w>" and cfg["byte_fallback"] is True
+    assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, merges.collect()))
+
+    # unseen corpus (forces the OOV ranked-merge path) + emoji (forces
+    # byte fallback): loaded artifact == in-memory tokenizer
+    new_docs = spark.createDataFrame(
+        [(1, "zebra quantum fizz"), (2, "hello \U0001F680 world")],
+        "doc_id long, text string",
+    )
+    def enc(mg, vb, bf):
+        return sorted(
+            (r.doc_id, tuple(r.token_ids))
+            for r in tx.bpe_encode_ids(
+                new_docs, vb, mg, eow="</w>", byte_fallback=bf
+            ).select("doc_id", "token_ids").collect()
+        )
+    assert enc(m2, v2, cfg["byte_fallback"]) == enc(merges, vocab, True)
+
+    # create-once: a second save without overwrite must refuse
+    with pytest.raises(Exception):
+        tx.bpe_save(path, merges, vocab, eow="</w>", byte_fallback=True)
+    tx.bpe_save(path, merges, vocab, eow="</w>", byte_fallback=True,
+                overwrite=True)
+
+    # a NEWER format version fails loudly instead of mis-tokenizing
+    spark.createDataFrame(
+        [("</w>", True, tx.BPE_FORMAT_VERSION + 1)],
+        "eow string, byte_fallback boolean, format_version int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/config")
+    with pytest.raises(ValueError, match="format_version"):
+        tx.bpe_load(spark, path)
