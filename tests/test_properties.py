@@ -288,9 +288,16 @@ def test_bpe_byte_fallback_roundtrip_any_unicode(spark, texts):
     want = {}
     for i, t in enumerate(texts):
         # the tokenizer lowercases and splits on whitespace; normalize the
-        # expectation the same way. Skip the documented literal-byte-token
-        # ambiguity.
-        norm = " ".join(t.lower().split())
+        # expectation the same way — with the ENGINE's whitespace class:
+        # Java/Spark \s (and DuckDB's RE2 \s in the oracles) is the ASCII
+        # [ \t\n\x0B\f\r], so U+00A0 and friends are WORD CONTENT the
+        # byte fallback carries losslessly, not separators. Python's
+        # str.split() is unicode-aware and would wrongly drop them
+        # (hypothesis found '0\xa0' in r10). Skip the documented
+        # literal-byte-token ambiguity.
+        norm = " ".join(
+            w for w in _re.split(r"[ \t\n\x0b\f\r]+", t.lower()) if w
+        )
         if not norm or _re.search(r"<0x[0-9A-F]{2}>", norm):
             continue
         docs_rows.append((i, t))
