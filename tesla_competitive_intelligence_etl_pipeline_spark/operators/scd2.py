@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_from_log", "point_in_time_join", "scd2_from_commit_changes"]
+__all__ = [
+    "scd2_from_log",
+    "point_in_time_join",
+    "scd2_from_commit_changes",
+    "scd2_from_changes_df",
+]
 
 
 def scd2_from_log(
@@ -47,14 +52,25 @@ def scd2_from_log(
     ``delete_col`` (optional): a boolean column marking delete records —
     a delete CLOSES the previous interval at its timestamp and opens
     nothing, so the key has no version in force until a later change
-    re-inserts it. Same-timestamp duplicates keep the ``tiebreak``-max row
-    (default: last attr), mirroring asof_join's determinism.
+    re-inserts it. Same-timestamp duplicates: a DELETE WINS over any
+    same-timestamp change (ADVICE r10 — a delete record typically carries
+    null attrs, which under a plain attr-desc tiebreak always LOST,
+    silently resurrecting the key); among records with the same delete
+    flag, the ``tiebreak``-max row survives (default: last attr),
+    mirroring asof_join's determinism.
 
     Output: keys + attrs + ``valid_from`` + ``valid_to`` (null = still in
     force) + ``is_current``. One shuffle (the per-key window); cost
     O(changes), never O(keys x versions)."""
     tb = tiebreak or attrs[-1]
-    wd = Window.partitionBy(*keys, ts_col).orderBy(F.col(tb).desc())
+    del_flag = (
+        F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        if delete_col is not None
+        else F.lit(False)
+    )
+    wd = Window.partitionBy(*keys, ts_col).orderBy(
+        del_flag.desc(), F.col(tb).desc()
+    )
     dedup = (
         log.withColumn("__rn", F.row_number().over(wd))
         .filter(F.col("__rn") == 1)
@@ -92,7 +108,21 @@ def point_in_time_join(
     equi-join with the interval check as a residual predicate — Catalyst
     broadcasts a small dim, sort-merge-joins a large one; at most one
     version matches per fact by construction (intervals are disjoint per
-    key), so there is no row explosion and no window over the facts."""
+    key), so there is no row explosion and no window over the facts.
+
+    Raises on fact/dim payload name collisions (ADVICE r10): every
+    non-key dim column lands in the output under its own name, so a fact
+    column with the same name would make the result ambiguous — rename
+    one side before joining."""
+    clash = sorted(
+        (set(dim.columns) - set(keys)) & set(facts.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"point_in_time_join: fact and dim share non-key column(s) "
+            f"{clash} — the dim payload is emitted under its own names, "
+            "so the output would carry duplicate columns; rename one side"
+        )
     f, d = facts.alias("__f"), dim.alias("__d")
     cond = F.lit(True)
     for k in keys:
@@ -116,26 +146,101 @@ def scd2_from_commit_changes(
     attrs: list[str],
     until: str | None = None,
     fs=None,
+    timeline: str = "seq",
 ) -> DataFrame:
     """The merge-table composition: build the SCD2 intervals directly from
     ``read_commit_changes`` output — inserts/update_postimages open
-    versions, deletes close them, ``_commit_seq`` is the version ordinal
-    (``valid_from``/``valid_to`` are commit sequence numbers relative to
-    ``since``; map them to wall-clock by joining the table's commit
-    records if needed). O(delta in the range), the commit log's own
-    contract."""
+    versions, deletes close them, ``_commit_seq`` is the version ordinal.
+
+    ``timeline`` (r11 — VERDICT r10 item 2):
+
+    - ``"seq"``: ``valid_from``/``valid_to`` are commit sequence numbers
+      relative to ``since`` — the ordering truth, always available.
+    - ``"ts"``: ``valid_from``/``valid_to`` are WALL-CLOCK timestamps (the
+      recorded commit instants), answering "what did we know at 3pm
+      Tuesday" directly; ``valid_from_seq``/``valid_to_seq`` ride along as
+      the tiebreaker/lineage. Commit ordering is still decided by seq —
+      the ts axis is MONOTONIZED (running max over seq) so a wall clock
+      stepping backwards between writers can never invert or overlap
+      intervals. Raises on pre-r11 commits whose records carry no
+      timestamp — fail loudly, never fabricate a time axis.
+
+    O(delta in the range), the commit log's own contract; the seq→ts map
+    is commits-in-range-sized and broadcast."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as merge_fs
 
     ch = strm.read_commit_changes(
         spark, target, since=since, until=until, fs=fs or merge_fs.LOCAL_FS
     )
+    return scd2_from_changes_df(ch, keys, attrs, timeline=timeline)
+
+
+def scd2_from_changes_df(
+    ch: DataFrame, keys: list[str], attrs: list[str], timeline: str = "seq"
+) -> DataFrame:
+    """Interval build over an already-materialized commit-changes frame
+    (``read_commit_changes`` output or a persisted copy of it) — the
+    engine half the fixture-backed oracle entry exercises; see
+    scd2_from_commit_changes for semantics."""
+    if timeline not in ("seq", "ts"):
+        raise ValueError(f"timeline must be 'seq' or 'ts', got {timeline!r}")
     log = ch.filter(F.col("_change_type") != "update_preimage").select(
         *keys,
         *attrs,
         F.col("_commit_seq").alias("__seq"),
         (F.col("_change_type") == "delete").alias("__is_del"),
     )
-    return scd2_from_log(
+    ivals = scd2_from_log(
         log, keys, "__seq", attrs, delete_col="__is_del", tiebreak=attrs[-1]
+    )
+    if timeline == "seq":
+        return ivals
+    # seq → monotonized wall-clock map: commits-in-range-sized (tiny), so
+    # the single-partition running-max window and the broadcast joins are
+    # free at any table size
+    cm = ch.select(
+        F.col("_commit_seq").alias("__s"), F.col("_commit_ts").alias("__t")
+    ).distinct()
+    wmono = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    cm = cm.select("__s", F.max("__t").over(wmono).alias("__t"))
+    from pyspark.sql.functions import broadcast
+
+    out = (
+        ivals.join(
+            broadcast(cm.select(F.col("__s"), F.col("__t").alias("valid_from_ts"))),
+            ivals["valid_from"] == F.col("__s"),
+            "left",
+        )
+        .drop("__s")
+        .join(
+            broadcast(cm.select(F.col("__s"), F.col("__t").alias("valid_to_ts"))),
+            ivals["valid_to"] == F.col("__s"),
+            "left",
+        )
+        .drop("__s")
+    )
+    # fail loudly on a time-less commit in the range (pre-r11 log): a
+    # version that OPENED (valid_from always maps) with a null ts means
+    # the commit record carried no timestamp
+    flagged = out.withColumn(
+        "__no_ts",
+        F.col("valid_from_ts").isNull()
+        | (F.col("valid_to").isNotNull() & F.col("valid_to_ts").isNull()),
+    )
+    cnt = flagged.filter(F.col("__no_ts")).limit(1).count()
+    if cnt:
+        raise ValueError(
+            "timeline='ts' needs every commit in the range to carry a "
+            "recorded timestamp — this range includes pre-timestamp "
+            "commits; use timeline='seq' (and map to wall-clock manually)"
+        )
+    return flagged.select(
+        *keys,
+        *attrs,
+        F.col("valid_from_ts").alias("valid_from"),
+        F.col("valid_to_ts").alias("valid_to"),
+        F.col("valid_from").alias("valid_from_seq"),
+        F.col("valid_to").alias("valid_to_seq"),
+        "is_current",
     )

@@ -956,8 +956,6 @@ def bpe_load(spark, path: str):
     """Load a bpe_save artifact: (merges_df, vocab_df_or_None, config
     dict). Refuses a format version newer than this code understands —
     fail loudly, never mis-tokenize."""
-    import os as _os
-
     cfg_rows = spark.read.parquet(f"{path}/config").collect()
     if len(cfg_rows) != 1:
         raise ValueError(f"corrupt tokenizer config at {path}: {cfg_rows!r}")
@@ -968,9 +966,17 @@ def bpe_load(spark, path: str):
             f"{cfg['format_version']} > supported {BPE_FORMAT_VERSION}"
         )
     merges = spark.read.parquet(f"{path}/merges")
-    vocab = (
-        spark.read.parquet(f"{path}/vocab")
-        if _os.path.isdir(f"{path}/vocab")
-        else None
-    )
+    # probe the OPTIONAL vocab through Spark itself, not os.path — the
+    # artifact lives on the data's storage (s3://, hdfs://), where a local
+    # isdir is always False and a present vocab would silently load as
+    # None, degrading every word to the OOV merge-replay path (ADVICE r10)
+    try:
+        vocab = spark.read.parquet(f"{path}/vocab")
+        vocab.schema  # force analysis so a missing path raises HERE
+    except Exception as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            vocab = None  # saved without a vocab — merge-replay encode
+        else:
+            raise  # present but unreadable: corrupt artifact, fail loudly
     return merges, vocab, cfg

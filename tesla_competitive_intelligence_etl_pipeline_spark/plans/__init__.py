@@ -77,7 +77,16 @@ DRIVER_WINDOW: list[str] = [
     # locally parity-checked at both SFs).
     "x9_zorder_skipping",
     "x5_text_profile",
-    "x5_sentiment_language",
+    # r11 rotation (the r8-r10 precedent): x5_sentiment_language ->
+    # x2_minhash_lsh. Fixture publication is now atomic-rename
+    # (fixtures._write stages to a dot-dir and renames the complete leaf),
+    # closing the first-write mid-glob race that kept the xxhash64
+    # production family out of the concurrent driver window (VERDICT r10
+    # item 6) — the production MinHash-LSH path is now hash-checked BY THE
+    # DRIVER against the engine-hash fixture oracle. Sentiment/language
+    # stays registered + locally parity-checked at both SFs, and X-5 keeps
+    # x5_text_profile, x5_bpe_train, and x_corpus_hygiene in-window.
+    "x2_minhash_lsh",
     "x6_exact_distinct_quantiles",
     "x7_multilevel",
     "x8_window_suite",

@@ -32,10 +32,12 @@ Mechanics and their honest limits:
   oracle glob spans every ``n=`` subdir, so a concurrent overwrite at ANY
   sf could yank files out from under another process's mid-glob read
   (observed r10: a full-suite sf0.001 oracle read raced a second
-  process's sf0.01 replay). Only the first-ever write of a leaf can still
-  race a concurrent reader; these entries therefore stay OUTSIDE the
-  driver's 50-entry window, covered by the sequential local parity suites
-  at both SFs. FIXTURE_ROOT carries a layout VERSION segment — when an
+  process's sf0.01 replay). Since r11 publication is ATOMIC-RENAME
+  (_write stages into a dot-dir the ``n=*`` globs never match, then one
+  os.rename exposes the complete leaf; a lost race discards the staging),
+  so even the FIRST-ever write cannot be mid-globbed — these entries are
+  now eligible for the driver's concurrent window (x2_minhash_lsh rotated
+  in, r11). FIXTURE_ROOT carries a layout VERSION segment — when an
   operator's hashing layout changes, bump it along with the matching
   ensure_* so stale on-disk fixtures can never satisfy the skip.
 - The fixture derivation mirrors the operators' expressions
@@ -73,21 +75,129 @@ def corpus_key(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
 
 
 def _write(spark, sf_dir: str, group: str, tables: dict[str, DataFrame]) -> None:
+    """Create-once fixture leaves with ATOMIC-RENAME publication (r11 —
+    VERDICT r10 item 6): Spark writes the leaf into a dot-prefixed staging
+    sibling (invisible to the readers' ``n=*`` globs), then ONE os.rename
+    makes the complete leaf appear. A concurrent reader can now never
+    mid-glob a partially-written leaf — the last race that kept the
+    fixture-backed entries out of the driver's concurrent window. A lost
+    rename race (another process published the same leaf first) discards
+    the staging and uses the winner's rows."""
     import os
+    import shutil
+    import uuid
 
     n, tl = corpus_key(spark, sf_dir)
     for name, df in tables.items():
-        leaf = f"{FIXTURE_ROOT}/{group}/{name}/n={n}_{tl}"
+        parent = f"{FIXTURE_ROOT}/{group}/{name}"
+        leaf = os.path.join(parent, f"n={n}_{tl}")
         if os.path.exists(os.path.join(leaf, "_SUCCESS")):
-            continue  # deterministic rows already on disk — rewriting
-            # would only re-create the cross-process mid-glob race
+            continue  # deterministic rows already on disk
+        stage = os.path.join(parent, f".stage_{uuid.uuid4().hex[:12]}")
         (
             df.withColumn("corpus_n", F.lit(n).cast("long"))
             .withColumn("corpus_len", F.lit(tl).cast("long"))
             .coalesce(4)
             .write.mode("overwrite")
-            .parquet(leaf)
+            .parquet(stage)
         )
+        try:
+            os.rename(stage, leaf)
+        except OSError:
+            # another process published this leaf between our existence
+            # check and the rename — its rows are the same deterministic
+            # values (or, for wall-clock fixtures, the frozen truth both
+            # sides must read); drop our staging
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+def read_fixture(
+    spark: SparkSession, sf_dir: str, group: str, name: str
+) -> DataFrame:
+    """Read a fixture table back, gated to THIS corpus identity (the Spark
+    twin of the oracle's _FX_GATE) with the stamp columns dropped."""
+    n, tl = corpus_key(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{FIXTURE_ROOT}/{group}/{name}/n=*")
+        .filter((F.col("corpus_n") == n) & (F.col("corpus_len") == tl))
+        .drop("corpus_n", "corpus_len")
+    )
+
+
+def ensure_scd2ts_fixture(spark: SparkSession, sf_dir: str) -> None:
+    """Commit-change rows WITH wall-clock ``_commit_ts`` from a real merge
+    table built out of the sf's events (r11 — VERDICT r10 item 2, the
+    wall-clock SCD2 gate). Build: per-user aggregate state for user_id<40,
+    snapshot, an update wave (user_id<20), a DELETE wave (user_id%5==0),
+    and an upsert wave straddling inserts and updates (35<=user_id<45) —
+    inserts, updates, AND deletes all present in the captured range.
+
+    The table's CONTENT is deterministic given the sf's events; the
+    TIMESTAMPS are the wall-clock instants of the first-ever build, frozen
+    by the create-once leaf — both sides always read the same frozen rows,
+    so nondeterministic stamps hash-match by construction. Only
+    read_commit_changes' extraction stays engine-side: interval building
+    and ts monotonization are re-derived in SQL by
+    oracle_vec.scd2_commit_ts_fixture_sql."""
+    import os
+    import shutil
+    import tempfile
+
+    if ("scd2ts", sf_dir) in _WRITTEN:
+        return
+    n, tl = corpus_key(spark, sf_dir)
+    leaf = f"{FIXTURE_ROOT}/scd2ts/changes/n={n}_{tl}"
+    if not os.path.exists(os.path.join(leaf, "_SUCCESS")):
+        from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+        from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+        ev_all = src.load_events(spark, sf_dir)
+
+        def _state(dfilter, etype_expr, value_expr):
+            return (
+                ev_all.filter(dfilter)
+                .groupBy("user_id")
+                .agg(etype_expr.alias("event_type"), value_expr.alias("value"))
+            )
+
+        tmp = tempfile.mkdtemp(prefix="scd2ts_fx_")
+        target = os.path.join(tmp, "gold")
+        try:
+            kw = dict(keys=["user_id"], order_cols=["value"], n_buckets=4)
+            strm.merge_table(
+                _state(F.col("user_id") < 40, F.min("event_type"),
+                       F.count(F.lit(1)).cast("double")),
+                target, **kw,
+            )
+            strm.snapshot_merge_table(target, "s0")
+            # update wave: user_id < 20 get a new state
+            strm.merge_table(
+                _state(F.col("user_id") < 20, F.max("event_type"),
+                       (F.count(F.lit(1)) + 1).cast("double")),
+                target, **kw,
+            )
+            # delete wave: every 5th user erased
+            strm.delete_from_merge_table(
+                spark, target,
+                keys=ev_all.filter(
+                    (F.col("user_id") < 40) & (F.col("user_id") % 5 == 0)
+                ).select("user_id").distinct(),
+            )
+            # upsert wave straddling inserts (40..59, new keys), updates
+            # (35..39), and RE-INSERTS after a delete (%10==0)
+            strm.merge_table(
+                _state(
+                    ((F.col("user_id") >= 35) & (F.col("user_id") < 60))
+                    | (F.col("user_id") % 10 == 0) & (F.col("user_id") < 40),
+                    F.max("event_type"), F.lit(1.0),
+                ),
+                target, **kw,
+            )
+            ch = strm.read_commit_changes(spark, target, since="s0")
+            _write(spark, sf_dir, "scd2ts", {"changes": ch})
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    _WRITTEN.add(("scd2ts", sf_dir))
 
 
 def ensure_minhash_fixture(spark: SparkSession, sf_dir: str) -> None:

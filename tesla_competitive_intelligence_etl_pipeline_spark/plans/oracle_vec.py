@@ -985,7 +985,9 @@ _FX_GATE = (
 def _fx(group: str, table: str) -> str:
     from tesla_competitive_intelligence_etl_pipeline_spark.plans.fixtures import FIXTURE_ROOT
 
-    return f"read_parquet('{FIXTURE_ROOT}/{group}/{table}/*/*.parquet')"
+    # n=* (not bare *): never matches the .stage_* dirs the atomic-rename
+    # publication protocol (fixtures._write, r11) may briefly leave behind
+    return f"read_parquet('{FIXTURE_ROOT}/{group}/{table}/n=*/*.parquet')"
 
 
 def _minhash_fixture_ctes(max_bucket_size: int) -> str:
@@ -1067,6 +1069,48 @@ def minhash_fixture_cluster_sql(
     FROM documents d
     LEFT JOIN reach r ON r.id = d.doc_id
     GROUP BY d.doc_id"""
+
+
+def scd2_commit_ts_fixture_sql() -> str:
+    """Oracle for xtra_scd2_commit_ts (r11 — VERDICT r10 item 2): re-derive
+    scd2_from_changes_df(timeline='ts') in SQL from the engine's persisted
+    commit-change rows (plans/fixtures.ensure_scd2ts_fixture) — per-(key,
+    commit) dedup with the delete-wins rule, LEAD interval build over the
+    commit SEQUENCE, deletes close-without-opening, and the wall-clock
+    axis joined in via the MONOTONIZED (running-max over seq) commit-ts
+    map. Only read_commit_changes' extraction stays engine-side."""
+    return f"""
+    WITH ch AS MATERIALIZED (
+      SELECT user_id, event_type, value, _change_type, _commit_seq, _commit_ts
+      FROM {_fx('scd2ts', 'changes')} WHERE {_FX_GATE}),
+    log AS (
+      SELECT user_id, event_type, value, _commit_seq AS seq,
+             (_change_type = 'delete') AS is_del
+      FROM ch WHERE _change_type <> 'update_preimage'),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, seq
+          ORDER BY is_del DESC, value DESC) AS rn
+        FROM log)
+      WHERE rn = 1),
+    iv AS (
+      SELECT user_id, event_type, value, seq AS vf,
+             LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) AS vt,
+             is_del
+      FROM dedup),
+    cm AS (
+      SELECT seq, MAX(ts) OVER (ORDER BY seq) AS mts FROM (
+        SELECT DISTINCT _commit_seq AS seq, _commit_ts AS ts FROM ch))
+    SELECT i.user_id, i.event_type, i.value,
+           f.mts AS valid_from, t.mts AS valid_to,
+           i.vf AS valid_from_seq,
+           CAST(i.vt AS DOUBLE) AS valid_to_seq,
+           (i.vt IS NULL) AS is_current
+    FROM iv i
+    JOIN cm f ON i.vf = f.seq
+    LEFT JOIN cm t ON i.vt = t.seq
+    WHERE NOT i.is_del"""
 
 
 def simhash_fixture_sql(max_hamming: int = 8) -> str:

@@ -2133,3 +2133,28 @@ def xtra_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2.scd2_from_log(
         ev, ["user_id"], "ts", ["event_type", "value"], tiebreak="value"
     )
+
+
+@register("xtra_scd2_commit_ts", _oracle_vec.scd2_commit_ts_fixture_sql())
+def xtra_scd2_commit_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock SCD2 from the commit log (r11 — VERDICT r10 item 2):
+    commit records carry a recorded timestamp, read_commit_changes exposes
+    it as ``_commit_ts``, and scd2_from_changes_df(timeline='ts') emits
+    real ``valid_from``/``valid_to`` instants — commit ORDER still decided
+    by ``_commit_seq`` (riding along as *_seq), the ts axis monotonized
+    (running max over seq) so a wall clock stepping back between writers
+    can never invert intervals. Hash-checked via the frozen fixture of a
+    real table's captured change rows (inserts + updates + deletes +
+    re-inserts; plans/fixtures.ensure_scd2ts_fixture): the oracle
+    re-derives dedup (delete-wins), LEAD intervals, and the monotonized
+    ts join in SQL. 'What did we know at 3pm Tuesday' is now one
+    point_in_time_join away (pinned in tests/test_ext.py)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_scd2ts_fixture(spark, sf_dir)
+    ch = fixtures.read_fixture(spark, sf_dir, "scd2ts", "changes")
+    dim = _scd2.scd2_from_changes_df(
+        ch, ["user_id"], ["event_type", "value"], timeline="ts"
+    )
+    # nullable int -> float64 on the oracle's pandas side; align dtypes
+    return dim.withColumn("valid_to_seq", F.col("valid_to_seq").cast("double"))

@@ -339,7 +339,10 @@ def erase_everywhere(
             # under the table's writer lease (owner above) so no commit can
             # be mid-flight to protect
             strm.vacuum_merge_table(
-                target, fs=fs, lease_owner=owner, staged_grace_sec=0.0
+                target, fs=fs, lease_owner=owner, staged_grace_sec=0.0,
+                exclusive=True,  # lease held for the whole erasure: no
+                # writer can be staging, and the bump-anchored sparing
+                # would leave young id-holding versions as residual
             )
             # ---- commit-log scrub -----------------------------------------
             scrubbed: list[str] = []

