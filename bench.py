@@ -6,10 +6,12 @@ and prints ONE JSON line:
    "queries": {<EVERY query -> sec>}, "sf": ...}
 
 `value` stays the 16-query HEADLINE total (comparable round-over-round and
-against BASELINE.md) — since round 6 each headline query is the MEDIAN of 3
-passes (the BASELINE.md protocol; `headline_pass_totals` keeps the raw
-sums), and the artifact is stamped `contaminated: true` when loadavg at
-start exceeds 2. `queries` carries per-query wall clock for the ENTIRE
+against BASELINE.md) — since round 11 each headline query is the MEDIAN of
+5 passes with a JVM-GC + 2 s cool-down between passes and per-pass loadavg
+recorded (`headline_pass_loadavg`; r6-r10 used median-of-3 — the sweep
+heats the box and 3 consecutive samples ride the drift;
+`headline_pass_totals` keeps the raw sums), and the artifact is stamped
+`contaminated: true` when loadavg at start exceeds 2. `queries` carries per-query wall clock for the ENTIRE
 registry — every oracle-backed query plus the rows-only approximate variants
 — so per-operator regressions are visible between rounds.
 
@@ -168,16 +170,26 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Headline metric = per-query MEDIAN over 3 passes (the BASELINE.md
-    # re-baseline protocol, r5 item 6): one cold pass + two warm passes per
-    # query, median per query, summed. This is strictly more comparable
-    # round-over-round than the old single cold pass on a box with ~25%
-    # run-to-run noise; per-pass sums are reported alongside for audit.
+    # Headline metric = per-query MEDIAN over 5 passes (r11 — VERDICT r10
+    # item 8 hardened the r5 median-of-3): the judge's idle-box r10 run
+    # still spread 14.7->20.4 s across three consecutive passes — the box
+    # HEATS under the sweep (JIT/GC/thermal), so consecutive passes drift
+    # one-directionally and a 3-sample median rides the drift. Five passes
+    # with an explicit cool-down between them (JVM System.gc() so heap
+    # pressure from pass N is not billed to pass N+1, plus a 2 s idle) and
+    # the per-pass 1-min loadavg recorded in the artifact, so a drifting
+    # box is VISIBLE in the numbers instead of inferred. Median per query,
+    # summed; per-pass sums stay alongside for audit.
     headline_passes: list[dict[str, float]] = []
-    for _ in range(3):
+    headline_pass_loadavg: list[float] = []
+    for i in range(5):
+        if i:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2.0)
+        headline_pass_loadavg.append(round(os.getloadavg()[0], 2))
         headline_passes.append({name: run(name) for name in HEADLINE})
     timings: dict[str, float] = {
-        name: sorted(p[name] for p in headline_passes)[1] for name in HEADLINE
+        name: sorted(p[name] for p in headline_passes)[2] for name in HEADLINE
     }
     # Sweep de-noising (VERDICT r6 item 3): entries whose first pass exceeds
     # 1 s get two more passes and report the median — r5→r6 diffs showed a
@@ -207,7 +219,8 @@ def main() -> None:
         "all_queries_total_sec": round(sum(timings.values()), 3),
         "n_queries": len(timings),
         "queries": timings,
-        "headline_protocol": "median_of_3",
+        "headline_protocol": "median_of_5_gc_interleaved",
+        "headline_pass_loadavg": headline_pass_loadavg,
         # sweep protocol (r6 item 3): headline entries are median-of-3 by the
         # block above; remaining entries are median-of-3 when the first pass
         # ran > 1 s, else single-pass. single_pass entries carry the box's
@@ -244,7 +257,8 @@ def main() -> None:
                 "all_queries_total_sec": round(sum(timings.values()), 3),
                 "n_queries": len(timings),
                 "queries": {n: timings[n] for n in HEADLINE},
-                "headline_protocol": "median_of_3",
+                "headline_protocol": "median_of_5_gc_interleaved",
+                "headline_pass_loadavg": headline_pass_loadavg,
                 "sweep_protocol": "median_of_3_over_1s",
                 "headline_pass_totals": [
                     round(sum(p.values()), 3) for p in headline_passes

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""RECURRING sf0.1 -> sf1 scale point (r11 — VERDICT r10 item 5; the r10
+one-shot `scaling_r10_sf1.py` promoted to a per-round job): time the FROZEN
+headline 16 plus the big iterative entries at both scale points (sf1 cached
+at .localdata/sf1 by scripts/make_sf1.py — 10x volume, 10x distinct keys)
+and report the per-query scaling exponent  e = log10(t_sf1 / t_sf0.1)
+(1 = linear, < 1 = sublinear fixed-cost amortization, > 1 = superlinear —
+needs a named cause in SCALING.md).
+
+Exponent DRIFT is the signal: pass --baseline <json> (a prior round's
+--json output) and any |Δe| > 0.1 is flagged — the earliest scale
+regression this rig can surface, per the protocol in SCALING.md. Run on an
+otherwise-idle box (the bench-box loadavg<2 rule applies); one warm-up pass
+per query per SF, caches cleared between SFs.
+
+Usage:
+  python scripts/scaling_sf1.py [--json out.json] [--baseline prev.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tesla_competitive_intelligence_etl_pipeline_spark.session import get_spark  # noqa: E402
+from tesla_competitive_intelligence_etl_pipeline_spark.plans import load_registry  # noqa: E402
+from bench import HEADLINE  # noqa: E402
+
+EXTRA = [  # the big iterative / quadratic-risk entries beyond the headline
+    "x3_kmeans_df_clusters",
+    "x3_kmeans_clusters",
+    "x2_cluster_dedup",
+    "x2_near_dedup_canonical",
+    "tpch_suite",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = str(Path(__file__).resolve().parent.parent / ".localdata" / "sf1")
+
+
+def run(spark, fn, sf):
+    t0 = time.monotonic()
+    fn(spark, sf).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None, help="write machine-readable results here")
+    ap.add_argument("--baseline", default=None,
+                    help="prior round's --json output; |d(exponent)| > 0.1 flagged")
+    args = ap.parse_args()
+
+    if not os.path.isdir(SF1):
+        sys.exit(f"sf1 cache missing at {SF1} — run scripts/make_sf1.py first")
+    print(f"loadavg at start: {os.getloadavg()[0]:.2f}")
+    spark = get_spark("scaling_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_registry()
+    names = [n for n in HEADLINE + EXTRA if n in reg]
+    rows = []
+    for name in names:
+        fn = reg[name][0]
+        t = {}
+        for sf in (SF01, SF1):
+            run(spark, fn, sf)  # warm-up (compile + source caches)
+            t[sf] = run(spark, fn, sf)
+            spark.catalog.clearCache()
+        e = math.log10(t[SF1] / t[SF01])
+        rows.append((name, t[SF01], t[SF1], e))
+        print(f"{name:32s} sf0.1 {t[SF01]:7.2f}s  sf1 {t[SF1]:7.2f}s  exp {e:5.2f}",
+              flush=True)
+
+    print("\n| query | sf0.1 s | sf1 s | exponent |")
+    print("| --- | --- | --- | --- |")
+    for name, a, b, e in rows:
+        print(f"| {name} | {a:.2f} | {b:.2f} | {e:.2f} |")
+
+    base = None
+    if args.baseline and os.path.exists(args.baseline):
+        base = {r["query"]: r["exponent"]
+                for r in json.load(open(args.baseline))["rows"]}
+        print("\nExponent drift vs baseline (|d| > 0.1 flagged):")
+        for name, _, _, e in rows:
+            if name in base:
+                d = e - base[name]
+                flag = "  <-- DRIFT" if abs(d) > 0.1 else ""
+                print(f"  {name:32s} {base[name]:5.2f} -> {e:5.2f}  d={d:+.2f}{flag}")
+
+    if args.json:
+        Path(args.json).write_text(json.dumps({
+            "loadavg_start": round(os.getloadavg()[0], 2),
+            "rows": [
+                {"query": n, "t_sf01": round(a, 3), "t_sf1": round(b, 3),
+                 "exponent": round(e, 3)}
+                for n, a, b, e in rows
+            ],
+        }, indent=1) + "\n")
+
+
+if __name__ == "__main__":
+    main()

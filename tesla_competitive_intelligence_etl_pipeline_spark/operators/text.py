@@ -384,6 +384,57 @@ def _symbolize(word: Column, eow: str | None = None) -> Column:
 # (operators/clustering.py): the expression form is faster while it fits.
 BPE_EXPR_MAX_MERGES = 64
 
+# GPT-2's pre-tokenization pattern (Radford et al. 2019, the regex every
+# byte-level BPE descendant ships): contractions, optional-leading-space
+# letter runs, number runs, punctuation runs, then whitespace — trailing
+# whitespace-before-nonspace split off by the lookahead. Java regex
+# supports \p{L}/\p{N} and the lookahead natively, so the split is one
+# JVM-side regexp_extract_all; case is PRESERVED (no lower()).
+GPT2_PRETOK_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+# GPT-2's byte-to-printable surrogates for the whitespace bytes a piece
+# may CONTAIN (space/newline/tab/CR -> Ġ Ċ ĉ č, the visible convention
+# from its byte encoder): the trainer's symbol strings are
+# space-SEPARATED, so a literal space inside a piece would corrupt them.
+_WS_CHARS, _WS_SURROGATES = " \n\t\r", "ĠĊĉč"
+
+
+def pretokenize_pieces(col: Column, mode: str = "whitespace") -> Column:
+    """Text -> ARRAY of word pieces, the boundary the BPE trainer/encoder
+    merges within (r11 — VERDICT r10 item 4).
+
+    - ``"whitespace"``: the legacy lowercased ``\\s+`` split — keeps every
+      pinned oracle byte-identical.
+    - ``"gpt2"``: the GPT-2 regex — contractions split off, letter/number/
+      punctuation runs with the leading-space convention, CASE PRESERVED;
+      whitespace chars map to GPT-2's printable surrogates (Ġ Ċ ĉ č) so
+      pieces survive the trainer's space-separated symbol encoding, and
+      ``gpt2_detokenize`` maps them back for the exact (case-preserving)
+      round trip. Pieces containing whitespace the surrogate table doesn't
+      cover (exotic Unicode spaces) are dropped rather than corrupted —
+      the one documented coverage gap."""
+    if mode == "whitespace":
+        return F.split(F.lower(col), r"\s+")
+    if mode == "gpt2":
+        pieces = F.regexp_extract_all(col, F.lit(GPT2_PRETOK_RE), F.lit(0))
+        return F.filter(
+            F.transform(
+                pieces, lambda p: F.translate(p, _WS_CHARS, _WS_SURROGATES)
+            ),
+            lambda p: ~p.rlike(r"\s"),
+        )
+    raise ValueError(f"pretokenize must be 'whitespace' or 'gpt2', got {mode!r}")
+
+
+def gpt2_detokenize(col: Column) -> Column:
+    """Inverse of the gpt2 piece surrogates: glued decoded pieces back to
+    the original text (Ġ Ċ ĉ č -> space/newline/tab/CR) — with
+    ``pretokenize='gpt2'`` the pattern partitions the input, so
+    gpt2_detokenize(decode(encode(x))) == x EXACTLY, case included
+    (pinned in tests)."""
+    return F.translate(col, _WS_SURROGATES, _WS_CHARS)
+
 
 def bpe_apply_merges(
     word: Column, merges: list[tuple[str, str]], eow: str | None = None
@@ -453,6 +504,7 @@ def bpe_train(
     eow: str | None = None,
     target_vocab: int | None = None,
     min_pair_count: int | None = None,
+    pretokenize: str = "whitespace",
 ):
     """Distributed BPE tokenizer training (Sennrich-style word-frequency
     formulation): ONE corpus-scale pass builds the (word, freq) dictionary
@@ -493,13 +545,23 @@ def bpe_train(
     BEFORE learning a merge whose best pair occurs < M times (the
     HF-trainer min_frequency floor — sub-floor merges memorize noise).
     Both are driver-visible scalars, so the unrolled SQL oracle
-    reproduces them as round gates (_bpe_oracle_sql)."""
+    reproduces them as round gates (_bpe_oracle_sql).
+
+    ``pretokenize`` (r11 — VERDICT r10 item 4): the word-boundary rule in
+    front of the merges — ``"whitespace"`` (legacy, lowercased) or
+    ``"gpt2"`` (the production regex: contractions, letter/number/punct
+    runs, leading-space convention, case preserved; see
+    pretokenize_pieces). Train-time choice like eow — encode with the
+    SAME mode (bpe_encode_ids ``pretokenize=``), persisted by
+    bpe_save."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators.dedup import _truncate_lineage
 
     spark = docs.sparkSession
     words = (
         docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+            F.explode(
+                pretokenize_pieces(F.col(text_col), pretokenize)
+            ).alias("word")
         )
         .filter((F.col("word") != "") & (F.length("word") <= max_word_len))
     )
@@ -624,6 +686,7 @@ def bpe_encode_ids(
     id_col: str = "doc_id",
     eow: str | None = None,
     byte_fallback: bool = False,
+    pretokenize: str = "whitespace",
 ):
     """FULL tokenizer output: per document, the ordered BPE token-id
     sequence (plus its length) — what sequence packing / training-batch
@@ -647,7 +710,7 @@ def bpe_encode_ids(
     tok_id) triples only."""
     words = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+        F.posexplode(pretokenize_pieces(F.col(text_col), pretokenize)).alias(
             "__wpos", "word"
         ),
     ).filter(F.col("word") != "")
@@ -930,6 +993,7 @@ def bpe_save(
     eow: str | None = None,
     byte_fallback: bool = False,
     overwrite: bool = False,
+    pretokenize: str = "whitespace",
 ) -> None:
     """Persist a trained tokenizer: the ranked merge table, the optional
     training-corpus (word, sym) vocabulary cache, and a one-row config
@@ -947,8 +1011,9 @@ def bpe_save(
     if vocab is not None:
         vocab.write.mode(mode).parquet(f"{path}/vocab")
     spark.createDataFrame(
-        [(eow, bool(byte_fallback), BPE_FORMAT_VERSION)],
-        "eow string, byte_fallback boolean, format_version int",
+        [(eow, bool(byte_fallback), BPE_FORMAT_VERSION, pretokenize)],
+        "eow string, byte_fallback boolean, format_version int, "
+        "pretokenize string",
     ).coalesce(1).write.mode(mode).parquet(f"{path}/config")
 
 
@@ -960,6 +1025,10 @@ def bpe_load(spark, path: str):
     if len(cfg_rows) != 1:
         raise ValueError(f"corrupt tokenizer config at {path}: {cfg_rows!r}")
     cfg = cfg_rows[0].asDict()
+    # pre-r11 artifacts predate the pretokenize column: whitespace mode
+    cfg.setdefault("pretokenize", "whitespace")
+    if cfg["pretokenize"] is None:
+        cfg["pretokenize"] = "whitespace"
     if int(cfg["format_version"]) > BPE_FORMAT_VERSION:
         raise ValueError(
             f"tokenizer at {path} has format_version "

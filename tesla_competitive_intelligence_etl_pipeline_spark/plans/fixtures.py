@@ -200,6 +200,34 @@ def ensure_scd2ts_fixture(spark: SparkSession, sf_dir: str) -> None:
     _WRITTEN.add(("scd2ts", sf_dir))
 
 
+def ensure_gpt2_pretok_fixture(spark: SparkSession, sf_dir: str) -> None:
+    """(word, freq) under the GPT-2 regex pre-tokenizer for the full
+    documents corpus (r11 — VERDICT r10 item 4): DuckDB's RE2 has no
+    lookahead, so the regex split itself — and ONLY it — stays
+    engine-side, persisted through the same expressions bpe_train uses
+    (operators/text.pretokenize_pieces + the trainer's length/empty
+    filters). The oracle re-derives symbolization and every unrolled
+    merge round in SQL from these words."""
+    if ("gpt2pretok", sf_dir) in _WRITTEN:
+        return
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                tx.pretokenize_pieces(F.col("text"), "gpt2")
+            ).alias("word")
+        )
+        .filter((F.col("word") != "") & (F.length("word") <= 64))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    _write(spark, sf_dir, "gpt2pretok", {"wf": wf})
+    _WRITTEN.add(("gpt2pretok", sf_dir))
+
+
 def ensure_minhash_fixture(spark: SparkSession, sf_dir: str) -> None:
     """(doc_id, sh) + (doc_id, band, bucket) for the full documents corpus —
     the xxhash64 outputs behind x2_minhash_lsh / x2_near_dedup_canonical /

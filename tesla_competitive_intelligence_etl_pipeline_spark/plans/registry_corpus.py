@@ -1093,6 +1093,7 @@ def _bpe_oracle_sql(
     byte_fallback: bool = False,
     target_vocab: int | None = None,
     min_pair_count: int | None = None,
+    wf0_fixture_group: str | None = None,
 ) -> str:
     """Unrolled merge rounds (the unrolled-Lloyd precedent): each round is
     a pair-count CTE, an argmax CTE (count DESC, pair ASC), and a
@@ -1122,7 +1123,14 @@ def _bpe_oracle_sql(
     having fired (EXISTS b{prev} — a BREAK, not a skip: merging can
     create new above-floor pairs later, which the engine's loop never
     sees). A gated-off round's b{r} is empty, its rewrite a no-op, and
-    the merges output simply truncates."""
+    the merges output simply truncates.
+
+    ``wf0_fixture_group`` (r11 — VERDICT r10 item 4): source wf0 from an
+    engine-persisted (word, freq) fixture leaf instead of re-splitting
+    lower(text) on \\s+ — the GPT-2 pre-tokenizer's lookahead regex has
+    no RE2 equivalent, so the SPLIT alone stays engine-side
+    (plans/fixtures.ensure_gpt2_pretok_fixture) and symbolization plus
+    every merge round is still re-derived here."""
     eow_sql = " || ' {m}'".format(m=eow) if eow else ""
 
     def _applied(base: str) -> str:
@@ -1348,8 +1356,21 @@ def _bpe_oracle_sql(
             "cnt AS pair_count FROM b{r}".format(r=r)
             for r in range(1, n_merges + 1)
         )
-    return (
-        """
+    if wf0_fixture_group is not None:
+        from tesla_competitive_intelligence_etl_pipeline_spark.plans import oracle_vec as _ov
+
+        wf0 = """
+    WITH wf0 AS MATERIALIZED (
+      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')){eow} AS sym,
+             freq
+      FROM {src} WHERE {gate}
+    ),""".format(
+            eow=eow_sql,
+            src=_ov._fx(wf0_fixture_group, "wf"),
+            gate=_ov._FX_GATE,
+        )
+    else:
+        wf0 = """
     WITH wf0 AS MATERIALIZED (
       SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')){eow} AS sym,
              CAST(COUNT(*) AS BIGINT) AS freq
@@ -1358,6 +1379,8 @@ def _bpe_oracle_sql(
       WHERE word <> '' AND length(word) <= 64
       GROUP BY 1
     ),""".format(eow=eow_sql)
+    return (
+        wf0
         + ",".join(rounds)
         + ("," if (encode or encode_ids) else "")
         + "\n    "
@@ -1508,3 +1531,28 @@ def x5_bpe_train_eow(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing pins byte-identical."""
     docs = src.load_table(spark, sf_dir, "documents")
     return tx.bpe_train(docs, n_merges=3, eow="</w>")
+
+
+@register(
+    "x5_bpe_gpt2_pretok",
+    _bpe_oracle_sql(4, wf0_fixture_group="gpt2pretok"),
+)
+def x5_bpe_gpt2_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5n (r11 — VERDICT r10 item 4): BPE training behind the GPT-2
+    regex PRE-TOKENIZER (operators/text.pretokenize_pieces 'gpt2') —
+    contractions split off, letter/number/punctuation runs, the
+    leading-space convention (space -> Ġ, GPT-2's printable surrogate),
+    case PRESERVED — instead of the legacy lowercased \\s+ split. This is
+    how production tokenizers (GPT-2, RoBERTa, and descendants) actually
+    segment text before merging. Hash-checked: the lookahead regex has no
+    RE2 equivalent, so the engine persists its (word, freq) pre-token
+    table as a fixture (plans/fixtures.ensure_gpt2_pretok_fixture) and
+    the oracle re-derives symbolization + all four unrolled merge rounds
+    from it — only the split stays engine-side. The exact
+    (case-preserving) encode/decode round trip via gpt2_detokenize is
+    pinned in tests/test_ext.py."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_gpt2_pretok_fixture(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, n_merges=4, pretokenize="gpt2")

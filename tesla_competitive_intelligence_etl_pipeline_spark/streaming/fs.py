@@ -109,6 +109,12 @@ class MergeFS:
         absent."""
         raise NotImplementedError
 
+    def size(self, path: str) -> int:
+        """Byte size of the file at ``path`` (object stores:
+        ContentLength). Powers optimize_merge_table's target-file-bytes
+        auto-sizing (r11). Raises FileNotFoundError when absent."""
+        raise NotImplementedError
+
     def makedirs(self, path: str) -> None:
         raise NotImplementedError
 
@@ -157,6 +163,9 @@ class LocalFS(MergeFS):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)

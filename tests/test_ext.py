@@ -2178,6 +2178,120 @@ def test_takedown_orchestrator_end_to_end(spark, sf_dir, tmp_path):
     assert got_c == want_c and len(got_c) > 0
 
 
+def test_takedown_verify_zero_residual_everywhere(spark, sf_dir, tmp_path):
+    """r11 (VERDICT r10 item 1): ONE audit across corpus + every derived
+    store. Plant ids everywhere (corpus with a named snapshot pin, IVF +
+    IVF-PQ indexes, LSH signature table), then drive the full erasure
+    pipeline and pin takedown_verify's report at every stage: non-zero in
+    every location at plant; store rows STILL retained after takedown
+    (tombstoned-but-unpurged is content on disk); store-clean after both
+    purges while the corpus history still holds content; and [] — zero
+    residual EVERYWHERE — only after erase_everywhere."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+        clustering,
+        dedup as dd,
+        similarity as sim,
+        takedown as td,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import erasure
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 100)
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 100
+    ).select(F.col("vec_id").alias("doc_id"), "embedding", "label")
+
+    corpus = str(tmp_path / "gold")
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"])
+    strm.snapshot_merge_table(corpus, "repro")  # a reproducibility pin
+    ivf, ivfpq, sig = (str(tmp_path / n) for n in ("ivf", "ivfpq", "sig"))
+    sim.build_ivf_index(emb, ivf)
+    clustering.build_ivfpq_index(emb, ivfpq, id_col="doc_id", m=4, k=8,
+                                 max_iters=2, round_decimals=6)
+    dd.write_signature_table(docs, sig)
+
+    doomed = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    stores = dict(ivf_indexes=(ivf,), ivfpq_indexes=(ivfpq,),
+                  signature_tables=(sig,))
+
+    def audit():
+        return td.takedown_verify(
+            spark, corpus, doomed, id_col="doc_id", **stores)
+
+    def kinds(hits):
+        return {h["kind"] for h in hits}
+
+    store_kinds = {"index_vectors", "index_codes", "signature_rows"}
+
+    # plant: the ids exist in EVERY location
+    a0 = audit()
+    assert {"live", "snapshot", "changes"} | store_kinds <= kinds(a0)
+    assert all(h["n_rows"] > 0 for h in a0)
+
+    # takedown: live state gone, stores tombstoned — but their ROWS are
+    # still on disk (retained content until purge), history still holds
+    out = td.takedown(spark, corpus, keys=doomed, id_col="doc_id", **stores)
+    assert out["corpus_deleted"] == doomed.count()
+    a1 = audit()
+    assert "live" not in kinds(a1)
+    assert {"snapshot", "changes"} | store_kinds <= kinds(a1)
+
+    # both purges: derived stores physically clean; corpus history remains
+    sim.compact_ivf_index(spark, ivf, purge_tombstones=True, id_col="doc_id")
+    clustering.compact_ivfpq_index(spark, ivfpq, purge_tombstones=True,
+                                   id_col="doc_id")
+    dd.compact_signature_table(spark, sig, purge_tombstones=True)
+    a2 = audit()
+    assert not (kinds(a2) & store_kinds)
+    assert {"snapshot", "changes"} <= kinds(a2)
+
+    # erase_everywhere(rewrite): snapshot versions rewritten, superseded
+    # versions vacuumed, deltas scrubbed -> ZERO residual anywhere
+    erasure.erase_everywhere(spark, corpus, doomed, mode="rewrite")
+    assert audit() == []
+    # the pinned snapshot stays readable (minus the erased rows) and the
+    # survivors are untouched
+    pinned = strm.read_merged(spark, corpus, snapshot="repro")
+    left = {r.doc_id for r in pinned.collect()}
+    assert left == {r.doc_id for r in docs.collect()} - {
+        r.doc_id for r in doomed.collect()}
+
+
+def test_takedown_verify_extra_tables_and_wrong_table(spark, sf_dir, tmp_path):
+    """takedown_verify extra_tables: any parquet derivation keyed by the id
+    audits the same way (hit -> reported, purged -> clean); a table without
+    the id column fails loudly instead of silently reporting clean."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 50)
+    corpus = str(tmp_path / "gold")
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"])
+    derived = str(tmp_path / "derived")
+    docs.select("doc_id", F.length("text").alias("n")).write.parquet(derived)
+
+    doomed = spark.createDataFrame([(3,), (13,)], "doc_id long")
+    hits = td.takedown_verify(spark, corpus, doomed, id_col="doc_id",
+                              extra_tables=(derived,))
+    assert [h for h in hits if h["kind"] == "table_rows"
+            and h["store"] == derived and h["n_rows"] == 2]
+
+    nokey = str(tmp_path / "nokey")
+    docs.select(F.length("text").alias("n")).write.parquet(nokey)
+    with pytest.raises(ValueError, match="doc_id"):
+        td.takedown_verify(spark, corpus, doomed, id_col="doc_id",
+                           extra_tables=(nokey,))
+
+
 def test_takedown_pin_sweep(spark, tmp_path):
     """r9: a process crash between takedown's ephemeral snapshot pin and
     its drop strands a 'takedown-*' tag that pins the PRE-DELETE versions
@@ -2552,6 +2666,46 @@ def test_scd2_commit_ts_wall_clock_timeline(spark, tmp_path, monkeypatch):
     assert scd2.scd2_from_commit_changes(
         spark, target2, since="t0", keys=["k"], attrs=["tier"]
     ).count() == 1
+
+
+def test_bpe_gpt2_pretokenize_round_trip_and_persistence(spark, sf_dir, tmp_path):
+    """r11 (VERDICT r10 item 4): the GPT-2 regex pre-tokenizer — pieces
+    follow the published pattern (contractions, leading-space convention,
+    case preserved, whitespace as printable surrogates), the
+    encode->decode->gpt2_detokenize round trip is EXACT (case included,
+    byte_fallback covering out-of-alphabet symbols), and bpe_save/load
+    persists the mode so another job replays the same segmentation."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "I can't believe it's 2026! Hello   world.\n\tTabs too."),
+         (2, "lower UPPER MiXeD 42x \U0001F680 emoji")],
+        "doc_id long, text string",
+    )
+    got = docs.select(
+        "doc_id", tx.pretokenize_pieces(F.col("text"), "gpt2").alias("p")
+    ).orderBy("doc_id").collect()
+    assert got[0].p[:8] == ["I", "Ġcan", "'t", "Ġbelieve", "Ġit", "'s",
+                            "Ġ2026", "!"]
+    assert "ĠUPPER" in got[1].p and "ĠMiXeD" in got[1].p  # case preserved
+    assert "Ġ42" in got[1].p and "x" in got[1].p  # number/letter runs split
+
+    merges, vocab = tx.bpe_train(
+        docs, n_merges=4, pretokenize="gpt2", return_vocab=True)
+    enc = tx.bpe_encode_ids(
+        docs, vocab, merges=merges, pretokenize="gpt2", byte_fallback=True)
+    dec = tx.bpe_decode(enc, vocab, byte_fallback=True).select(
+        "doc_id", tx.gpt2_detokenize(F.col("text")).alias("text"))
+    assert {(r.doc_id, r.text) for r in dec.collect()} == {
+        (r.doc_id, r.text) for r in docs.collect()}  # EXACT round trip
+
+    # persistence carries the mode; a pre-r11 artifact defaults whitespace
+    path = str(tmp_path / "tok")
+    tx.bpe_save(path, merges, vocab, byte_fallback=True, pretokenize="gpt2")
+    _, _, cfg = tx.bpe_load(spark, path)
+    assert cfg["pretokenize"] == "gpt2"
 
 
 def test_bpe_save_load_round_trip(spark, sf_dir, tmp_path):

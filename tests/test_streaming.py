@@ -1698,11 +1698,11 @@ def test_rollback_captures_synthetic_delta(spark, tmp_path):
     w_first = Window.partitionBy("user_id").orderBy(F.col("_commit_seq").asc())
     last_post = (
         post.withColumn("__rn", F.row_number().over(w_last))
-        .filter("__rn = 1").drop("__rn", "_commit_seq")
+        .filter("__rn = 1").drop("__rn", "_commit_seq", "_commit_ts")
     )
     first_pre = (
         pre.withColumn("__rn", F.row_number().over(w_first))
-        .filter("__rn = 1").drop("__rn", "_commit_seq")
+        .filter("__rn = 1").drop("__rn", "_commit_seq", "_commit_ts")
     )
     # keys whose first-pre row EQUALS their last-post row (modulo the
     # change-type tag) cancelled out: with the synthetic delta, EVERY key
@@ -2018,7 +2018,7 @@ def test_incremental_dedup_consumer_survives_rollback(spark, tmp_path):
     kinds = {(r.doc_id, r._change_type) for r in log.collect()}
     assert (20, "insert") in kinds and (20, "delete") in kinds
     # compact to net: last post per key, cancelled by matching first pre
-    cols = [c for c in log.columns if c != "_commit_seq"]
+    cols = [c for c in log.columns if c not in ("_commit_seq", "_commit_ts")]
     w_last = Window.partitionBy("doc_id").orderBy(F.col("_commit_seq").desc())
     w_first = Window.partitionBy("doc_id").orderBy(F.col("_commit_seq").asc())
     post = (
@@ -2669,3 +2669,46 @@ def test_optimize_only_decayed_is_incremental(spark, tmp_path):
     want = sorted([(i, (i * 37) % 997) for i in range(800) if i not in (3, 5)]
                   + [(3, 4444), (5, 5555)])
     assert got == want
+
+
+def test_optimize_target_file_bytes_auto_sizing(spark, tmp_path):
+    """r11 (VERDICT r10 item 7): optimize_merge_table(target_file_bytes=)
+    derives the file count from the touched buckets' committed parquet
+    bytes (Delta OPTIMIZE maxFileSize shape) instead of a fixed
+    cluster_files — a small target yields more, smaller files; a huge
+    target collapses each bucket toward one file; the chosen sizing is
+    reported and the layout still prunes on the cluster column."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    target = str(tmp_path / "gold")
+    rows = spark.createDataFrame(
+        [(i, (i * 37) % 997, "x" * 64) for i in range(4000)],
+        "k long, v long, pad string",
+    )
+    strm.merge_table(rows, target, keys=["k"], order_cols=["v"], n_buckets=2)
+
+    # huge target: one file per bucket
+    m_big = strm.optimize_merge_table(
+        spark, target, cluster_by="v", target_file_bytes=1 << 30)
+    assert m_big["_optimize_sizing"]["cluster_files"] == 1
+    files_big = len(strm.read_merged(spark, target).inputFiles())
+
+    # small target: sized from real bytes -> strictly more files
+    touched_bytes = m_big["_optimize_sizing"]["touched_bytes"]
+    m_small = strm.optimize_merge_table(
+        spark, target, cluster_by="v",
+        target_file_bytes=max(1, touched_bytes // 16))
+    sz = m_small["_optimize_sizing"]
+    assert sz["cluster_files"] >= 8  # ~16 files over 2 buckets
+    files_small = len(strm.read_merged(spark, target).inputFiles())
+    assert files_small > files_big
+
+    # the sizing key is report-only: the committed manifest has no trace
+    assert "_optimize_sizing" not in strm._load_manifest(target)
+    # and the sized layout still prunes files on the cluster column
+    full = strm.read_merged(spark, target)
+    rd = strm.read_merged(spark, target, range_filters={"v": (0, 60)})
+    assert 0 < len(rd.inputFiles()) < len(full.inputFiles())
+    assert rd.count() == rows.filter("v between 0 and 60").count()
