@@ -11,7 +11,12 @@ Exponent DRIFT is the signal: pass --baseline <json> (a prior round's
 --json output) and any |Δe| > 0.1 is flagged — the earliest scale
 regression this rig can surface, per the protocol in SCALING.md. Run on an
 otherwise-idle box (the bench-box loadavg<2 rule applies); one warm-up pass
-per query per SF, caches cleared between SFs.
+per query per SF, then the timed value is the MEDIAN of 3 passes (r11: the
+single-pass r10 protocol put a 5x spread on the iterative entries — their
+internal persist()s make pass cost cache-state-dependent, and a 21-query
+session heats; the warm-up's persisted intermediates stay live across the
+3 passes, the same warm protocol r10 measured, just sampled robustly);
+caches cleared between (query, SF) points.
 
 Usage:
   python scripts/scaling_sf1.py [--json out.json] [--baseline prev.json]
@@ -70,8 +75,8 @@ def main() -> None:
         fn = reg[name][0]
         t = {}
         for sf in (SF01, SF1):
-            run(spark, fn, sf)  # warm-up (compile + source caches)
-            t[sf] = run(spark, fn, sf)
+            run(spark, fn, sf)  # warm-up (compile + source/persist caches)
+            t[sf] = sorted(run(spark, fn, sf) for _ in range(3))[1]
             spark.catalog.clearCache()
         e = math.log10(t[SF1] / t[SF01])
         rows.append((name, t[SF01], t[SF1], e))
