@@ -143,6 +143,13 @@ def main() -> None:
     # trained BPE vocabulary for x5_bpe_encode (x5_bpe_train still times
     # the training itself)
     registry_corpus._ensure_bpe_vocab(spark, sf_dir)
+    # ...and the gpt2-pretokenized artifact for x5_bpe_gpt2_encode (r11;
+    # x5_bpe_gpt2_pretok times THAT training), plus its pre-token fixture
+    registry_corpus._ensure_gpt2_vocab(spark, sf_dir)
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures as _fx
+
+    _fx.ensure_gpt2_pretok_fixture(spark, sf_dir)
+    _fx.ensure_scd2ts_fixture(spark, sf_dir)
     spark.catalog.clearCache()
 
     def run(name: str) -> float:

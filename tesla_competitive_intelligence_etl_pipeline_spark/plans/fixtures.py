@@ -224,7 +224,23 @@ def ensure_gpt2_pretok_fixture(spark: SparkSession, sf_dir: str) -> None:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    _write(spark, sf_dir, "gpt2pretok", {"wf": wf})
+    # per-doc pre-token SEQUENCES for the encode gate (x5_bpe_gpt2_encode):
+    # the heldout convention appended in-text (one guaranteed-OOV word per
+    # doc — 'Ġwinnower' never occurs in training, and the digit run
+    # exercises byte fallback), exactly what the engine entry re-splits
+    dw = docs.select(
+        "doc_id",
+        F.posexplode(
+            tx.pretokenize_pieces(
+                F.concat(
+                    F.col("text"), F.lit(" winnower"),
+                    F.col("doc_id").cast("string"),
+                ),
+                "gpt2",
+            )
+        ).alias("wpos", "word"),
+    ).filter(F.col("word") != "")
+    _write(spark, sf_dir, "gpt2pretok", {"wf": wf, "dw": dw})
     _WRITTEN.add(("gpt2pretok", sf_dir))
 
 

@@ -1094,6 +1094,7 @@ def _bpe_oracle_sql(
     target_vocab: int | None = None,
     min_pair_count: int | None = None,
     wf0_fixture_group: str | None = None,
+    dw_fixture_group: str | None = None,
 ) -> str:
     """Unrolled merge rounds (the unrolled-Lloyd precedent): each round is
     a pair-count CTE, an argmax CTE (count DESC, pair ASC), and a
@@ -1210,13 +1211,20 @@ def _bpe_oracle_sql(
             if heldout
             else "lower(text)"
         )
-        oov_base = (
-            "' ' || trim(regexp_replace(dw.word, '(.)', '\\1 ', 'g'))"
-            + eow_sql + " || ' '"
-        )
-        if byte_fallback:
-            final = (
-                """
+        if dw_fixture_group is not None:
+            # doc pre-token sequences from the engine-persisted fixture
+            # (the gpt2 regex split has no RE2 equivalent; heldout is
+            # already appended at fixture-write time) — everything
+            # downstream (vocab join, OOV merge replay, symtab ids, byte
+            # fallback, ordered assembly) stays re-derived here
+            from tesla_competitive_intelligence_etl_pipeline_spark.plans import oracle_vec as _ov2
+
+            dw_cte = """
+    dw AS MATERIALIZED (
+      SELECT doc_id, wpos, word FROM {src} WHERE {gate}
+    ),""".format(src=_ov2._fx(dw_fixture_group, "dw"), gate=_ov2._FX_GATE)
+        else:
+            dw_cte = """
     dw AS MATERIALIZED (
       SELECT doc_id, wpos, word FROM (
         SELECT doc_id, unnest(arr) AS word,
@@ -1224,7 +1232,15 @@ def _bpe_oracle_sql(
         FROM (SELECT doc_id, string_split_regex({et}, '\\s+') AS arr
               FROM documents))
       WHERE word <> ''
-    ),
+    ),""".format(et=enc_text)
+        oov_base = (
+            "' ' || trim(regexp_replace(dw.word, '(.)', '\\1 ', 'g'))"
+            + eow_sql + " || ' '"
+        )
+        if byte_fallback:
+            final = (
+                dw_cte
+                + """
     ws AS MATERIALIZED (
       SELECT dw.doc_id, dw.wpos, COALESCE(v.sym, trim({applied})) AS sym
       FROM dw LEFT JOIN wf{n} v ON dw.word = v.word
@@ -1273,30 +1289,10 @@ def _bpe_oracle_sql(
     FROM tkx
     GROUP BY doc_id"""
             ).format(et=enc_text, n=n_merges, applied=_applied(oov_base))
-            return (
-                """
-    WITH wf0 AS MATERIALIZED (
-      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')){eow} AS sym,
-             CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
-            FROM documents)
-      WHERE word <> '' AND length(word) <= 64
-      GROUP BY 1
-    ),""".format(eow=eow_sql)
-                + ",".join(rounds)
-                + ",\n    "
-                + final
-            )
+            return _wf0_cte(eow_sql, wf0_fixture_group) + ",".join(rounds) + ",\n    " + final
         final = (
-            """
-    dw AS (
-      SELECT doc_id, wpos, word FROM (
-        SELECT doc_id, unnest(arr) AS word,
-               unnest(range(1, len(arr) + 1)) AS wpos
-        FROM (SELECT doc_id, string_split_regex({et}, '\\s+') AS arr
-              FROM documents))
-      WHERE word <> ''
-    ),
+            dw_cte
+            + """
     ws AS (
       SELECT dw.doc_id, dw.wpos, COALESCE(v.sym, trim({applied})) AS sym
       FROM dw LEFT JOIN wf{n} v ON dw.word = v.word
@@ -1356,10 +1352,23 @@ def _bpe_oracle_sql(
             "cnt AS pair_count FROM b{r}".format(r=r)
             for r in range(1, n_merges + 1)
         )
+    return (
+        _wf0_cte(eow_sql, wf0_fixture_group)
+        + ",".join(rounds)
+        + ("," if (encode or encode_ids) else "")
+        + "\n    "
+        + final
+    )
+
+
+def _wf0_cte(eow_sql: str, wf0_fixture_group: str | None) -> str:
+    """The training word-frequency CTE: re-split lower(text) on \\s+ in
+    SQL (legacy mode), or read the engine-persisted (word, freq) fixture
+    when the pre-tokenizer has no RE2 equivalent (gpt2, r11)."""
     if wf0_fixture_group is not None:
         from tesla_competitive_intelligence_etl_pipeline_spark.plans import oracle_vec as _ov
 
-        wf0 = """
+        return """
     WITH wf0 AS MATERIALIZED (
       SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')){eow} AS sym,
              freq
@@ -1369,8 +1378,7 @@ def _bpe_oracle_sql(
             src=_ov._fx(wf0_fixture_group, "wf"),
             gate=_ov._FX_GATE,
         )
-    else:
-        wf0 = """
+    return """
     WITH wf0 AS MATERIALIZED (
       SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')){eow} AS sym,
              CAST(COUNT(*) AS BIGINT) AS freq
@@ -1379,13 +1387,6 @@ def _bpe_oracle_sql(
       WHERE word <> '' AND length(word) <= 64
       GROUP BY 1
     ),""".format(eow=eow_sql)
-    return (
-        wf0
-        + ",".join(rounds)
-        + ("," if (encode or encode_ids) else "")
-        + "\n    "
-        + final
-    )
 
 
 # trained vocabulary materialized once per session/sf_dir (the tokenizer
@@ -1556,3 +1557,58 @@ def x5_bpe_gpt2_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures.ensure_gpt2_pretok_fixture(spark, sf_dir)
     docs = src.load_table(spark, sf_dir, "documents")
     return tx.bpe_train(docs, n_merges=4, pretokenize="gpt2")
+
+
+# gpt2-pretokenized tokenizer artifact, materialized once per session/sf
+# (the _ensure_bpe_vocab discipline): x5_bpe_gpt2_pretok times the
+# training; the encode entry's timed path is the encode join only
+_GPT2_VOCAB: dict[str, str] = {}
+
+
+def _ensure_gpt2_vocab(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _GPT2_VOCAB:
+        import tempfile
+
+        docs = src.load_table(spark, sf_dir, "documents")
+        merges, vocab = tx.bpe_train(
+            docs, n_merges=4, pretokenize="gpt2", return_vocab=True
+        )
+        path = tempfile.mkdtemp(prefix="bpe_gpt2_")
+        tx.bpe_save(path, merges, vocab, byte_fallback=True,
+                    pretokenize="gpt2")
+        _GPT2_VOCAB[sf_dir] = path
+    return _GPT2_VOCAB[sf_dir]
+
+
+@register(
+    "x5_bpe_gpt2_encode",
+    _bpe_oracle_sql(4, encode_ids=True, byte_fallback=True,
+                    wf0_fixture_group="gpt2pretok",
+                    dw_fixture_group="gpt2pretok"),
+)
+def x5_bpe_gpt2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5o (r11): the PRODUCTION encode path — per-doc token-id sequences
+    under the gpt2-pretokenized tokenizer with byte fallback, loaded from
+    a bpe_save artifact (persistence in the timed path, the real
+    deployment shape). Each doc carries the heldout ' winnower<doc_id>'
+    suffix: 'Ġwinnower' is guaranteed-OOV (exercises the ranked-merge
+    replay) and its digit run exercises byte fallback wherever digits are
+    out-of-alphabet. Hash-checked end-to-end: the oracle re-derives the
+    four training rounds from the engine's (word, freq) pre-token fixture
+    AND the encode join / OOV replay / dense symbol ids / byte explosion /
+    ordered assembly from the per-doc (doc_id, wpos, word) fixture — only
+    the gpt2 regex split itself (no RE2 lookahead) stays engine-side."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_gpt2_pretok_fixture(spark, sf_dir)
+    path = _ensure_gpt2_vocab(spark, sf_dir)
+    merges, vocab, cfg = tx.bpe_load(spark, path)
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" winnower"),
+                 F.col("doc_id").cast("string")).alias("text"),
+    )
+    return tx.bpe_encode_ids(
+        docs, vocab, merges=merges, pretokenize=cfg["pretokenize"],
+        byte_fallback=bool(cfg["byte_fallback"]),
+    )

@@ -46,7 +46,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(path).schema
         _EVENTS_SCHEMA_CACHE[path] = schema
-    if os.path.isdir(path):
+    # layout probe through Spark's own Hadoop FS, not os.path (r11 — the
+    # bpe_load lesson from ADVICE r10: on s3://|hdfs:// a local isdir is
+    # always False, and the else-branch's pathGlobFilter would silently
+    # stream NOTHING from a directory layout — the exact r10 sf1 bug, but
+    # remote)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    hfs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if hfs.getFileStatus(hpath).isDirectory():
         # the production layout: events.parquet IS a directory of part
         # files — stream it directly. (The pathGlobFilter trick below
         # would match only leaf files literally NAMED events.parquet and
