@@ -198,10 +198,20 @@ def scd2_from_changes_df(
         return ivals
     # seq → monotonized wall-clock map: commits-in-range-sized (tiny), so
     # the single-partition running-max window and the broadcast joins are
-    # free at any table size
+    # free at any table size. The null check runs on the RAW map BEFORE
+    # monotonizing (review r11): the running F.max skips nulls, so a
+    # timestamp-less commit landing AFTER a timestamped one would
+    # otherwise inherit the earlier commit's instant — a fabricated time
+    # axis, exactly what this mode promises never to produce.
     cm = ch.select(
         F.col("_commit_seq").alias("__s"), F.col("_commit_ts").alias("__t")
     ).distinct()
+    if cm.filter(F.col("__t").isNull()).limit(1).count():
+        raise ValueError(
+            "timeline='ts' needs every commit in the range to carry a "
+            "recorded timestamp — this range includes pre-timestamp "
+            "commits; use timeline='seq' (and map to wall-clock manually)"
+        )
     wmono = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
     cm = cm.select("__s", F.max("__t").over(wmono).alias("__t"))
     from pyspark.sql.functions import broadcast
@@ -220,22 +230,10 @@ def scd2_from_changes_df(
         )
         .drop("__s")
     )
-    # fail loudly on a time-less commit in the range (pre-r11 log): a
-    # version that OPENED (valid_from always maps) with a null ts means
-    # the commit record carried no timestamp
-    flagged = out.withColumn(
-        "__no_ts",
-        F.col("valid_from_ts").isNull()
-        | (F.col("valid_to").isNotNull() & F.col("valid_to_ts").isNull()),
-    )
-    cnt = flagged.filter(F.col("__no_ts")).limit(1).count()
-    if cnt:
-        raise ValueError(
-            "timeline='ts' needs every commit in the range to carry a "
-            "recorded timestamp — this range includes pre-timestamp "
-            "commits; use timeline='seq' (and map to wall-clock manually)"
-        )
-    return flagged.select(
+    # (the raw-map null check above is exhaustive: every interval seq
+    # comes from ch, and cm carries all of ch's seqs, so the left joins
+    # can never miss — no per-row re-check needed)
+    return out.select(
         *keys,
         *attrs,
         F.col("valid_from_ts").alias("valid_from"),

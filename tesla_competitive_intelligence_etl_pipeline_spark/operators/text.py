@@ -432,7 +432,13 @@ def gpt2_detokenize(col: Column) -> Column:
     the original text (Ġ Ċ ĉ č -> space/newline/tab/CR) — with
     ``pretokenize='gpt2'`` the pattern partitions the input, so
     gpt2_detokenize(decode(encode(x))) == x EXACTLY, case included
-    (pinned in tests)."""
+    (pinned in tests) — for text that does not itself contain the four
+    surrogate code points (U+0120/U+010A/U+0109/U+010D). A document
+    literally spelling 'Ġ' survives encode/decode but detokenizes to a
+    space — the string-level-detokenizer ambiguity bpe_decode documents
+    for byte tokens; real GPT-2 sidesteps it by mapping EVERY input byte
+    into the surrogate alphabet, which is a different (byte-level)
+    tokenizer contract than this symbol-level trainer implements."""
     return F.translate(col, _WS_SURROGATES, _WS_CHARS)
 
 

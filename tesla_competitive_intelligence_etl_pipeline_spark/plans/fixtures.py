@@ -85,6 +85,7 @@ def _write(spark, sf_dir: str, group: str, tables: dict[str, DataFrame]) -> None
     the staging and uses the winner's rows."""
     import os
     import shutil
+    import time
     import uuid
 
     n, tl = corpus_key(spark, sf_dir)
@@ -93,6 +94,27 @@ def _write(spark, sf_dir: str, group: str, tables: dict[str, DataFrame]) -> None
         leaf = os.path.join(parent, f"n={n}_{tl}")
         if os.path.exists(os.path.join(leaf, "_SUCCESS")):
             continue  # deterministic rows already on disk
+        # a leaf WITHOUT _SUCCESS is a crashed partial write (pre-r11
+        # overwrite mode, or a killed publisher) — it would block the
+        # rename below forever while its truncated rows keep feeding the
+        # oracle glob; clear it so publication self-heals (review r11).
+        # The _SUCCESS re-check inside the condition matters: a rename is
+        # atomic, so a leaf published by a concurrent process appears
+        # WITH its _SUCCESS in one step and is never mistaken for debris
+        if os.path.isdir(leaf) and not os.path.exists(
+            os.path.join(leaf, "_SUCCESS")
+        ):
+            shutil.rmtree(leaf, ignore_errors=True)
+        # opportunistic sweep of stage dirs stranded by crashed
+        # publishers (never rename'd, nothing else removes them); an hour
+        # is far past any live write, so a concurrent publisher's ACTIVE
+        # staging is never touched
+        if os.path.isdir(parent):
+            now = time.time()
+            for d in os.listdir(parent):
+                p = os.path.join(parent, d)
+                if d.startswith(".stage_") and now - os.path.getmtime(p) > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
         stage = os.path.join(parent, f".stage_{uuid.uuid4().hex[:12]}")
         (
             df.withColumn("corpus_n", F.lit(n).cast("long"))
@@ -104,11 +126,16 @@ def _write(spark, sf_dir: str, group: str, tables: dict[str, DataFrame]) -> None
         try:
             os.rename(stage, leaf)
         except OSError:
-            # another process published this leaf between our existence
-            # check and the rename — its rows are the same deterministic
-            # values (or, for wall-clock fixtures, the frozen truth both
-            # sides must read); drop our staging
+            # rename refused: either another process published this leaf
+            # between our existence check and here (benign — its rows are
+            # the same deterministic values, or for wall-clock fixtures
+            # the frozen truth both sides must read), or something else
+            # entirely. Verify which: a COMPLETE leaf means the lost
+            # race; anything else must fail loudly, not silently serve a
+            # truncated fixture.
             shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(os.path.join(leaf, "_SUCCESS")):
+                raise
 
 
 def read_fixture(

@@ -638,6 +638,30 @@ def _num(v):
     return None
 
 
+def _dec_bounds(ent: list) -> tuple:
+    """Decode a recorded [min, max(, tag)] stats entry to comparable
+    Python values — ISO-tagged timestamps/dates parse back to their
+    datetime types (the _enc_bounds inverse, same decode _range_disjoint
+    applies). Review r11: without this, estimate_merged_rows saw ts/date
+    bounds as plain ISO STRINGS, `_num` returned None, and event-time
+    ranges — the primary skipping use case — always estimated
+    selectivity 1.0, so the broadcast hint never fired for them."""
+    import datetime as _dt
+
+    mn, mx = ent[0], ent[1]
+    if len(ent) == 3 and ent[2] == "ts":
+        return tuple(
+            _dt.datetime.fromisoformat(v) if v is not None else None
+            for v in (mn, mx)
+        )
+    if len(ent) == 3 and ent[2] == "date":
+        return tuple(
+            _dt.date.fromisoformat(v) if v is not None else None
+            for v in (mn, mx)
+        )
+    return mn, mx
+
+
 def estimate_merged_rows(
     target: str,
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
@@ -645,6 +669,7 @@ def estimate_merged_rows(
     buckets: list[int] | None = None,
     range_filters: dict[str, tuple] | None = None,
     null_filters: dict[str, str] | None = None,
+    _manifest: dict | None = None,
 ) -> int | None:
     """Estimate the row count a read_merged call with these filters would
     return, from the manifest's recorded per-bucket stats ALONE — pure
@@ -670,8 +695,16 @@ def estimate_merged_rows(
     the one direction that breaks a join at scale (driver OOM), so no
     answer beats a wrong one. DELETEs make recorded counts upper bounds —
     the estimate over-estimates until the next merge refreshes the
-    touched buckets, again erring only toward NOT broadcasting."""
-    if snapshot is not None:
+    touched buckets, again erring only toward NOT broadcasting.
+
+    ``_manifest``: internal — read_merged passes the manifest it already
+    loaded, so the hint decision is computed against the SAME committed
+    state the read returns (review r11: a fresh load here could race a
+    concurrent commit and hint against different buckets than the scan),
+    and the JSON isn't re-read."""
+    if _manifest is not None:
+        manifest = _manifest
+    elif snapshot is not None:
         manifest = _load_snapshot(target, snapshot, fs)
     else:
         manifest = _load_manifest(target, fs)
@@ -701,7 +734,8 @@ def estimate_merged_rows(
             ent = st.get(c)
             if ent is None:
                 continue
-            mn, mx = _num(ent[0]), _num(ent[1])
+            dmn, dmx = _dec_bounds(ent)
+            mn, mx = _num(dmn), _num(dmx)
             qlo, qhi = _num(lo), _num(hi)
             if mn is None or mx is None or mx <= mn:
                 continue  # point span / non-numeric: keep sel (>= truth)
@@ -809,7 +843,8 @@ def read_merged(
         if broadcast_threshold_rows is None:
             return df
         est = estimate_merged_rows(
-            target, fs, snapshot, buckets, range_filters, null_filters
+            target, fs, snapshot, buckets, range_filters, null_filters,
+            _manifest=manifest,
         )
         if est is not None and est <= broadcast_threshold_rows:
             return F.broadcast(df)

@@ -2667,6 +2667,24 @@ def test_scd2_commit_ts_wall_clock_timeline(spark, tmp_path, monkeypatch):
         spark, target2, since="t0", keys=["k"], attrs=["tier"]
     ).count() == 1
 
+    # MIXED range — a timestamped commit followed by a timestamp-less one
+    # (rolling upgrade): must ALSO raise, never inherit the earlier
+    # commit's instant through the null-skipping running max (review r11)
+    mixed = iter([100.0, 200.0, None])
+    monkeypatch.setattr(strm, "_commit_now", lambda: next(mixed))
+    target3 = str(tmp_path / "gold3")
+    strm.merge_table(rows([(1, "a")]), target3, keys=["k"],
+                     order_cols=["tier"], n_buckets=2)            # @100
+    strm.snapshot_merge_table(target3, "t0")
+    strm.merge_table(rows([(1, "b")]), target3, keys=["k"],
+                     order_cols=["tier"], n_buckets=2)            # @200
+    strm.merge_table(rows([(2, "c")]), target3, keys=["k"],
+                     order_cols=["tier"], n_buckets=2)            # ts None
+    with pytest.raises(ValueError, match="timeline='seq'"):
+        scd2.scd2_from_commit_changes(
+            spark, target3, since="t0", keys=["k"], attrs=["tier"],
+            timeline="ts")
+
 
 def test_bpe_gpt2_pretokenize_round_trip_and_persistence(spark, sf_dir, tmp_path):
     """r11 (VERDICT r10 item 4): the GPT-2 regex pre-tokenizer — pieces
@@ -2761,3 +2779,46 @@ def test_bpe_save_load_round_trip(spark, sf_dir, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(path + "/config")
     with pytest.raises(ValueError, match="format_version"):
         tx.bpe_load(spark, path)
+
+
+def test_fixture_publication_heals_partial_leaf(spark, sf_dir):
+    """r11 (review): a crashed fixture write (leaf present, no _SUCCESS —
+    the pre-r11 overwrite mode's failure shape) must be healed by the next
+    ensure, not permanently block atomic-rename publication while its
+    truncated rows feed the oracle glob; stranded .stage_* dirs older than
+    an hour are swept; a complete leaf is never rewritten (create-once)."""
+    import os
+    import shutil
+    import time
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures as fx
+
+    fx.ensure_gpt2_pretok_fixture(spark, sf_dir)
+    n, tl = fx.corpus_key(spark, sf_dir)
+    parent = f"{fx.FIXTURE_ROOT}/gpt2pretok/wf"
+    leaf = os.path.join(parent, f"n={n}_{tl}")
+    assert os.path.exists(os.path.join(leaf, "_SUCCESS"))
+    full = fx.read_fixture(spark, sf_dir, "gpt2pretok", "wf").count()
+    assert full > 0
+    mtime0 = os.path.getmtime(leaf)
+
+    # complete leaf: ensure is create-once (no rewrite)
+    fx._WRITTEN.discard(("gpt2pretok", sf_dir))
+    fx.ensure_gpt2_pretok_fixture(spark, sf_dir)
+    assert os.path.getmtime(leaf) == mtime0
+
+    # simulate the crashed write: drop _SUCCESS and one data file, plus a
+    # stale stranded staging dir
+    os.remove(os.path.join(leaf, "_SUCCESS"))
+    parts = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+    os.remove(os.path.join(leaf, parts[0]))
+    stale = os.path.join(parent, ".stage_deadbeef")
+    os.makedirs(stale, exist_ok=True)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+
+    fx._WRITTEN.discard(("gpt2pretok", sf_dir))
+    fx.ensure_gpt2_pretok_fixture(spark, sf_dir)
+    assert os.path.exists(os.path.join(leaf, "_SUCCESS"))  # healed
+    assert not os.path.isdir(stale)  # stranded staging swept
+    assert fx.read_fixture(spark, sf_dir, "gpt2pretok", "wf").count() == full

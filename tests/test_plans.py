@@ -660,3 +660,23 @@ def test_read_merged_stats_broadcast_hint_flips_join_strategy(spark, tmp_path):
 
     # correctness unchanged by the hint
     assert narrow.count() == 50 and wide.count() == 4001
+
+    # ISO-tagged TIMESTAMP bounds decode in the estimator (review r11:
+    # they previously read as plain strings -> selectivity 1.0 and the
+    # hint never fired for event-time ranges, the primary use case)
+    import datetime as dt
+
+    tdf = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i))
+         for i in range(2000)],
+        "k long, ts timestamp",
+    )
+    ttarget = str(tmp_path / "tgold")
+    strm.merge_table(tdf, ttarget, keys=["k"], order_cols=["ts"],
+                     n_buckets=4, stats_cols=["ts"])
+    est_t = strm.estimate_merged_rows(
+        ttarget,
+        range_filters={"ts": (dt.datetime(2024, 1, 1),
+                              dt.datetime(2024, 1, 1, 1, 39))},
+    )
+    assert 0 < est_t < 400  # ~100/2000 of the span under the uniform model
