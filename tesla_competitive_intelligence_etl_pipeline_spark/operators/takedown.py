@@ -72,6 +72,11 @@ def _list_requests(corpus: str, fs) -> list[dict]:
     for f in sorted(fs.listdir(d)):
         if f.endswith(".json"):
             out.append(json.loads(fs.read_bytes(os.path.join(d, f)).decode()))
+    # oldest first BY THE RECORDED CLOCK — filenames are uuid hex, so a
+    # filename sort is random order (review r11: the recover docstring
+    # promises oldest-first, and the no-stamp CDC path's exactness
+    # argument reasons about what committed since the OLDEST crash)
+    out.sort(key=lambda rec: rec.get("created_at") or 0.0)
     return out
 
 
@@ -133,9 +138,19 @@ def sweep_takedown_pins(target: str, fs=None) -> list[str]:
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
+    # READ ORDER IS THE SAFETY ARGUMENT (review r11): the writer's order
+    # is record-then-pin, so the sweep must read snapshots FIRST and
+    # records SECOND — any pin in the snapshot listing was written AFTER
+    # its record, so the later record read can only see MORE records,
+    # never miss a live pin's. The previous records-first order raced a
+    # takedown starting between the two reads: its pin was listed, its
+    # record wasn't, and the sweep dropped a LIVE pin mid-takedown —
+    # recover_takedowns then misread the crash as pre-pin and deleted
+    # the record, silently losing propagation.
+    tags = list(strm.list_snapshots(target, fs))
     live = {rec["tag"] for rec in _list_requests(target, fs)}
     dropped = []
-    for tag in strm.list_snapshots(target, fs):
+    for tag in tags:
         if tag.startswith(_EPHEMERAL_PREFIX) and tag not in live:
             strm.drop_snapshot(target, tag, fs=fs)
             dropped.append(tag)
@@ -190,7 +205,10 @@ def recover_takedowns(
             continue
         commit_id = rec.get("delete_commit")
         if commit_id:
-            delta_dir = os.path.join(corpus, strm._CHANGES_DIR, commit_id, "delta")
+            # resolve through the scrub pointer (r11): an erased-and-
+            # scrubbed delta still carries the key-only delete records —
+            # exactly the delete set recovery needs
+            delta_dir = strm._delta_dir(corpus, commit_id, fs)
             if not fs.isdir(delta_dir):
                 raise ValueError(
                     f"takedown {rid} at {corpus}: its delete commit "
@@ -364,6 +382,14 @@ def takedown(
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
+    # validate BEFORE the first durable write (review r11): a plain
+    # caller error after the record/pin landed would strand debris that
+    # blocks vacuum until recovery runs — the same argument check
+    # delete_from_merge_table makes, made early
+    if (keys is None) == (predicate is None):
+        raise ValueError("takedown: pass exactly one of keys= or predicate=")
+    if strm._load_manifest(corpus, fs) is None:
+        raise ValueError(f"no committed corpus table at {corpus}")
     request_id = uuid.uuid4().hex[:12]
     # ephemeral, collision-free tag (dot prefixes are reserved by the
     # snapshot-tag validator, so namespace by name instead)
@@ -408,9 +434,23 @@ def takedown(
             fs.put_atomic(
                 _request_path(corpus, request_id), json.dumps(rec).encode()
             )
+    # read the delete set: EXACTLY the stamped commit's delta when the
+    # stamp landed (the recover_takedowns path — works on ANY table,
+    # including pre-commit-log corpora whose pinned snapshot carries no
+    # commit id, where read_commit_changes(since=tag) always raised
+    # post-delete; review r11), else the pinned-state CDC read with the
+    # always-correct state-diff fallback
+    if rec["delete_commit"]:
+        gone = spark.read.parquet(
+            strm._delta_dir(corpus, rec["delete_commit"], fs)
+        )
+    else:
+        try:
+            gone = strm.read_commit_changes(spark, corpus, since=tag, fs=fs)
+        except ValueError:
+            gone = strm.read_changes(spark, corpus, since=tag, fs=fs)
     gone = (
-        strm.read_commit_changes(spark, corpus, since=tag, fs=fs)
-        .filter(F.col("_change_type") == "delete")
+        gone.filter(F.col("_change_type") == "delete")
         .select(id_col)
         .distinct()
     )

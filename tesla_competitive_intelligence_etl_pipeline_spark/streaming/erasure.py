@@ -83,6 +83,7 @@ def where_is(
     target: str,
     keys: DataFrame,
     fs: merge_fs.MergeFS = merge_fs.LOCAL_FS,
+    kinds: tuple = ("live", "version", "snapshot", "changes"),
 ) -> list[dict]:
     """Audit every RETAINED location still holding the given keys. Returns
     one dict per hit, ``{"kind", "ref", "n_rows"}``, kinds:
@@ -101,7 +102,11 @@ def where_is(
     Empty list = the ids exist NOWHERE under the table dir — the assertion
     an erasure deadline needs. I/O is pruned to the keys' hash buckets for
     versions; the changes walk reads every retained delta once (bounded by
-    ``changes_keep`` retention). Driver loops are bookkeeping-bounded."""
+    ``changes_keep`` retention). Driver loops are bookkeeping-bounded.
+    ``kinds`` restricts the audit (review r11): erase_everywhere's
+    BLOCKING check only consumes live/version/snapshot, so it skips the
+    full-changelog pass its scrub loop is about to pay anyway — the
+    deadline-proof call keeps the default all-kinds audit."""
     manifest = strm._load_manifest(target, fs)
     if manifest is None:
         return []
@@ -113,7 +118,7 @@ def where_is(
     live_rels = {os.path.normpath(r) for r in manifest["buckets"].values()}
     version_hits: dict[str, int] = {}
     store = os.path.join(target, "store")
-    if fs.isdir(store):
+    if ({"live", "version", "snapshot"} & set(kinds)) and fs.isdir(store):
         for b in sorted(fs.listdir(store)):
             if b not in kbuckets:
                 continue  # keys cannot hash into other buckets
@@ -125,27 +130,24 @@ def where_is(
                 n = _semi_count(spark, os.path.join(target, rel), kdf, key_cols)
                 if n:
                     version_hits[rel] = n
-                    out.append(
-                        {
-                            "kind": "live" if rel in live_rels else "version",
-                            "ref": rel,
-                            "n_rows": n,
-                        }
-                    )
-    for tag in strm.list_snapshots(target, fs):
-        snap = strm._load_snapshot_if_exists(target, tag, fs)
-        if snap is None:
-            continue
-        n = sum(
-            version_hits.get(os.path.normpath(rel), 0)
-            for rel in snap["buckets"].values()
-        )
-        if n:
-            out.append({"kind": "snapshot", "ref": tag, "n_rows": n})
+                    kind = "live" if rel in live_rels else "version"
+                    if kind in kinds:
+                        out.append({"kind": kind, "ref": rel, "n_rows": n})
+    if "snapshot" in kinds:
+        for tag in strm.list_snapshots(target, fs):
+            snap = strm._load_snapshot_if_exists(target, tag, fs)
+            if snap is None:
+                continue
+            n = sum(
+                version_hits.get(os.path.normpath(rel), 0)
+                for rel in snap["buckets"].values()
+            )
+            if n:
+                out.append({"kind": "snapshot", "ref": tag, "n_rows": n})
     cdir = os.path.join(target, strm._CHANGES_DIR)
-    if fs.isdir(cdir):
+    if "changes" in kinds and fs.isdir(cdir):
         for cid in sorted(fs.listdir(cdir)):
-            delta = os.path.join(cdir, cid, "delta")
+            delta = strm._delta_dir(target, cid, fs)
             if not fs.isdir(delta):
                 continue
             df = spark.read.parquet(delta)
@@ -193,12 +195,32 @@ def _scrub_delta(
     delete/preimage records keep ONLY the key columns (+ _change_type) —
     consumers replaying the log still learn the keys were removed — and
     their insert/postimage rows drop entirely; all other rows are
-    byte-identical. The swap is rmtree + rename: a crash between the two
-    leaves the delta missing, which read_commit_changes already fails
-    LOUDLY on (broken-chain ValueError, read_changes fallback) — never a
-    silently partial delta — and a re-run converges."""
-    delta = os.path.join(target, strm._CHANGES_DIR, cid, "delta")
-    df = spark.read.parquet(delta)
+    byte-identical.
+
+    Publication is an ATOMIC-PUT POINTER SWAP (review r11; previously
+    rmtree + rename through the reader-visible ``delta`` path, which on a
+    store with non-atomic rename — the documented S3 copy+delete
+    semantics — could expose a PARTIALLY-copied delta that reads as
+    silently truncated rows, and a crash between the rmtree and the
+    rename lost the delta while the complete scrub sat unnamed on disk):
+    the scrubbed rows land in a fresh ``delta_scrub_<uuid>`` dir (unnamed
+    => reader-invisible), ONE put of ``_scrub.json`` re-points every
+    reader (events._delta_dir), and the superseded dir is then removed
+    best-effort. A crash before the put leaves invisible staging; after
+    it, stale-dir debris — the entry cleanup below reclaims both on the
+    next run, so a re-run truly converges."""
+    cdir = os.path.join(target, strm._CHANGES_DIR, cid)
+    active = strm._delta_dir(target, cid, fs)
+    # converge crashed swaps: every delta dir that is NOT the active one
+    # is either pre-put staging or post-put stale — both safe to reclaim
+    for d in fs.listdir(cdir):
+        p = os.path.join(cdir, d)
+        if (
+            (d == "delta" or d.startswith("delta_scrub_"))
+            and os.path.normpath(p) != os.path.normpath(active)
+        ):
+            fs.rmtree(p)
+    df = spark.read.parquet(active)
     hit = df.join(F.broadcast(kdf), key_cols, "left_semi")
     if hit.limit(1).count() == 0:
         return False
@@ -212,12 +234,13 @@ def _scrub_delta(
             for c in df.columns
         ]
     )
-    staged = os.path.join(target, strm._CHANGES_DIR, cid, ".delta_scrub")
-    if fs.isdir(staged):
-        fs.rmtree(staged)
-    keep.unionByName(tomb).write.parquet(staged)
-    fs.rmtree(delta)
-    fs.rename(staged, delta)
+    staged_name = f"delta_scrub_{uuid.uuid4().hex[:8]}"
+    keep.unionByName(tomb).write.parquet(os.path.join(cdir, staged_name))
+    fs.put_atomic(  # THE swap: one atomic pointer put
+        os.path.join(cdir, "_scrub.json"),
+        json.dumps({"delta": staged_name}).encode(),
+    )
+    fs.rmtree(active)  # best-effort; a crash leaves invisible debris
     return True
 
 
@@ -279,7 +302,14 @@ def erase_everywhere(
     try:
         with merge_fs.lease_heartbeat(fs, target, token):
             # ---- snapshots ------------------------------------------------
-            audit = where_is(spark, target, keys, fs)
+            # blocking detection consumes only live/version/snapshot —
+            # skipping the changes walk here halves the erasure's
+            # changelog I/O (the scrub loop below reads every delta
+            # anyway); the DEADLINE audit at the end stays all-kinds
+            audit = where_is(
+                spark, target, keys, fs,
+                kinds=("live", "version", "snapshot"),
+            )
             hit_rels = {
                 h["ref"] for h in audit if h["kind"] in ("live", "version")
             }
@@ -343,6 +373,9 @@ def erase_everywhere(
                 exclusive=True,  # lease held for the whole erasure: no
                 # writer can be staging, and the bump-anchored sparing
                 # would leave young id-holding versions as residual
+                _release_lease=False,  # review r11: vacuum's release
+                # matched OUR owner token and freed the lease mid-erasure
+                # — the scrub + final audit then ran unprotected
             )
             # ---- commit-log scrub -----------------------------------------
             scrubbed: list[str] = []
@@ -350,7 +383,7 @@ def erase_everywhere(
                 cdir = os.path.join(target, strm._CHANGES_DIR)
                 if fs.isdir(cdir):
                     for cid in sorted(fs.listdir(cdir)):
-                        if fs.isdir(os.path.join(cdir, cid, "delta")) and _scrub_delta(
+                        if fs.isdir(strm._delta_dir(target, cid, fs)) and _scrub_delta(
                             spark, target, cid, kdf, key_cols, fs
                         ):
                             scrubbed.append(cid)

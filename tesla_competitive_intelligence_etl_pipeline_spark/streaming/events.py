@@ -1129,6 +1129,27 @@ def _is_ancestor(
     return None
 
 
+def _delta_dir(target: str, cid: str, fs: merge_fs.MergeFS) -> str:
+    """The commit's ACTIVE delta directory. Normally ``delta``; after an
+    erasure scrub the commit dir carries ``_scrub.json`` naming the
+    scrubbed replacement (erasure._scrub_delta's atomic-put pointer swap
+    — review r11: the old rmtree+rename republish through the fixed
+    ``delta`` path could expose a partially-copied dir on stores with
+    non-atomic rename, and a crash between the rmtree and the rename
+    lost the delta with the complete scrub sitting unnamed on disk)."""
+    import json
+    import os
+
+    cdir = os.path.join(target, _CHANGES_DIR, cid)
+    try:
+        ptr = json.loads(
+            fs.read_bytes(os.path.join(cdir, "_scrub.json")).decode()
+        )
+        return os.path.join(cdir, ptr["delta"])
+    except FileNotFoundError:
+        return os.path.join(cdir, "delta")
+
+
 def _commit_now() -> float:
     """Wall-clock source for commit-record timestamps — a seam so tests
     can simulate clock steps (NTP correction, cross-writer skew) without
@@ -1256,7 +1277,7 @@ def read_commit_changes(
                 "capture_changes=False — its delta was never captured; "
                 "use read_changes for ranges covering it"
             )
-        delta_dir = os.path.join(target, _CHANGES_DIR, rec["id"], "delta")
+        delta_dir = _delta_dir(target, rec["id"], fs)
         # ADVICE r8: a concurrent vacuum(changes_keep=N) can remove a delta
         # dir BETWEEN the chain walk above and the read here — surface the
         # same broken-chain ValueError (with its documented read_changes
@@ -1329,6 +1350,7 @@ def vacuum_merge_table(
     changes_keep: int | None = None,
     staged_grace_sec: float = 3600.0,
     exclusive: bool = False,
+    _release_lease: bool = True,
 ) -> list[str]:
     """Garbage-collect a merge gold table: remove everything neither the
     committed manifest NOR any retained snapshot references — leftover
@@ -1389,7 +1411,14 @@ def vacuum_merge_table(
     sparing, since that sparing would otherwise leave sub-second-old
     superseded/rewritten-away versions on disk and break a zero-residual
     erasure proof; the gc_epoch bump still lands, so a writer that DOES
-    race past the contract fails loudly instead of corrupting."""
+    race past the contract fails loudly instead of corrupting.
+
+    ``_release_lease=False`` (internal, r11): a caller that HOLDS the
+    lease for a longer operation (erase_everywhere) re-enters it here —
+    the release in this function's finally would match the caller's
+    owner token and free the lease mid-operation (review r11: the
+    erasure's scrub + final audit ran unprotected), so such callers keep
+    the hold and release it themselves."""
     import json
     import os
     import time as _time
@@ -1484,7 +1513,8 @@ def vacuum_merge_table(
                         removed.append(os.path.join(cdir, d))
         return removed
     finally:
-        merge_fs.release_writer_lease(fs, target, token)
+        if _release_lease:
+            merge_fs.release_writer_lease(fs, target, token)
 
 
 def merge_table_stats(

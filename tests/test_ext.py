@@ -2822,3 +2822,190 @@ def test_fixture_publication_heals_partial_leaf(spark, sf_dir):
     assert os.path.exists(os.path.join(leaf, "_SUCCESS"))  # healed
     assert not os.path.isdir(stale)  # stranded staging swept
     assert fx.read_fixture(spark, sf_dir, "gpt2pretok", "wf").count() == full
+
+
+class _MidSweepTakedownFS(__import__("tesla_competitive_intelligence_etl_pipeline_spark.streaming.fs",
+                                     fromlist=["LocalFS"]).LocalFS):
+    """Plant a takedown's (record, pin) pair — in the writer's order —
+    WHILE the sweep is listing snapshots, so the pin IS in the sweep's
+    snapshot view. Under the r11 snapshots-first read order the record is
+    read afterwards and the pin is spared; under the old records-first
+    order this exact interleaving dropped a LIVE takedown's pin."""
+
+    def __init__(self, corpus):
+        self.corpus = corpus
+        self.armed = False
+
+    def listdir(self, path):
+        import json
+        import os
+
+        if self.armed and path.endswith("_snapshots"):
+            self.armed = False
+            from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+            from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+            rec = {"id": "race01", "tag": "takedown-race01",
+                   "id_col": "doc_id", "created_at": 0.0}
+            self.put_atomic(td._request_path(self.corpus, "race01"),
+                            json.dumps(rec).encode())
+            strm.snapshot_merge_table(self.corpus, "takedown-race01", fs=self)
+        return super().listdir(path)
+
+
+def test_sweep_reads_snapshots_before_records(spark, tmp_path):
+    """r11 (review): a takedown starting MID-SWEEP (record put, then pin,
+    both landing during the sweep's snapshot listing) must have its pin
+    spared — the snapshots-first read order guarantees any listed pin's
+    record is visible to the later record read."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    corpus = str(tmp_path / "gold")
+    fs = _MidSweepTakedownFS(corpus)
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"], fs=fs)
+    # a genuinely stranded record-less pin: must still be swept
+    strm.snapshot_merge_table(corpus, "takedown-stranded", fs=fs)
+
+    fs.armed = True
+    dropped = td.sweep_takedown_pins(corpus, fs=fs)
+    assert dropped == ["takedown-stranded"]
+    # the mid-sweep takedown's pin survived (its record exists)
+    assert "takedown-race01" in strm.list_snapshots(corpus, fs=fs)
+
+
+def test_takedown_validates_before_durable_writes(spark, sf_dir, tmp_path):
+    """r11 (review): argument errors raise BEFORE the request record and
+    pin land — no vacuum-blocking debris from a typo'd call."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 20)
+    corpus = str(tmp_path / "gold")
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"])
+    with pytest.raises(ValueError, match="exactly one"):
+        td.takedown(spark, corpus)  # neither keys nor predicate
+    with pytest.raises(ValueError, match="exactly one"):
+        td.takedown(spark, corpus, keys=docs.select("doc_id"),
+                    predicate="doc_id = 1")
+    with pytest.raises(ValueError, match="no committed corpus"):
+        td.takedown(spark, str(tmp_path / "nope"), predicate="doc_id = 1")
+    assert not os.path.isdir(os.path.join(corpus, "_takedown"))
+    assert strm.list_snapshots(corpus) == []
+
+
+def test_takedown_works_on_pre_commit_log_corpus(spark, tmp_path):
+    """r11 (review): a corpus whose manifest predates the commit log (no
+    'commit' id — read_commit_changes(since=tag) always raises on it)
+    still takes down cleanly: the stamped delete commit's delta is read
+    DIRECTLY, the recover_takedowns path."""
+    import json
+    import os
+    import shutil
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    corpus = str(tmp_path / "gold")
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id long, text string")
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"])
+    # doctor the table into its pre-commit-log shape
+    mpath = os.path.join(corpus, "_MANIFEST.json")
+    man = json.loads(open(mpath).read())
+    man.pop("commit", None)
+    open(mpath, "w").write(json.dumps(man))
+    shutil.rmtree(os.path.join(corpus, "changes"), ignore_errors=True)
+
+    out = td.takedown(spark, corpus, predicate="doc_id % 4 = 1",
+                      id_col="doc_id")
+    assert out["corpus_deleted"] == 5
+    left = {r.doc_id for r in strm.read_merged(spark, corpus).collect()}
+    assert left == {i for i in range(20) if i % 4 != 1}
+    # obligation met: record removed, pin dropped
+    assert td._list_requests(corpus, strm.merge_fs.LOCAL_FS) == []
+    assert strm.list_snapshots(corpus) == []
+
+
+def test_scrub_pointer_swap_crash_converges(spark, sf_dir, tmp_path, monkeypatch):
+    """r11 (review): the delta scrub publishes via an atomic pointer put,
+    never a rmtree+rename through the reader-visible path. Crash BEFORE
+    the pointer put leaves the old delta fully readable (no torn state);
+    crash AFTER it (before the old dir's removal) leaves a stale invisible
+    dir; a re-run converges to zero residual in both cases."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import erasure
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 30)
+    corpus = str(tmp_path / "gold")
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"])
+    doomed = spark.createDataFrame([(3,), (7,)], "doc_id long")
+
+    class _CrashAtPointerFS(mfs.LocalFS):
+        armed = True
+
+        def put_atomic(self, path, data):
+            if self.armed and path.endswith("_scrub.json"):
+                self.armed = False
+                raise RuntimeError("injected crash before the pointer put")
+            super().put_atomic(path, data)
+
+    fs1 = _CrashAtPointerFS()
+    with pytest.raises(RuntimeError, match="injected"):
+        erasure.erase_everywhere(spark, corpus, doomed, fs=fs1)
+    # no torn state: the ORIGINAL delta is still what CDC reads (the
+    # staged scrub dir is unnamed and invisible)
+    cdir = os.path.join(corpus, strm._CHANGES_DIR)
+    cids = os.listdir(cdir)
+    for cid in cids:
+        active = strm._delta_dir(corpus, cid, mfs.LOCAL_FS)
+        assert active.endswith(os.sep + "delta") or active.endswith("/delta")
+    mfs.break_writer_lease(mfs.LOCAL_FS, corpus)  # the crash stranded it
+    res = erasure.erase_everywhere(spark, corpus, doomed)  # re-run
+    assert res["residual"] == []
+
+    # crash AFTER the pointer put, before the old dir's removal
+    corpus2 = str(tmp_path / "gold2")
+    strm.merge_table(docs, corpus2, keys=["doc_id"], order_cols=["doc_id"])
+
+    class _CrashAfterPointerFS(mfs.LocalFS):
+        armed = True
+
+        def rmtree(self, path):
+            if self.armed and os.sep + "changes" + os.sep in path and path.endswith("delta"):
+                self.armed = False
+                raise RuntimeError("injected crash after the pointer put")
+            super().rmtree(path)
+
+    fs2 = _CrashAfterPointerFS()
+    with pytest.raises(RuntimeError, match="injected"):
+        erasure.erase_everywhere(spark, corpus2, doomed, fs=fs2)
+    # the pointer already names the scrubbed delta: CDC reads it, and the
+    # erased ids' content is GONE from the changelog even mid-crash
+    mfs.break_writer_lease(mfs.LOCAL_FS, corpus2)
+    res2 = erasure.erase_everywhere(spark, corpus2, doomed)
+    assert res2["residual"] == []
+    # converged: exactly one delta dir per commit, the active one
+    for cid in os.listdir(os.path.join(corpus2, strm._CHANGES_DIR)):
+        cdir2 = os.path.join(corpus2, strm._CHANGES_DIR, cid)
+        dirs = [d for d in os.listdir(cdir2)
+                if d == "delta" or d.startswith("delta_scrub_")]
+        assert len(dirs) == 1
