@@ -388,8 +388,22 @@ def takedown(
     # delete_from_merge_table makes, made early
     if (keys is None) == (predicate is None):
         raise ValueError("takedown: pass exactly one of keys= or predicate=")
-    if strm._load_manifest(corpus, fs) is None:
+    man = strm._load_manifest(corpus, fs)
+    if man is None:
         raise ValueError(f"no committed corpus table at {corpus}")
+    # the id namespace MUST be a merge key of the corpus (review r11):
+    # crash recovery may read the delete set back from a delta that
+    # erasure has since SCRUBBED — the scrub keeps only the key columns
+    # on the erased keys' records, so a non-key id_col would come back
+    # NULL and propagation would silently vanish
+    params = man.get("params")
+    if params is not None and id_col not in params["keys"]:
+        raise ValueError(
+            f"takedown: id_col {id_col!r} is not one of the corpus "
+            f"table's merge keys {params['keys']} — commit-log-driven "
+            "propagation (and its crash recovery through possibly-"
+            "scrubbed deltas) needs the id to be a key column"
+        )
     request_id = uuid.uuid4().hex[:12]
     # ephemeral, collision-free tag (dot prefixes are reserved by the
     # snapshot-tag validator, so namespace by name instead)
@@ -441,9 +455,20 @@ def takedown(
     # post-delete; review r11), else the pinned-state CDC read with the
     # always-correct state-diff fallback
     if rec["delete_commit"]:
-        gone = spark.read.parquet(
-            strm._delta_dir(corpus, rec["delete_commit"], fs)
-        )
+        delta_dir = strm._delta_dir(corpus, rec["delete_commit"], fs)
+        if not fs.isdir(delta_dir):
+            # a racing vacuum(changes_keep=N) reclaimed the just-written
+            # delta — same actionable guidance as recover_takedowns, not
+            # a raw Spark path error (review r11)
+            raise ValueError(
+                f"takedown {request_id} at {corpus}: its delete commit "
+                f"{rec['delete_commit']}'s delta was vacuumed before "
+                "propagation — tombstone the request's stores manually "
+                f"from the source list, then remove "
+                f"{_request_path(corpus, request_id)} and drop snapshot "
+                f"{tag!r}."
+            )
+        gone = spark.read.parquet(delta_dir)
     else:
         try:
             gone = strm.read_commit_changes(spark, corpus, since=tag, fs=fs)

@@ -147,25 +147,46 @@ def where_is(
     cdir = os.path.join(target, strm._CHANGES_DIR)
     if "changes" in kinds and fs.isdir(cdir):
         for cid in sorted(fs.listdir(cdir)):
-            delta = strm._delta_dir(target, cid, fs)
-            if not fs.isdir(delta):
-                continue
-            df = spark.read.parquet(delta)
-            hit = df.join(F.broadcast(kdf), key_cols, "left_semi")
-            # a key-only delete/preimage record with every other column
-            # NULL is erasure EVIDENCE (what _scrub_delta keeps so CDC
-            # consumers still learn the key was removed), not retained
-            # CONTENT — only content rows count as a residual location
-            noncore = [
-                c for c in df.columns if c not in key_cols and c != "_change_type"
-            ]
-            content = F.col("_change_type").isin("insert", "update_postimage")
-            for c in noncore:
-                content = content | F.col(c).isNotNull()
-            n = hit.filter(content).count()
-            if n:
-                out.append({"kind": "changes", "ref": cid, "n_rows": n})
+            commit_dir = os.path.join(cdir, cid)
+            if not fs.isdir(commit_dir):
+                continue  # stray file in changes/ — not a commit
+            # audit EVERY delta dir in the commit, not just the active
+            # pointer target (review r11): a scrub crash — or a silently
+            # failed best-effort removal — leaves the STALE pre-scrub
+            # delta on disk, reader-invisible but physically retained;
+            # an audit that resolved only the pointer would report a
+            # false zero-residual deadline proof over it
+            for d in sorted(fs.listdir(commit_dir)):
+                delta = os.path.join(commit_dir, d)
+                if d != "delta" and not d.startswith("delta_scrub_"):
+                    continue
+                if not fs.isdir(delta):
+                    continue
+                n = _delta_content_rows(spark, delta, kdf, key_cols)
+                if n:
+                    out.append(
+                        {"kind": "changes", "ref": f"{cid}/{d}", "n_rows": n}
+                    )
     return out
+
+
+def _delta_content_rows(spark, delta: str, kdf: DataFrame, key_cols) -> int:
+    """Count a delta dir's rows that hold retained CONTENT for the keys —
+    a key-only delete/preimage record with every other column NULL is
+    erasure EVIDENCE (what _scrub_delta keeps so CDC consumers still
+    learn the key was removed), never a residual location. Shared by the
+    where_is audit and _scrub_delta's needs-scrub test (review r11: the
+    scrub previously re-triggered on its OWN tombstones, so re-runs
+    rewrote every already-scrubbed delta instead of no-opping)."""
+    df = spark.read.parquet(delta)
+    hit = df.join(F.broadcast(kdf), key_cols, "left_semi")
+    noncore = [
+        c for c in df.columns if c not in key_cols and c != "_change_type"
+    ]
+    content = F.col("_change_type").isin("insert", "update_postimage")
+    for c in noncore:
+        content = content | F.col(c).isNotNull()
+    return hit.filter(content).count()
 
 
 def _rewrite_pinned_version(
@@ -189,7 +210,8 @@ def _rewrite_pinned_version(
 
 
 def _scrub_delta(
-    spark, target: str, cid: str, kdf: DataFrame, key_cols: list[str], fs
+    spark, target: str, cid: str, kdf: DataFrame, key_cols: list[str], fs,
+    active: str | None = None,
 ) -> bool:
     """Rewrite one commit's delta without the erased keys' content: their
     delete/preimage records keep ONLY the key columns (+ _change_type) —
@@ -208,9 +230,12 @@ def _scrub_delta(
     reader (events._delta_dir), and the superseded dir is then removed
     best-effort. A crash before the put leaves invisible staging; after
     it, stale-dir debris — the entry cleanup below reclaims both on the
-    next run, so a re-run truly converges."""
+    next run, so a re-run truly converges (and the needs-scrub test
+    counts CONTENT rows, not the scrub's own key-only tombstones, so an
+    already-scrubbed delta is a genuine no-op — review r11: the old
+    any-hit test re-rewrote every previously scrubbed delta per run)."""
     cdir = os.path.join(target, strm._CHANGES_DIR, cid)
-    active = strm._delta_dir(target, cid, fs)
+    active = active or strm._delta_dir(target, cid, fs)
     # converge crashed swaps: every delta dir that is NOT the active one
     # is either pre-put staging or post-put stale — both safe to reclaim
     for d in fs.listdir(cdir):
@@ -220,10 +245,10 @@ def _scrub_delta(
             and os.path.normpath(p) != os.path.normpath(active)
         ):
             fs.rmtree(p)
+    if _delta_content_rows(spark, active, kdf, key_cols) == 0:
+        return False
     df = spark.read.parquet(active)
     hit = df.join(F.broadcast(kdf), key_cols, "left_semi")
-    if hit.limit(1).count() == 0:
-        return False
     keep = df.join(F.broadcast(kdf), key_cols, "left_anti")
     kept_cols = set(key_cols) | {"_change_type"}
     tomb = hit.filter(
@@ -383,8 +408,10 @@ def erase_everywhere(
                 cdir = os.path.join(target, strm._CHANGES_DIR)
                 if fs.isdir(cdir):
                     for cid in sorted(fs.listdir(cdir)):
-                        if fs.isdir(strm._delta_dir(target, cid, fs)) and _scrub_delta(
-                            spark, target, cid, kdf, key_cols, fs
+                        active = strm._delta_dir(target, cid, fs)
+                        if fs.isdir(active) and _scrub_delta(
+                            spark, target, cid, kdf, key_cols, fs,
+                            active=active,
                         ):
                             scrubbed.append(cid)
             residual = where_is(spark, target, keys, fs)

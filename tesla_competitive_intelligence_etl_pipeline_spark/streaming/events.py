@@ -1146,7 +1146,10 @@ def _delta_dir(target: str, cid: str, fs: merge_fs.MergeFS) -> str:
             fs.read_bytes(os.path.join(cdir, "_scrub.json")).decode()
         )
         return os.path.join(cdir, ptr["delta"])
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError):
+        # NotADirectoryError: a stray regular FILE in changes/ (ops
+        # artifact) — callers listdir-then-isdir, so returning the
+        # default path lets them skip it instead of aborting the walk
         return os.path.join(cdir, "delta")
 
 

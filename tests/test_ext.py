@@ -2998,9 +2998,13 @@ def test_scrub_pointer_swap_crash_converges(spark, sf_dir, tmp_path, monkeypatch
     fs2 = _CrashAfterPointerFS()
     with pytest.raises(RuntimeError, match="injected"):
         erasure.erase_everywhere(spark, corpus2, doomed, fs=fs2)
-    # the pointer already names the scrubbed delta: CDC reads it, and the
-    # erased ids' content is GONE from the changelog even mid-crash
+    # NO FALSE CLEAN (review r11): the stale pre-scrub delta is reader-
+    # invisible but still on disk — the audit must report it as retained
+    # content, never a zero-residual deadline proof over it
     mfs.break_writer_lease(mfs.LOCAL_FS, corpus2)
+    stale_hits = [h for h in erasure.where_is(spark, corpus2, doomed)
+                  if h["kind"] == "changes"]
+    assert stale_hits and any("/delta" in h["ref"] for h in stale_hits)
     res2 = erasure.erase_everywhere(spark, corpus2, doomed)
     assert res2["residual"] == []
     # converged: exactly one delta dir per commit, the active one
