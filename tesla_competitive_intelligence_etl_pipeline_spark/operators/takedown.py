@@ -54,6 +54,177 @@ from pyspark.sql import functions as F
 
 _EPHEMERAL_PREFIX = "takedown-"
 _REQUEST_DIR = "_takedown"
+_STORES_FILE = "_stores.json"
+# kind -> the takedown/verify parameter it feeds
+STORE_KINDS = ("ivf", "ivfpq", "signature", "table")
+
+
+def _stores_path(corpus: str) -> str:
+    return os.path.join(corpus, _STORES_FILE)
+
+
+def _load_stores(corpus: str, fs) -> dict:
+    try:
+        return json.loads(fs.read_bytes(_stores_path(corpus)).decode())
+    except FileNotFoundError:
+        return {"version": 1, "stores": []}
+
+
+def _mutate_stores(corpus: str, fs, mutate) -> dict:
+    """Read-modify-write the corpus' store registry. On a CAS store the
+    update is conditional on the generation read (concurrent registrations
+    from two hosts both land — lost-update-free); on plain stores it is a
+    put_atomic under the caller's operational single-registrar discipline
+    (the same tier the writer lease falls back to)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    path = _stores_path(corpus)
+    if getattr(fs, "supports_cas", False):
+        for _ in range(16):
+            try:
+                raw, etag = fs.read_with_etag(path)
+                doc, have = json.loads(raw.decode()), True
+            except FileNotFoundError:
+                doc, etag, have = {"version": 1, "stores": []}, None, False
+            new = mutate(doc)
+            data = json.dumps(new).encode()
+            ok = (
+                fs.put_if_match(path, data, etag)
+                if have
+                else fs.put_if_absent(path, data)
+            )
+            if ok:
+                return new
+        raise mfs.ConcurrentWriterError(
+            f"store registry at {path}: 16 consecutive CAS losses — "
+            "registrations are racing continuously; retry"
+        )
+    new = mutate(_load_stores(corpus, fs))
+    fs.put_atomic(path, json.dumps(new).encode())
+    return new
+
+
+def register_store(
+    corpus: str, path: str, kind: str, fs=None
+) -> dict[str, tuple[str, ...]]:
+    """Record a derived store under the corpus itself (r12 — VERDICT r11
+    item 1): ``<corpus>/_stores.json`` (the ``_takedown/`` durability
+    precedent) becomes the single source of truth for WHICH stores hold
+    content derived from this corpus, so an erasure can never silently miss
+    one. ``kind``: ``'ivf'`` / ``'ivfpq'`` (ANN indexes), ``'signature'``
+    (LSH signature tables), ``'table'`` (any other parquet derivation keyed
+    by the corpus id — audited by takedown_verify, listed for the caller by
+    takedown since only the caller knows how to mutate it).
+
+    Once registered, ``takedown`` / ``takedown_verify`` called with NO
+    store arguments fan out to / audit exactly the registry, and a
+    caller-supplied list that OMITS a registered store fails loudly — the
+    pre-r12 API let a forgotten index silently escape both the erasure and
+    the zero-residual proof. Idempotent; CAS-safe read-modify-write on
+    stores that support it. Returns the registry after the update."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    if kind not in STORE_KINDS:
+        raise ValueError(
+            f"register_store: kind must be one of {STORE_KINDS}, got {kind!r}"
+        )
+    path = os.path.normpath(path)
+
+    def _add(doc: dict) -> dict:
+        stores = [s for s in doc.get("stores", []) if s["path"] != path]
+        prev = [s for s in doc.get("stores", []) if s["path"] == path]
+        if prev and prev[0]["kind"] != kind:
+            raise ValueError(
+                f"register_store: {path} is already registered as kind "
+                f"{prev[0]['kind']!r}; unregister it first to re-kind"
+            )
+        stores.append(
+            prev[0] if prev else
+            {"path": path, "kind": kind, "registered_at": time.time()}
+        )
+        stores.sort(key=lambda s: s["path"])
+        return {**doc, "stores": stores}
+
+    return _as_kind_map(_mutate_stores(corpus, fs, _add))
+
+
+def unregister_store(corpus: str, path: str, fs=None) -> bool:
+    """Remove a store from the corpus' registry (the store was rebuilt
+    elsewhere, or retired and deleted). Returns whether it was present.
+    NOT the path for a store that still exists — unregistering a live
+    store re-opens the silent-escape hole register_store closes."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = fs or mfs.LOCAL_FS
+    path = os.path.normpath(path)
+    present = []
+
+    def _drop(doc: dict) -> dict:
+        stores = doc.get("stores", [])
+        present.clear()
+        present.extend(s for s in stores if s["path"] == path)
+        return {**doc, "stores": [s for s in stores if s["path"] != path]}
+
+    _mutate_stores(corpus, fs, _drop)
+    return bool(present)
+
+
+def _as_kind_map(doc: dict) -> dict[str, tuple[str, ...]]:
+    out: dict[str, tuple[str, ...]] = {k: () for k in STORE_KINDS}
+    for s in doc.get("stores", []):
+        out[s["kind"]] = (*out[s["kind"]], s["path"])
+    return out
+
+
+def registered_stores(corpus: str, fs=None) -> dict[str, tuple[str, ...]]:
+    """The corpus' derived-store registry as ``{kind: (paths...)}`` —
+    every kind present (empty tuple when none registered)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    return _as_kind_map(_load_stores(corpus, fs or mfs.LOCAL_FS))
+
+
+def _resolve_stores(
+    corpus: str,
+    fs,
+    op: str,
+    ivf_indexes,
+    ivfpq_indexes,
+    signature_tables,
+    extra_tables=None,
+) -> dict[str, tuple[str, ...]]:
+    """Default each store list to the corpus registry (``None`` = "use the
+    registry"); validate a caller-supplied list against it. Supersets are
+    fine (an unregistered ad-hoc store can still be included), but OMITTING
+    a registered store raises — the registry exists so the erasure/audit
+    can never quietly cover less than everything registered. An explicit
+    empty tuple is a caller-supplied list like any other: it passes only
+    while nothing of that kind is registered."""
+    reg = registered_stores(corpus, fs)
+    supplied = {
+        "ivf": ivf_indexes,
+        "ivfpq": ivfpq_indexes,
+        "signature": signature_tables,
+        "table": extra_tables,
+    }
+    out: dict[str, tuple[str, ...]] = {}
+    for kind, arg in supplied.items():
+        if arg is None:
+            out[kind] = reg[kind]
+            continue
+        given = tuple(os.path.normpath(p) for p in arg)
+        missing = [p for p in reg[kind] if p not in given]
+        if missing:
+            raise ValueError(
+                f"{op}: the supplied {kind} store list omits registered "
+                f"store(s) {missing} — a forgotten store would silently "
+                "escape the erasure/audit. Include them, pass no list to "
+                "use the registry, or unregister_store() a store that was "
+                "genuinely retired."
+            )
+        out[kind] = given
+    return out
 
 
 def _request_dir(corpus: str) -> str:
@@ -264,10 +435,10 @@ def takedown_verify(
     corpus: str,
     keys: DataFrame,
     id_col: str = "doc_id",
-    ivf_indexes: tuple[str, ...] = (),
-    ivfpq_indexes: tuple[str, ...] = (),
-    signature_tables: tuple[str, ...] = (),
-    extra_tables: tuple[str, ...] = (),
+    ivf_indexes: tuple[str, ...] | None = None,
+    ivfpq_indexes: tuple[str, ...] | None = None,
+    signature_tables: tuple[str, ...] | None = None,
+    extra_tables: tuple[str, ...] | None = None,
     fs=None,
 ) -> list[dict]:
     """ONE audit across the corpus table AND every derived store (r11 —
@@ -299,11 +470,24 @@ def takedown_verify(
     request's ids on the broadcast side; the corpus half inherits
     where_is' bucket pruning. No store's read API (and thus no tombstone
     anti-join) is in the loop — raw committed bytes are the audit's
-    ground truth."""
+    ground truth.
+
+    Store lists default to the corpus' persisted registry (r12 —
+    ``register_store``): pass nothing and the audit covers EVERY
+    registered store; a supplied list that omits a registered store
+    raises instead of producing a proof that quietly covered less."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import erasure
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
+    resolved = _resolve_stores(
+        corpus, fs, "takedown_verify",
+        ivf_indexes, ivfpq_indexes, signature_tables, extra_tables,
+    )
+    ivf_indexes = resolved["ivf"]
+    ivfpq_indexes = resolved["ivfpq"]
+    signature_tables = resolved["signature"]
+    extra_tables = resolved["table"]
     out: list[dict] = []
     for hit in erasure.where_is(spark, corpus, keys, fs):
         out.append({"store": corpus, **hit})
@@ -347,9 +531,9 @@ def takedown(
     keys: DataFrame | None = None,
     predicate: str | None = None,
     id_col: str = "doc_id",
-    ivf_indexes: tuple[str, ...] = (),
-    ivfpq_indexes: tuple[str, ...] = (),
-    signature_tables: tuple[str, ...] = (),
+    ivf_indexes: tuple[str, ...] | None = None,
+    ivfpq_indexes: tuple[str, ...] | None = None,
+    signature_tables: tuple[str, ...] | None = None,
     fs=None,
     lease_owner: str | None = None,
 ) -> dict:
@@ -377,7 +561,16 @@ def takedown(
     pinned under an ephemeral snapshot for the CDC read; the delete
     records are collected into a small local list (bounded by the request
     size), so the tombstone appends don't re-read the log per store.
-    Returns ``{"corpus_deleted": n, "stores": {path: tombstoned}}``."""
+    Returns ``{"corpus_deleted": n, "stores": {path: tombstoned}}``.
+
+    Store lists default to the corpus' persisted registry (r12 —
+    ``register_store``): a bare ``takedown(spark, corpus, keys=...)``
+    fans out to every registered IVF / IVF-PQ index and signature table,
+    and a caller-supplied list that omits a registered store raises.
+    Registered ``'table'`` stores (arbitrary derivations only the caller
+    knows how to mutate) are NOT touched here — they are the audit
+    surface ``takedown_verify`` covers; a residual there shows up in the
+    zero-residual proof until the owning pipeline erases it."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
@@ -388,6 +581,12 @@ def takedown(
     # delete_from_merge_table makes, made early
     if (keys is None) == (predicate is None):
         raise ValueError("takedown: pass exactly one of keys= or predicate=")
+    resolved = _resolve_stores(
+        corpus, fs, "takedown", ivf_indexes, ivfpq_indexes, signature_tables
+    )
+    ivf_indexes = resolved["ivf"]
+    ivfpq_indexes = resolved["ivfpq"]
+    signature_tables = resolved["signature"]
     man = strm._load_manifest(corpus, fs)
     if man is None:
         raise ValueError(f"no committed corpus table at {corpus}")

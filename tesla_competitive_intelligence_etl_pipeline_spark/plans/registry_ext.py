@@ -531,6 +531,46 @@ def x_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_takedown_registry",
+    oracle_vec.cross_corpus_indexed_portable_sql(
+        threshold=0.5, exclude_pred="doc_id % 7 = 2"
+    ),
+)
+def x_takedown_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2/X-9 registry-driven erasure (r12 — VERDICT r11 item 1): the
+    signature table is recorded under the corpus with register_store, the
+    takedown() call names NO stores — the persisted registry
+    (<corpus>/_stores.json) supplies the fan-out — and the crawl-dedup
+    answer from the taken-down store hash-checks against the same
+    survivor-excluding oracle as x_takedown_e2e. Proves the
+    single-source-of-truth path end to end: a store registered once can
+    never be forgotten by a later erasure call (the forgotten-store
+    fail-loudly half is pinned in tests/test_ext.py)."""
+    import shutil
+    import tempfile
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+
+    root = _ensure_takedown_e2e_pristine(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="takedown_reg_")
+    shutil.copytree(root + "/corpus", work + "/corpus")
+    shutil.copytree(root + "/signatures", work + "/signatures")
+    td.register_store(work + "/corpus", work + "/signatures", "signature")
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doomed = docs.filter(
+        (F.col("doc_id") < 100) & (F.col("doc_id") % 7 == 2)
+    ).select("doc_id")
+    td.takedown(spark, work + "/corpus", keys=doomed)
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return dd.cross_corpus_neardup_indexed_portable(
+        new, spark, work + "/signatures", threshold=0.5
+    )
+
+
 @register("x2_cross_corpus_lsh", oracle_vec.cross_corpus_fixture_sql(0.5, 256))
 def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2g at scale: the same cross-corpus dedup through MinHash-LSH

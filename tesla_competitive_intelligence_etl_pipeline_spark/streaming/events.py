@@ -677,7 +677,12 @@ def estimate_merged_rows(
     stats merge_table records now feed a consumer).
 
     Per surviving (un-pruned) bucket: its recorded row count scaled by
-    each filter's selectivity —
+    the MINIMUM of the per-filter selectivities — never their product
+    (r12 — VERDICT r11 nit 3: the independence product under-estimates
+    under correlated filters, the one direction that mis-hints a
+    broadcast; a conjunction can keep at most what its single most
+    selective conjunct keeps, so the min is the distribution-free safe
+    bound). Per filter:
 
     - range filter, point (lo == hi): ``1/ndv`` — the recorded
       approx-distinct is exactly the right statistic for an equality
@@ -723,13 +728,22 @@ def estimate_merged_rows(
         if ns is None or "rows" not in ns:
             return None  # un-modelable bucket: no estimate, never a guess
         rows = float(ns["rows"])
-        sel = 1.0
+        # per-filter selectivities — COMPOSED AS A MIN, not a product
+        # (r12 — VERDICT r11 nit 3): the independence product can
+        # UNDER-estimate under correlated filters (two correlated
+        # 0.1-selectivity ranges -> 0.01 estimated vs 0.1 true), which is
+        # the one direction the model promises never to err. A
+        # conjunction keeps at most what its single most selective
+        # conjunct keeps, regardless of correlation, so min(sels) is the
+        # distribution-free bound; it over-estimates under genuine
+        # independence, which only withholds a broadcast.
+        sels: list[float] = [1.0]
         st = stats.get(b) or {}
         for c, (lo, hi) in (range_filters or {}).items():
             if lo is not None and hi is not None and lo == hi:
                 ndv = (ns.get("ndv") or {}).get(c)
                 if ndv:
-                    sel *= 1.0 / float(ndv)
+                    sels.append(1.0 / float(ndv))
                 continue
             ent = st.get(c)
             if ent is None:
@@ -738,20 +752,87 @@ def estimate_merged_rows(
             mn, mx = _num(dmn), _num(dmx)
             qlo, qhi = _num(lo), _num(hi)
             if mn is None or mx is None or mx <= mn:
-                continue  # point span / non-numeric: keep sel (>= truth)
+                continue  # point span / non-numeric: no claim (>= truth)
             eff_lo = mn if qlo is None else max(mn, qlo)
             eff_hi = mx if qhi is None else min(mx, qhi)
-            sel *= max(0.0, min(1.0, (eff_hi - eff_lo) / (mx - mn)))
+            sels.append(max(0.0, min(1.0, (eff_hi - eff_lo) / (mx - mn))))
         for c, mode in (null_filters or {}).items():
             n = (ns.get("nulls") or {}).get(c)
             if n is None or rows == 0:
                 continue
             frac = n / rows
-            sel *= (1.0 - frac) if mode == "not_null" else frac
-        total += rows * sel
+            sels.append((1.0 - frac) if mode == "not_null" else frac)
+        total += rows * min(sels)
     import math
 
     return int(math.ceil(total))
+
+
+def _parse_byte_conf(v) -> int:
+    """A Spark size conf value as bytes — plain digits are bytes; the JVM
+    suffixes k/m/g/t (optionally with a trailing 'b') scale by 1024. The
+    subset Spark itself documents for autoBroadcastJoinThreshold."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4)):
+        if s.endswith(suf + "b"):
+            mult, s = m, s[:-2]
+            break
+        if s.endswith(suf):
+            mult, s = m, s[:-1]
+            break
+    else:
+        if s.endswith("b"):
+            s = s[:-1]
+    return int(float(s) * mult)
+
+
+def _auto_broadcast_threshold_rows(
+    spark: SparkSession,
+    target: str,
+    manifest: dict,
+    fs: merge_fs.MergeFS,
+    surviving: list[tuple],
+) -> int | None:
+    """Derive the row-count threshold behind ``broadcast_threshold_rows=
+    'auto'`` (r12 — VERDICT r11 item 4): Spark's own broadcast decision is
+    ``spark.sql.autoBroadcastJoinThreshold`` against the scan's FILE
+    bytes; the manifest model estimates post-filter ROWS — so convert the
+    byte budget to rows with the table's own recorded width,
+    committed-parquet bytes / recorded rows over the surviving buckets.
+    Both sides of the division are the same accounting Spark applies to
+    the unfiltered scan, so the derived hint fires exactly when the
+    filtered result would have fit Spark's own budget had it been a
+    table of its own. None (no auto hint) when the budget is disabled
+    (<= 0), no bucket survives, or a surviving bucket lacks recorded
+    rows — the same no-guess rule as estimate_merged_rows."""
+    import os
+
+    try:
+        conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    except Exception:
+        conf = "10MB"
+    budget = _parse_byte_conf(conf)
+    if budget <= 0 or not surviving:
+        return None
+    nullstats = manifest.get("nullstats") or {}
+    rows = 0
+    nbytes = 0
+    for b, rel in surviving:
+        ns = nullstats.get(b)
+        if ns is None or "rows" not in ns:
+            return None
+        rows += int(ns["rows"])
+        d = os.path.join(target, rel)
+        try:
+            for f in fs.listdir(d):
+                if f.endswith(".parquet"):
+                    nbytes += fs.size(os.path.join(d, f))
+        except FileNotFoundError:
+            return None
+    if rows <= 0 or nbytes <= 0:
+        return None
+    return int(budget * rows // nbytes)
 
 
 def read_merged(
@@ -762,7 +843,7 @@ def read_merged(
     snapshot: str | None = None,
     range_filters: dict[str, tuple] | None = None,
     null_filters: dict[str, str] | None = None,
-    broadcast_threshold_rows: int | None = None,
+    broadcast_threshold_rows: int | str | None = None,
 ):
     """Read the committed state of a merge gold table. ``buckets`` prunes the
     read to those buckets' committed dirs (manifest-level partition pruning —
@@ -813,7 +894,11 @@ def read_merged(
     tiny; the manifest's recorded rows/ndv/null-fraction model can. No
     estimate (legacy buckets without stats) or an over-threshold estimate
     leaves the plan untouched — the model only ever errs toward NOT
-    broadcasting (see estimate_merged_rows)."""
+    broadcasting (see estimate_merged_rows). Pass ``'auto'`` (r12 —
+    VERDICT r11 item 4) to derive the threshold from the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` and the table's recorded
+    bytes-per-row instead of hand-picking a row count — the default the
+    join helpers (operators/joins.enrich_with_merged_dim) use."""
     import os
 
     if snapshot is not None:
@@ -839,14 +924,25 @@ def read_merged(
     def _hint(df):
         """broadcast_threshold_rows: attach the broadcast hint iff the
         manifest-stats cardinality model proves the filtered result small
-        (never on a missing estimate — see estimate_merged_rows)."""
+        (never on a missing estimate — see estimate_merged_rows).
+        ``'auto'`` (r12 — VERDICT r11 item 4) derives the row threshold
+        from spark.sql.autoBroadcastJoinThreshold and the table's own
+        recorded bytes-per-row, so callers need no magic number — see
+        _auto_broadcast_threshold_rows."""
         if broadcast_threshold_rows is None:
             return df
+        thr = broadcast_threshold_rows
+        if thr == "auto":
+            thr = _auto_broadcast_threshold_rows(
+                spark, target, manifest, fs, surviving
+            )
+            if thr is None:
+                return df
         est = estimate_merged_rows(
             target, fs, snapshot, buckets, range_filters, null_filters,
             _manifest=manifest,
         )
-        if est is not None and est <= broadcast_threshold_rows:
+        if est is not None and est <= thr:
             return F.broadcast(df)
         return df
 
@@ -888,12 +984,12 @@ def read_merged(
             if f[1] is None or not _range_disjoint(f[1:], lo, hi)
         ]
 
-    paths = [
-        p
+    surviving = [
+        (b, rel)
         for b, rel in sorted(manifest["buckets"].items())
         if (want is None or b in want) and not _skippable(b)
-        for p in _bucket_paths(b, rel)
     ]
+    paths = [p for b, rel in surviving for p in _bucket_paths(b, rel)]
 
     def _ranged(df):
         if not range_filters and not null_filters:
@@ -1378,7 +1474,11 @@ def vacuum_merge_table(
     stranded off-chain by a rollback) — the blunt time-window retention
     every changelog carries (Delta logRetentionDuration): consumers must
     read their range before it ages out; a walk into a dropped range
-    fails loudly and falls back to read_changes.
+    fails loudly and falls back to read_changes. Exception (r12 — VERDICT
+    r11 item 3): a delta referenced by a live ``_takedown/`` request
+    record's ``delete_commit`` stamp is ALWAYS retained regardless of N —
+    it is the crashed takedown's exact delete set, and recovery must
+    never find it vacuumed.
 
     Staged-version protection (r10 — ADVICE r9): an unreferenced version
     may be a LIVE commit's phase-1 staging whose manifest put has not
@@ -1508,6 +1608,31 @@ def vacuum_merge_table(
                     ).get("parent")
                 except FileNotFoundError:
                     break
+            # live takedown obligations PIN their delete commit (r12 —
+            # VERDICT r11 item 3): a crashed takedown's recovery reads
+            # EXACTLY its stamped commit's delta for the delete set, and
+            # reclaiming it under changes_keep retention used to turn the
+            # erasure into a manual forensics procedure (recover raised).
+            # Spare every delta a live ``_takedown/`` record references —
+            # the snapshot-pin precedent applied to the commit log; the
+            # record is removed when the obligation is met, so the pin
+            # lives exactly as long as the recovery could need the delta.
+            # (Unstamped records never pin: their recovery path is the
+            # pinned-snapshot CDC read with the state-diff fallback, which
+            # survives delta loss by construction.)
+            tddir = os.path.join(target, "_takedown")
+            if fs.isdir(tddir):
+                for f in fs.listdir(tddir):
+                    if not f.endswith(".json"):
+                        continue
+                    try:
+                        trec = json.loads(
+                            fs.read_bytes(os.path.join(tddir, f)).decode()
+                        )
+                    except FileNotFoundError:
+                        continue  # recovery removed it between list & read
+                    if trec.get("delete_commit"):
+                        keep.add(trec["delete_commit"])
             cdir = os.path.join(target, _CHANGES_DIR)
             if fs.isdir(cdir):
                 for d in fs.listdir(cdir):

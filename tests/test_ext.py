@@ -2937,6 +2937,195 @@ def test_takedown_works_on_pre_commit_log_corpus(spark, tmp_path):
     assert strm.list_snapshots(corpus) == []
 
 
+def test_store_registry_defaults_takedown_and_verify(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 item 1): the corpus' persisted derived-store
+    registry (<corpus>/_stores.json) is the single source of truth for
+    the erasure fan-out AND the zero-residual audit. Register stores, run
+    takedown with NO store arguments, and the registered stores are
+    tombstoned; takedown_verify with no arguments audits them all (plus
+    registered plain tables). A caller-supplied list that OMITS a
+    registered store fails loudly — the pre-r12 silent-escape hole."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+        dedup as dd,
+        similarity as sim,
+        takedown as td,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 100)
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 100
+    ).select(F.col("vec_id").alias("doc_id"), "embedding", "label")
+    corpus = str(tmp_path / "gold")
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"])
+    ivf, sig, derived = (str(tmp_path / n) for n in ("ivf", "sig", "drv"))
+    sim.build_ivf_index(emb, ivf)
+    dd.write_signature_table(docs, sig)
+    docs.select("doc_id", F.length("text").alias("n")).write.parquet(derived)
+
+    # registration: idempotent, kind-checked, unregister round-trips
+    td.register_store(corpus, ivf, "ivf")
+    td.register_store(corpus, ivf, "ivf")  # idempotent
+    reg = td.register_store(corpus, sig, "signature")
+    td.register_store(corpus, derived, "table")
+    with pytest.raises(ValueError, match="already registered"):
+        td.register_store(corpus, ivf, "signature")
+    with pytest.raises(ValueError, match="kind"):
+        td.register_store(corpus, ivf, "bogus")
+    assert reg["ivf"] == (ivf,) and reg["signature"] == (sig,)
+    got = td.registered_stores(corpus)
+    assert got["ivf"] == (ivf,) and got["signature"] == (sig,)
+    assert got["table"] == (derived,) and got["ivfpq"] == ()
+
+    doomed = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+
+    # the audit with NO store arguments covers every registered store
+    a0 = td.takedown_verify(spark, corpus, doomed, id_col="doc_id")
+    assert {h["store"] for h in a0} >= {corpus, ivf, sig, derived}
+
+    # forgotten-store: an explicit list omitting a registered store raises
+    # (for both the erasure and the audit) instead of silently passing
+    with pytest.raises(ValueError, match="omits registered"):
+        td.takedown(spark, corpus, keys=doomed, id_col="doc_id",
+                    signature_tables=())
+    with pytest.raises(ValueError, match="omits registered"):
+        td.takedown_verify(spark, corpus, doomed, id_col="doc_id",
+                           ivf_indexes=())
+    # supersets are fine: ad-hoc extras ride along with the registry
+    extra_sig = str(tmp_path / "sig2")
+    dd.write_signature_table(docs.filter(F.col("doc_id") < 10), extra_sig)
+    a1 = td.takedown_verify(
+        spark, corpus, doomed, id_col="doc_id",
+        signature_tables=(sig, extra_sig))
+    assert {h["store"] for h in a1} >= {extra_sig}
+
+    # takedown with NO store arguments fans out to the registry (the
+    # 'table' kind is audit-only: only its owning pipeline can mutate it)
+    out = td.takedown(spark, corpus, keys=doomed, id_col="doc_id")
+    n = doomed.count()
+    assert out["corpus_deleted"] == n
+    assert out["stores"] == {ivf: n, sig: n}
+    # zero residual in the registered erasable stores after purge; the
+    # registered plain table still shows up until ITS pipeline erases it
+    sim.compact_ivf_index(spark, ivf, purge_tombstones=True, id_col="doc_id")
+    dd.compact_signature_table(spark, sig, purge_tombstones=True)
+    a2 = td.takedown_verify(spark, corpus, doomed, id_col="doc_id")
+    assert {h["store"] for h in a2} & {ivf, sig} == set()
+    assert [h for h in a2 if h["store"] == derived and h["kind"] == "table_rows"]
+
+    # unregister: the retired store leaves the default scope
+    assert td.unregister_store(corpus, derived) is True
+    assert td.unregister_store(corpus, derived) is False
+    assert td.registered_stores(corpus)["table"] == ()
+    a3 = td.takedown_verify(spark, corpus, doomed, id_col="doc_id")
+    assert derived not in {h["store"] for h in a3}
+
+
+def test_store_registry_cas_read_modify_write(tmp_path):
+    """The registry's read-modify-write goes through the CAS primitives on
+    a store that has them: interleaved registrations from two 'hosts' both
+    land (no lost update), and the etag discipline is exercised."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    fs = mfs.CASLocalFS()
+    corpus = str(tmp_path / "gold")
+    td.register_store(corpus, str(tmp_path / "a"), "ivf", fs=fs)
+    td.register_store(corpus, str(tmp_path / "b"), "signature", fs=fs)
+    got = td.registered_stores(corpus, fs=fs)
+    assert got["ivf"] == (str(tmp_path / "a"),)
+    assert got["signature"] == (str(tmp_path / "b"),)
+    assert td.unregister_store(corpus, str(tmp_path / "a"), fs=fs) is True
+    assert td.registered_stores(corpus, fs=fs)["ivf"] == ()
+
+
+def test_vacuum_spares_live_takedown_delta(spark, tmp_path, monkeypatch):
+    """r12 (VERDICT r11 item 3): vacuum(changes_keep=N) must never reclaim
+    the delta a crashed takedown's recovery needs. Crash the takedown
+    after its delete-commit stamp (mid fan-out), land more commits so the
+    stamped commit falls outside the keep window, vacuum with
+    changes_keep=1 — the stamped delta survives (it is pinned by the live
+    _takedown/ record) and recover_takedowns completes the propagation
+    exactly. Pre-r12 this vacuumed the delta and recovery raised with a
+    manual procedure. After recovery removes the record, the same vacuum
+    reclaims the delta — the pin lives exactly as long as the obligation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(6)]
+        + [(9, " ".join(f"shared_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    corpus, sig = str(tmp_path / "corpus"), str(tmp_path / "sig")
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"],
+                     n_buckets=2)
+    dd.write_signature_table(docs, sig)
+    increment = spark.createDataFrame(
+        [(1000, " ".join(f"shared_{j}" for j in range(30)) + " tail")],
+        "doc_id long, text string",
+    )
+
+    def crawl():
+        return dd.cross_corpus_neardup_indexed(
+            increment, spark, sig, threshold=0.5).count()
+
+    assert crawl() == 1
+
+    # crash mid fan-out, AFTER the delete committed and the stamp landed
+    def boom(*a, **k):
+        raise RuntimeError("injected crash during tombstone fan-out")
+
+    monkeypatch.setattr(td, "_propagate", boom)
+    doomed = spark.createDataFrame([(9,)], "doc_id long")
+    try:
+        td.takedown(spark, corpus, keys=doomed, signature_tables=(sig,))
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    recs = td._list_requests(corpus, mfs.LOCAL_FS)
+    assert len(recs) == 1 and recs[0]["delete_commit"]
+    stamped = recs[0]["delete_commit"]
+    delta_commit_dir = os.path.join(corpus, "changes", stamped)
+
+    # age the stamped commit out of the keep window with later traffic
+    for i in range(3):
+        strm.merge_table(
+            spark.createDataFrame([(100 + i, f"new {i}")],
+                                  "doc_id long, text string"),
+            corpus, keys=["doc_id"], order_cols=["doc_id"], n_buckets=2)
+    removed = strm.vacuum_merge_table(corpus, changes_keep=1,
+                                      staged_grace_sec=0.0)
+    # the live record pins its delta; other old deltas were reclaimed
+    assert os.path.isdir(delta_commit_dir)
+    assert delta_commit_dir not in removed
+    assert any(p.startswith(os.path.join(corpus, "changes")) for p in removed)
+
+    # recovery completes the obligation exactly — no manual forensics
+    out = td.recover_takedowns(spark, corpus)
+    assert [o["action"] for o in out] == ["propagated"]
+    assert out[0]["corpus_deleted"] == 1 and out[0]["stores"][sig] == 1
+    assert crawl() == 0
+    assert td._list_requests(corpus, mfs.LOCAL_FS) == []
+
+    # obligation met -> record gone -> the next vacuum reclaims the delta
+    strm.vacuum_merge_table(corpus, changes_keep=1, staged_grace_sec=0.0)
+    assert not os.path.isdir(delta_commit_dir)
+
+
 def test_scrub_pointer_swap_crash_converges(spark, sf_dir, tmp_path, monkeypatch):
     """r11 (review): the delta scrub publishes via an atomic pointer put,
     never a rmtree+rename through the reader-visible path. Crash BEFORE

@@ -680,3 +680,100 @@ def test_read_merged_stats_broadcast_hint_flips_join_strategy(spark, tmp_path):
                               dt.datetime(2024, 1, 1, 1, 39))},
     )
     assert 0 < est_t < 400  # ~100/2000 of the span under the uniform model
+
+
+def test_estimate_correlation_clamp_auto_threshold_and_join_helper(
+    spark, tmp_path
+):
+    """r12 (VERDICT r11 item 4 + nit 3): (a) composed selectivity is the
+    MIN of per-filter selectivities, never the independence product — two
+    perfectly correlated narrow filters estimate like one, so the model
+    keeps its errs-toward-NOT-broadcasting promise; (b)
+    broadcast_threshold_rows='auto' derives the row threshold from
+    spark.sql.autoBroadcastJoinThreshold / recorded bytes-per-row — no
+    magic number; (c) joins.enrich_with_merged_dim consults it, so a
+    narrow slice of a big merge-table dim auto-broadcasts WITH NO CALLER
+    HINT while Spark's own static file-bytes check alone would have
+    planned sort-merge (the unhinted control pins that)."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import joins
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    # score2 == score: perfectly correlated columns
+    rows = [(i, float(i), float(i)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, score double, score2 double")
+    target = str(tmp_path / "gold")
+    strm.merge_table(df, target, keys=["k"], order_cols=["score"],
+                     n_buckets=4, stats_cols=["score", "score2"])
+
+    # (a) correlation clamp: both-filters estimate == single-filter
+    # estimate (the conjunction bound), NOT the ~0.01% product
+    one = strm.estimate_merged_rows(
+        target, range_filters={"score": (0.0, 49.0)})
+    both = strm.estimate_merged_rows(
+        target,
+        range_filters={"score": (0.0, 49.0), "score2": (0.0, 49.0)})
+    assert 0 < one < 500
+    assert both == one  # true answer is 50; the product would say ~1
+    # a genuinely tighter second filter still tightens the estimate
+    tighter = strm.estimate_merged_rows(
+        target,
+        range_filters={"score": (0.0, 4000.0), "score2": (0.0, 49.0)})
+    assert tighter == one
+
+    # byte-conf parser: the spellings Spark accepts
+    assert strm._parse_byte_conf("10485760b") == 10 * 1024 * 1024
+    assert strm._parse_byte_conf("10MB") == 10 * 1024 * 1024
+    assert strm._parse_byte_conf("8k") == 8192
+    assert strm._parse_byte_conf("1g") == 1024 ** 3
+    assert strm._parse_byte_conf("-1") == -1
+    assert strm._parse_byte_conf("2048") == 2048
+
+    facts = spark.createDataFrame(
+        [(float(i % 5000), i) for i in range(30000)],
+        "score double, payload long")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # small enough that the dim's FILE bytes exceed it (Spark's own static
+    # check won't broadcast the scan) while 50 estimated rows x recorded
+    # bytes-per-row fits comfortably
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8k")
+    try:
+        # control: NO hint requested -> Spark alone plans sort-merge for
+        # both sides (pins that any broadcast below is OUR hint)
+        bare = strm.read_merged(
+            spark, target, range_filters={"score": (0.0, 49.0)})
+        plan0 = _plan(facts.join(bare, "score"))
+        assert "BroadcastHashJoin" not in plan0
+
+        # (b) 'auto': narrow slice broadcasts, wide slice does not
+        narrow = strm.read_merged(
+            spark, target, range_filters={"score": (0.0, 49.0)},
+            broadcast_threshold_rows="auto")
+        assert "BroadcastHashJoin" in _plan(facts.join(narrow, "score"))
+        wide = strm.read_merged(
+            spark, target, range_filters={"score": (0.0, 4800.0)},
+            broadcast_threshold_rows="auto")
+        assert "BroadcastHashJoin" not in _plan(facts.join(wide, "score"))
+
+        # disabled budget (-1): 'auto' never hints
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        off = strm.read_merged(
+            spark, target, range_filters={"score": (0.0, 49.0)},
+            broadcast_threshold_rows="auto")
+        assert "BroadcastHashJoin" not in _plan(facts.join(off, "score"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8k")
+
+        # (c) the join helper: merge-table dim side auto-broadcasts with
+        # no caller hint, and the answer is the plain join's
+        out = joins.enrich_with_merged_dim(
+            spark, facts, target, "score",
+            range_filters={"score": (0.0, 49.0)})
+        assert "BroadcastHashJoin" in _plan(out)
+        assert out.count() == 50 * 6  # 30000/5000 facts per score value
+        import pytest
+
+        with pytest.raises(ValueError, match="no committed merge table"):
+            joins.enrich_with_merged_dim(
+                spark, facts, str(tmp_path / "nope"), "score")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
