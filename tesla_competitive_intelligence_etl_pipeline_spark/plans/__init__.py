@@ -29,8 +29,18 @@ DRIVER_WINDOW: list[str] = [
     "evt_funnel",
     "set_ops_suite",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q18_large_orders",
+    # r12 rotation (the r8-r11 precedent), three swaps this round:
+    # q3_shipping_priority -> xtra_scd2_commit_ts (the wall-clock SCD2
+    # timeline from stamped commits, hash-checked by the driver instead of
+    # only judge-replayed), and q18_large_orders -> x5_bpe_gpt2_encode (the
+    # production tokenizer's end-to-end encode gate: gpt2 pre-tokenization,
+    # byte fallback, bpe_save/load persistence in the timed path). Both
+    # TPC-H extras stay registered, bench-headlined, and locally
+    # parity-checked at both SFs; the TPC-H composite shape keeps
+    # tpch_suite in-window. Third swap below: x_takedown_e2e ->
+    # x_takedown_registry.
+    "xtra_scd2_commit_ts",
+    "x5_bpe_gpt2_encode",
     # r8 rotation (VERDICT r7 item 8): q_corr_subquery_avg -> x5_bpe_train.
     # The decorrelated per-group-average shape stays driver-covered by
     # tpch_suite's Q17 branch (and q_corr_subquery_avg itself stays
@@ -68,7 +78,13 @@ DRIVER_WINDOW: list[str] = [
     # x9_clustered_skipping (the clustered-layout file-level data skip,
     # hash-checked; feature-extract stays registered + parity-checked and
     # X-4 keeps x4_multimodal_meta in-window).
-    "x_takedown_e2e",
+    # r12 third swap: x_takedown_e2e -> x_takedown_registry. The registry
+    # variant runs the IDENTICAL one-call erasure pipeline against the
+    # same survivor-excluding oracle PLUS the r12 persisted-store-registry
+    # path (register_store -> takedown with NO store arguments), so the
+    # slot's coverage strictly grows; the e2e twin stays registered +
+    # locally parity-checked at both SFs.
+    "x_takedown_registry",
     "x3_cosine_topk",
     "x4_multimodal_meta",
     # r10 third swap: x9_clustered_skipping -> x9_zorder_skipping (the

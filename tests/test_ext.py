@@ -2699,7 +2699,13 @@ def test_bpe_gpt2_pretokenize_round_trip_and_persistence(spark, sf_dir, tmp_path
 
     docs = spark.createDataFrame(
         [(1, "I can't believe it's 2026! Hello   world.\n\tTabs too."),
-         (2, "lower UPPER MiXeD 42x \U0001F680 emoji")],
+         (2, "lower UPPER MiXeD 42x \U0001F680 emoji"),
+         # r12 (VERDICT r11 item 7): whitespace beyond space/\n/\t/\r —
+         # VT + FF are ASCII \s (now surrogate-covered instead of
+         # silently dropped); NBSP / ideographic / thin / line-sep spaces
+         # are NOT \s to the JVM regex and must ride through untouched
+         (3, "vt\x0bff\x0cnb wide　thin sep end"),
+         (4, "mixed  \x0b 　\x0c run")],
         "doc_id long, text string",
     )
     got = docs.select(
@@ -2709,6 +2715,12 @@ def test_bpe_gpt2_pretokenize_round_trip_and_persistence(spark, sf_dir, tmp_path
                             "Ġ2026", "!"]
     assert "ĠUPPER" in got[1].p and "ĠMiXeD" in got[1].p  # case preserved
     assert "Ġ42" in got[1].p and "x" in got[1].p  # number/letter runs split
+    # every input character survives pre-tokenization — nothing dropped
+    # (pre-r12, the \x0b / \x0c pieces silently vanished here)
+    src_text = {d.doc_id: d.text for d in docs.collect()}
+    for r in got:
+        assert "".join(r.p).translate(
+            str.maketrans("ĠĊĉčċČ", " \n\t\r\x0b\x0c")) == src_text[r.doc_id]
 
     merges, vocab = tx.bpe_train(
         docs, n_merges=4, pretokenize="gpt2", return_vocab=True)
