@@ -569,8 +569,10 @@ def takedown(
     and a caller-supplied list that omits a registered store raises.
     Registered ``'table'`` stores (arbitrary derivations only the caller
     knows how to mutate) are NOT touched here — they are the audit
-    surface ``takedown_verify`` covers; a residual there shows up in the
-    zero-residual proof until the owning pipeline erases it."""
+    surface ``takedown_verify`` covers; the result names them under
+    ``"manual_tables"`` so the operator sees the remaining obligation,
+    and a residual there shows up in the zero-residual proof until the
+    owning pipeline erases it."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
@@ -689,4 +691,10 @@ def takedown(
     # treats a record-less pin as safely droppable debris)
     fs.rmtree(_request_path(corpus, request_id))
     strm.drop_snapshot(corpus, tag, fs=fs)
-    return {"corpus_deleted": len(gone_rows), "stores": stores}
+    out = {"corpus_deleted": len(gone_rows), "stores": stores}
+    if resolved["table"]:
+        # registered derivations this call CANNOT mutate (only their
+        # owning pipeline can): name them so the operator sees the
+        # remaining erasure obligation takedown_verify will keep flagging
+        out["manual_tables"] = list(resolved["table"])
+    return out

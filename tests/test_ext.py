@@ -3022,6 +3022,8 @@ def test_store_registry_defaults_takedown_and_verify(spark, sf_dir, tmp_path):
     n = doomed.count()
     assert out["corpus_deleted"] == n
     assert out["stores"] == {ivf: n, sig: n}
+    # the registered plain table is named as a remaining manual obligation
+    assert out["manual_tables"] == [derived]
     # zero residual in the registered erasable stores after purge; the
     # registered plain table still shows up until ITS pipeline erases it
     sim.compact_ivf_index(spark, ivf, purge_tombstones=True, id_col="doc_id")
