@@ -711,6 +711,59 @@ def x9_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "last_event_type", "last_value", "event_id")
 
 
+@register(
+    "x9_stats_join_autobroadcast",
+    f"""
+    WITH l AS (
+      SELECT user_id, event_type AS last_event_type, value AS last_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, last_event_type
+      FROM l WHERE rn = 1 AND last_value >= 10.0 AND last_value <= 60.0
+    )
+    SELECT d.last_event_type AS last_event_type,
+           COUNT(*) AS n_events,
+           {_dsum('e.value')} AS sum_value
+    FROM events e JOIN d ON e.user_id = d.user_id
+    GROUP BY d.last_event_type
+    """,
+)
+def x9_stats_join_autobroadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9k2 (r12 — VERDICT r11 item 4): the STATS-PLANNED dim join — the
+    events fact enriched through joins.enrich_with_merged_dim against the
+    stats-carrying gold table with a narrow last_value range. The dim side
+    is read with broadcast_threshold_rows='auto': the manifest's recorded
+    rows/ndv model estimates the FILTERED dim (min-composed selectivities,
+    never the independence product) and converts the session's
+    autoBroadcastJoinThreshold to rows via recorded bytes-per-row — the
+    broadcast decision Spark's static file-bytes check cannot make.
+    Values are hint-independent (the oracle re-derives the latest-per-user
+    dim, range, join, and exact-decimal aggregate in SQL); the plan flip
+    itself is pinned in tests/test_plans.py."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+        aggregates as agg,
+        joins,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as io_mod
+
+    target = _ensure_stats_gold(spark, sf_dir)
+    facts = io_mod.load_events(spark, sf_dir).select("user_id", "value")
+    out = joins.enrich_with_merged_dim(
+        spark, facts, target, "user_id",
+        range_filters={"last_value": (10.0, 60.0)},
+    )
+    return out.groupBy("last_event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        agg.exact_sum(F.col("value")).alias("sum_value"),
+    )
+
+
 # ===========================================================================
 # X-9l (r10): clustered layout -> per-FILE data skipping on a column that
 # does NOT correlate with the key hash — the case bucket-level min/max can
