@@ -84,7 +84,8 @@ def main() -> None:
     # drain from the 1-min average), then run regardless with the honest
     # stamp. Opt out with SPARK_GRAFT_BENCH_NOWAIT=1.
     waited_for_idle_sec = 0.0
-    if not os.environ.get("SPARK_GRAFT_BENCH_NOWAIT"):
+    # "0"/"" mean "do wait" (review r12: plain truthiness made =0 skip)
+    if os.environ.get("SPARK_GRAFT_BENCH_NOWAIT") in (None, "", "0"):
         deadline = time.time() + 600.0
         while os.getloadavg()[0] > 2.0 and time.time() < deadline:
             time.sleep(15.0)

@@ -52,8 +52,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tesla_competitive_intelligence_etl_pipeline_spark.streaming.fs import (
+    TAKEDOWN_DELETE_COMMIT_FIELD as _DELETE_COMMIT,
+    TAKEDOWN_REQUEST_DIR as _REQUEST_DIR,
+)
+
 _EPHEMERAL_PREFIX = "takedown-"
-_REQUEST_DIR = "_takedown"
 _STORES_FILE = "_stores.json"
 # kind -> the takedown/verify parameter it feeds
 STORE_KINDS = ("ivf", "ivfpq", "signature", "table")
@@ -374,7 +378,7 @@ def recover_takedowns(
             fs.rmtree(rpath)
             out.append({"id": rid, "action": "dropped_pre_pin", "stores": {}})
             continue
-        commit_id = rec.get("delete_commit")
+        commit_id = rec.get(_DELETE_COMMIT)
         if commit_id:
             # resolve through the scrub pointer (r11): an erased-and-
             # scrubbed delta still carries the key-only delete records —
@@ -617,7 +621,7 @@ def takedown(
         "ivfpq_indexes": list(ivfpq_indexes),
         "signature_tables": list(signature_tables),
         "created_at": time.time(),
-        "delete_commit": None,
+        _DELETE_COMMIT: None,
     }
     # durable intent FIRST: from here, a crash at any point leaves a
     # record recover_takedowns can complete (or safely drop, pre-pin)
@@ -645,7 +649,7 @@ def takedown(
         except FileNotFoundError:
             crec = {}
         if crec.get("kind") == "delete" and crec.get("parent") == pre_head:
-            rec["delete_commit"] = head
+            rec[_DELETE_COMMIT] = head
             fs.put_atomic(
                 _request_path(corpus, request_id), json.dumps(rec).encode()
             )
@@ -655,15 +659,15 @@ def takedown(
     # commit id, where read_commit_changes(since=tag) always raised
     # post-delete; review r11), else the pinned-state CDC read with the
     # always-correct state-diff fallback
-    if rec["delete_commit"]:
-        delta_dir = strm._delta_dir(corpus, rec["delete_commit"], fs)
+    if rec[_DELETE_COMMIT]:
+        delta_dir = strm._delta_dir(corpus, rec[_DELETE_COMMIT], fs)
         if not fs.isdir(delta_dir):
             # a racing vacuum(changes_keep=N) reclaimed the just-written
             # delta — same actionable guidance as recover_takedowns, not
             # a raw Spark path error (review r11)
             raise ValueError(
                 f"takedown {request_id} at {corpus}: its delete commit "
-                f"{rec['delete_commit']}'s delta was vacuumed before "
+                f"{rec[_DELETE_COMMIT]}'s delta was vacuumed before "
                 "propagation — tombstone the request's stores manually "
                 f"from the source list, then remove "
                 f"{_request_path(corpus, request_id)} and drop snapshot "

@@ -721,18 +721,21 @@ def bpe_train(
         )
     )
     if strategy != "distributed":
-        n_words = wf.count()
-        if n_words > int(local_budget_rows):
+        # ONE corpus-scale job (review r12: a count() pre-check ran the
+        # word-frequency groupBy twice): collect at most budget+1 rows —
+        # the limit bounds the driver transfer, and the extra row is the
+        # over-budget signal
+        rows = wf.limit(int(local_budget_rows) + 1).collect()
+        if len(rows) > int(local_budget_rows):
             if strategy == "local":
                 raise ValueError(
                     f"bpe_train(strategy='local'): the distinct-word "
-                    f"dictionary has {n_words} rows, over the "
+                    f"dictionary exceeds the "
                     f"local_budget_rows={local_budget_rows} driver budget "
                     "— raise the budget or use strategy='auto'/"
                     "'distributed'"
                 )
         else:
-            rows = wf.collect()
             if target_vocab is not None:
                 alpha = len({s for r in rows for s in r[1].split(" ")})
                 rounds = max(0, int(target_vocab) - alpha)

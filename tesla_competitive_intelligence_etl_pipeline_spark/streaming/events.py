@@ -774,7 +774,8 @@ def _parse_byte_conf(v) -> int:
     subset Spark itself documents for autoBroadcastJoinThreshold."""
     s = str(v).strip().lower()
     mult = 1
-    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4)):
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                   ("t", 1024**4), ("p", 1024**5)):
         if s.endswith(suf + "b"):
             mult, s = m, s[:-2]
             break
@@ -917,6 +918,18 @@ def read_merged(
             raise ValueError(
                 f"null_filters values must be 'not_null' or 'null', got {bad}"
             )
+    # validate at entry (review r12): any string other than 'auto' — e.g.
+    # a byte string like '10MB' that belongs in the session conf — would
+    # otherwise survive to a TypeError deep inside the hint comparison
+    if broadcast_threshold_rows is not None and not (
+        broadcast_threshold_rows == "auto"
+        or isinstance(broadcast_threshold_rows, int)
+    ):
+        raise ValueError(
+            "broadcast_threshold_rows must be an int row count, 'auto', or "
+            f"None, got {broadcast_threshold_rows!r} (byte sizes belong in "
+            "spark.sql.autoBroadcastJoinThreshold, which 'auto' reads)"
+        )
 
     def _skippable(b: str) -> bool:
         return _bucket_skippable(stats, nullstats, b, range_filters, null_filters)
@@ -1620,7 +1633,7 @@ def vacuum_merge_table(
             # (Unstamped records never pin: their recovery path is the
             # pinned-snapshot CDC read with the state-diff fallback, which
             # survives delta loss by construction.)
-            tddir = os.path.join(target, "_takedown")
+            tddir = os.path.join(target, merge_fs.TAKEDOWN_REQUEST_DIR)
             if fs.isdir(tddir):
                 for f in fs.listdir(tddir):
                     if not f.endswith(".json"):
@@ -1631,8 +1644,9 @@ def vacuum_merge_table(
                         )
                     except FileNotFoundError:
                         continue  # recovery removed it between list & read
-                    if trec.get("delete_commit"):
-                        keep.add(trec["delete_commit"])
+                    cid = trec.get(merge_fs.TAKEDOWN_DELETE_COMMIT_FIELD)
+                    if cid:
+                        keep.add(cid)
             cdir = os.path.join(target, _CHANGES_DIR)
             if fs.isdir(cdir):
                 for d in fs.listdir(cdir):

