@@ -505,6 +505,7 @@ def pq_build_index(
     round_decimals: int | None = None,
     fs=None,
     lease_owner: str | None = None,
+    corpus: str | None = None,
 ) -> list[list[list[float]]]:
     """Materialize the PQ index — the one-time ingest/offline cost a
     deployment amortizes (the PQ twin of build_ivf_index): train codebooks
@@ -517,7 +518,15 @@ def pq_build_index(
     runs BEFORE the lease (no table state is read or written), so the held
     window is only the two writes — and a background heartbeat (r6 item 6)
     re-stamps the lease during the O(corpus) encode write, the one step
-    that can outlive a conservative TTL at 100 TB. Returns the codebooks."""
+    that can outlive a conservative TTL at 100 TB. Returns the codebooks.
+
+    ``corpus`` (r13 — VERDICT r12 item 3): when given, auto-registers the
+    searchable ``codes`` table in the corpus' derived-store registry as
+    kind ``'table'`` — a pure PQ index has no tombstone fan-out in
+    takedown (no pq_index_delete), so it registers on the AUDIT surface:
+    takedown names it under ``manual_tables`` and takedown_verify scans it
+    for residual ids. The codebooks sidecar holds no per-id content and is
+    not registered."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
@@ -537,6 +546,10 @@ def pq_build_index(
             ).write.mode("overwrite").parquet(path + "/codebooks")
     finally:
         mfs.release_writer_lease(fs, path, token)
+    if corpus is not None:
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown
+
+        takedown.register_store(corpus, path + "/codes", "table", fs=fs)
     return books
 
 
@@ -687,6 +700,7 @@ def build_ivfpq_index(
     fs=None,
     lease_owner: str | None = None,
     lease_ttl_sec: float = 3600.0,
+    corpus: str | None = None,
 ) -> list[list[list[float]]]:
     """Materialize the combined IVF-PQ index — the production ANN layout
     (FAISS's IVFPQ + refine, re-expressed as Spark tables): PQ codebooks
@@ -715,7 +729,13 @@ def build_ivfpq_index(
 
     Holds the index writer lease with a background heartbeat for the
     duration of the writes (training runs before the lease — it reads no
-    table state), like build_ivf_index / pq_build_index."""
+    table state), like build_ivf_index / pq_build_index.
+
+    ``corpus`` (r13 — VERDICT r12 item 3): when given, the build
+    auto-registers the index in the corpus' derived-store registry
+    (takedown.register_store, kind 'ivfpq') after the writes commit, so
+    no-args takedown / takedown_verify cover it with no manual
+    registration step. Omit only for corpus-less scratch indexes."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators.similarity import (
         _cell_centroids,
     )
@@ -744,6 +764,10 @@ def build_ivfpq_index(
             ).write.mode("overwrite").parquet(path + "/codebooks")
     finally:
         mfs.release_writer_lease(fs, path, token)
+    if corpus is not None:
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown
+
+        takedown.register_store(corpus, path, "ivfpq", fs=fs)
     return books
 
 

@@ -739,6 +739,7 @@ def write_signature_table(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    corpus: str | None = None,
 ) -> None:
     """Materialize the MinHash signature table next to the corpus — the
     LSH twin of build_ivf_index / pq_build_index: shingling + signatures are
@@ -759,7 +760,12 @@ def write_signature_table(
     The overwrite holds the table's writer lease (r6; scoped to a SIBLING
     ``<path>.lock`` dir — the table path itself is the parquet dir and
     mode('overwrite') would delete an in-dir lease mid-build) so
-    concurrent rebuilds cannot interleave their files."""
+    concurrent rebuilds cannot interleave their files.
+
+    ``corpus`` (r13 — VERDICT r12 item 3): when given, the build
+    auto-registers the table in the corpus' derived-store registry
+    (takedown.register_store, kind 'signature') so no-args takedown /
+    takedown_verify cover it without a manual registration step."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     lock_scope = path.rstrip("/") + ".lock"
@@ -771,6 +777,10 @@ def write_signature_table(
         _write_sig_params(docs.sparkSession, path, num_hashes, shingle_n, "xxhash64")
     finally:
         mfs.release_writer_lease(mfs.LOCAL_FS, lock_scope, token)
+    if corpus is not None:
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown
+
+        takedown.register_store(corpus, path, "signature")
 
 
 def write_signature_table_portable(
@@ -780,6 +790,7 @@ def write_signature_table_portable(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    corpus: str | None = None,
 ) -> None:
     """Materialize the ENGINE-PORTABLE signature table (md5-derived shingle
     hashes, same affine min-hash family) — the indexed twin of
@@ -811,6 +822,10 @@ def write_signature_table_portable(
         _write_sig_params(docs.sparkSession, path, num_hashes, shingle_n, "md5")
     finally:
         mfs.release_writer_lease(mfs.LOCAL_FS, lock_scope, token)
+    if corpus is not None:
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown
+
+        takedown.register_store(corpus, path, "signature")
 
 
 def _write_sig_params(

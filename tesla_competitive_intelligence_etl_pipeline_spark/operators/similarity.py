@@ -209,6 +209,7 @@ def build_ivf_index(
     fs=None,
     lease_owner: str | None = None,
     lease_ttl_sec: float = 3600.0,
+    corpus: str | None = None,
 ) -> None:
     """Materialize the IVF index: vectors written PARTITIONED BY cell (so a
     probe reads only the probed cells' files — real partition pruning, not a
@@ -219,7 +220,15 @@ def build_ivf_index(
     ConcurrentWriterError instead. A background heartbeat (r6 item 6)
     re-stamps the lease while the corpus write runs, so a build longer than
     ``lease_ttl_sec`` is not TTL-reclaimed mid-write — size the TTL to the
-    heartbeat interval (ttl/3), not to the whole build."""
+    heartbeat interval (ttl/3), not to the whole build.
+
+    ``corpus`` (r13 — VERDICT r12 item 3): the corpus table these
+    embeddings derive from. When given, the build AUTO-REGISTERS the index
+    in the corpus' derived-store registry (takedown.register_store, kind
+    'ivf') after the write commits, so a bare no-args takedown /
+    takedown_verify covers it without anyone remembering a manual
+    register_store call — the builders register what they build. Omit only
+    for genuinely corpus-less uses (ad-hoc scratch indexes)."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
@@ -234,6 +243,10 @@ def build_ivf_index(
             ).write.mode("overwrite").parquet(path + "/centroids")
     finally:
         mfs.release_writer_lease(fs, path, token)
+    if corpus is not None:
+        from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown
+
+        takedown.register_store(corpus, path, "ivf", fs=fs)
 
 
 def ivf_topk_indexed(

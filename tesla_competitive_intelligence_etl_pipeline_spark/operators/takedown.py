@@ -104,8 +104,47 @@ def _mutate_stores(corpus: str, fs, mutate) -> dict:
             "registrations are racing continuously; retry"
         )
     new = mutate(_load_stores(corpus, fs))
-    fs.put_atomic(path, json.dumps(new).encode())
+    data = json.dumps(new).encode()
+    fs.put_atomic(path, data)
+    # post-write read-back (ADVICE r12, low): on a plain filesystem this
+    # is last-writer-wins — two concurrent registrations can silently lose
+    # one. The single-registrar discipline is the operational contract;
+    # this makes a violation OBSERVABLE instead of silent: if what landed
+    # is not what we wrote, a concurrent writer interleaved.
+    try:
+        landed = fs.read_bytes(path)
+    except FileNotFoundError:  # pragma: no cover - racing delete
+        landed = None
+    if landed != data:
+        raise mfs.ConcurrentWriterError(
+            f"store registry at {path}: read-back after put_atomic does not "
+            "match what was written — a concurrent registrar interleaved "
+            "(the non-CAS path assumes a single registrar). Re-run the "
+            "registration; consider a CAS-capable store for multi-host "
+            "registration."
+        )
     return new
+
+
+def _store_form(corpus: str, path: str) -> str:
+    """Storage form of a store path inside ``_stores.json`` (ADVICE r12,
+    low): stores located UNDER or NEXT TO the corpus (the co-located
+    layouts every test and deployment recipe uses) are recorded
+    corpus-RELATIVE, so a corpus directory that is later copied or
+    relocated (the clone-before-takedown pattern) carries a registry that
+    resolves to the CLONE's co-located stores, not the original's.
+    Anything further away stays absolute — a truly remote store does not
+    move with the corpus."""
+    rel = os.path.relpath(os.path.normpath(path), os.path.normpath(corpus))
+    # under the corpus (no '..') or next to it (exactly one '..' level)
+    parts = rel.split(os.sep)
+    if parts[0] != ".." or (len(parts) > 1 and parts[1] != ".."):
+        return rel
+    return os.path.normpath(path)
+
+
+def _resolve_store_path(corpus: str, p: str) -> str:
+    return p if os.path.isabs(p) else os.path.normpath(os.path.join(corpus, p))
 
 
 def register_store(
@@ -133,24 +172,28 @@ def register_store(
         raise ValueError(
             f"register_store: kind must be one of {STORE_KINDS}, got {kind!r}"
         )
-    path = os.path.normpath(path)
+    stored = _store_form(corpus, path)
+    resolved = _resolve_store_path(corpus, stored)
 
     def _add(doc: dict) -> dict:
-        stores = [s for s in doc.get("stores", []) if s["path"] != path]
-        prev = [s for s in doc.get("stores", []) if s["path"] == path]
+        def _same(s: dict) -> bool:
+            return _resolve_store_path(corpus, s["path"]) == resolved
+
+        stores = [s for s in doc.get("stores", []) if not _same(s)]
+        prev = [s for s in doc.get("stores", []) if _same(s)]
         if prev and prev[0]["kind"] != kind:
             raise ValueError(
-                f"register_store: {path} is already registered as kind "
+                f"register_store: {resolved} is already registered as kind "
                 f"{prev[0]['kind']!r}; unregister it first to re-kind"
             )
         stores.append(
             prev[0] if prev else
-            {"path": path, "kind": kind, "registered_at": time.time()}
+            {"path": stored, "kind": kind, "registered_at": time.time()}
         )
         stores.sort(key=lambda s: s["path"])
         return {**doc, "stores": stores}
 
-    return _as_kind_map(_mutate_stores(corpus, fs, _add))
+    return _as_kind_map(corpus, _mutate_stores(corpus, fs, _add))
 
 
 def unregister_store(corpus: str, path: str, fs=None) -> bool:
@@ -161,32 +204,56 @@ def unregister_store(corpus: str, path: str, fs=None) -> bool:
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
-    path = os.path.normpath(path)
+    resolved = _resolve_store_path(corpus, os.path.normpath(path))
     present = []
 
     def _drop(doc: dict) -> dict:
         stores = doc.get("stores", [])
         present.clear()
-        present.extend(s for s in stores if s["path"] == path)
-        return {**doc, "stores": [s for s in stores if s["path"] != path]}
+        present.extend(
+            s for s in stores
+            if _resolve_store_path(corpus, s["path"]) == resolved
+        )
+        return {
+            **doc,
+            "stores": [
+                s for s in stores
+                if _resolve_store_path(corpus, s["path"]) != resolved
+            ],
+        }
 
     _mutate_stores(corpus, fs, _drop)
     return bool(present)
 
 
-def _as_kind_map(doc: dict) -> dict[str, tuple[str, ...]]:
+def _as_kind_map(corpus: str, doc: dict) -> dict[str, tuple[str, ...]]:
+    """Registry document -> {kind: (absolute paths...)}. Relative entries
+    (co-located stores) resolve against THIS corpus path, so a relocated
+    corpus' registry points at its own co-located stores (ADVICE r12)."""
     out: dict[str, tuple[str, ...]] = {k: () for k in STORE_KINDS}
     for s in doc.get("stores", []):
-        out[s["kind"]] = (*out[s["kind"]], s["path"])
+        if s["kind"] not in out:
+            # ValueError with the offending kind and file, not a bare
+            # KeyError crashing every takedown call (ADVICE r12, low) —
+            # a hand-edited registry or one written by a newer version
+            # must be diagnosable.
+            raise ValueError(
+                f"store registry {_stores_path(corpus)}: unknown store "
+                f"kind {s['kind']!r} for {s['path']!r} (known kinds: "
+                f"{STORE_KINDS}) — the file was hand-edited or written by "
+                "a newer engine version"
+            )
+        out[s["kind"]] = (*out[s["kind"]], _resolve_store_path(corpus, s["path"]))
     return out
 
 
 def registered_stores(corpus: str, fs=None) -> dict[str, tuple[str, ...]]:
     """The corpus' derived-store registry as ``{kind: (paths...)}`` —
-    every kind present (empty tuple when none registered)."""
+    every kind present (empty tuple when none registered). Paths are
+    returned ABSOLUTE (relative entries resolved against ``corpus``)."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
-    return _as_kind_map(_load_stores(corpus, fs or mfs.LOCAL_FS))
+    return _as_kind_map(corpus, _load_stores(corpus, fs or mfs.LOCAL_FS))
 
 
 def _resolve_stores(

@@ -1283,8 +1283,8 @@ def _bpe_oracle_sql(
       LEFT JOIN symtab s2 ON s2.symbol = t3.bsym
     )
     SELECT doc_id,
-           list(COALESCE(tok_id, CAST(-1 AS BIGINT))
-                ORDER BY wpos, spos, bpos) AS token_ids,
+           string_agg(CAST(COALESCE(tok_id, CAST(-1 AS BIGINT)) AS VARCHAR),
+                      ' ' ORDER BY wpos, spos, bpos) AS token_str,
            CAST(COUNT(*) AS BIGINT) AS n_tokens
     FROM tkx
     GROUP BY doc_id"""
@@ -1310,8 +1310,8 @@ def _bpe_oracle_sql(
         FROM (SELECT doc_id, wpos, string_split(sym, ' ') AS sarr FROM ws))
     )
     SELECT tk.doc_id,
-           list(COALESCE(s.tok_id, CAST(-1 AS BIGINT))
-                ORDER BY tk.wpos, tk.spos) AS token_ids,
+           string_agg(CAST(COALESCE(s.tok_id, CAST(-1 AS BIGINT)) AS VARCHAR),
+                      ' ' ORDER BY tk.wpos, tk.spos) AS token_str,
            CAST(COUNT(*) AS BIGINT) AS n_tokens
     FROM tk LEFT JOIN symtab s USING (symbol)
     GROUP BY tk.doc_id"""
@@ -1436,6 +1436,26 @@ def x5_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_token_counts(docs, vocab, merges=merges)
 
 
+def _flat_token_ids(enc: DataFrame) -> DataFrame:
+    """Driver-gate shape adapter (r13 — VERDICT r12 item 1): the driver's
+    pandas canonicalizer sorts every output column and dies on list cells
+    (``TypeError: unhashable type: 'list'`` — the one red row in
+    CORRECTNESS_r12). Registry entries therefore expose the ordered
+    token-id sequence as a space-joined STRING column — the full
+    order-sensitive signal in a flat, hashable shape — while the operator
+    (text.bpe_encode_ids) keeps returning the real ``array<long>`` for API
+    users. The oracle twin aggregates with string_agg(... ORDER BY ...)
+    instead of list(...). tests/test_registry_lint.py pins the invariant
+    that NO registry entry returns a complex-typed top-level column."""
+    return enc.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("token_ids").cast("array<string>")).alias(
+            "token_str"
+        ),
+        "n_tokens",
+    )
+
+
 @register(
     "x5_bpe_encode_ids", _bpe_oracle_sql(3, encode_ids=True, heldout=True)
 )
@@ -1454,7 +1474,7 @@ def x5_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _ensure_bpe_vocab(spark, sf_dir)
     vocab = spark.read.parquet(base + "/vocab")
     merges = spark.read.parquet(base + "/merges")
-    return tx.bpe_encode_ids(docs, vocab, merges=merges)
+    return _flat_token_ids(tx.bpe_encode_ids(docs, vocab, merges=merges))
 
 
 @register(
@@ -1478,7 +1498,9 @@ def x5_bpe_byte_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _ensure_bpe_vocab(spark, sf_dir)
     vocab = spark.read.parquet(base + "/vocab")
     merges = spark.read.parquet(base + "/merges")
-    return tx.bpe_encode_ids(docs, vocab, merges=merges, byte_fallback=True)
+    return _flat_token_ids(
+        tx.bpe_encode_ids(docs, vocab, merges=merges, byte_fallback=True)
+    )
 
 
 @register("x5_bpe_train", _bpe_oracle_sql(3))
@@ -1624,7 +1646,9 @@ def x5_bpe_gpt2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" winnower"),
                  F.col("doc_id").cast("string")).alias("text"),
     )
-    return tx.bpe_encode_ids(
-        docs, vocab, merges=merges, pretokenize=cfg["pretokenize"],
-        byte_fallback=bool(cfg["byte_fallback"]),
+    return _flat_token_ids(
+        tx.bpe_encode_ids(
+            docs, vocab, merges=merges, pretokenize=cfg["pretokenize"],
+            byte_fallback=bool(cfg["byte_fallback"]),
+        )
     )

@@ -571,6 +571,77 @@ def x_takedown_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Build-time auto-registration (r13 — VERDICT r12 item 3): the pristine pair
+# is built with write_signature_table_portable(corpus=...) — the BUILDER
+# registers the store; nobody calls register_store. Warmed once per session.
+_AUTOREG_PRISTINE: dict[str, str] = {}
+
+
+def _ensure_autoreg_pristine(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _AUTOREG_PRISTINE:
+        import tempfile
+
+        from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+        root = tempfile.mkdtemp(prefix="takedown_autoreg_")
+        docs = (
+            src.load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 100)
+        )
+        strm.merge_table(
+            docs, root + "/corpus", keys=["doc_id"], order_cols=["doc_id"]
+        )
+        dd.write_signature_table_portable(
+            docs, root + "/signatures", corpus=root + "/corpus"
+        )
+        _AUTOREG_PRISTINE[sf_dir] = root
+    return _AUTOREG_PRISTINE[sf_dir]
+
+
+@register(
+    "x_store_autoregister",
+    oracle_vec.cross_corpus_indexed_portable_sql(
+        threshold=0.5, exclude_pred="doc_id % 7 = 2"
+    ),
+)
+def x_store_autoregister(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2/X-9 IMPLICIT-registration erasure (r13 — VERDICT r12 item 3):
+    the signature table is registered by its own BUILDER
+    (write_signature_table_portable(corpus=...)); no register_store call
+    appears anywhere in this entry. The corpus+store pair is then CLONED
+    to a new directory (the clone-before-takedown pattern) before the
+    no-args takedown — because co-located stores are recorded
+    corpus-RELATIVE in <corpus>/_stores.json (ADVICE r12), the cloned
+    registry resolves to the CLONE's signature table, so the erasure hits
+    the clone's store, never the pristine original's. The crawl-dedup
+    answer from the taken-down clone hash-checks against the same
+    survivor-excluding oracle as x_takedown_registry. Closes the pre-r13
+    hole where an index built without a manual register_store call
+    silently escaped no-args takedown/verify."""
+    import shutil
+    import tempfile
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+
+    root = _ensure_autoreg_pristine(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="takedown_autoreg_run_")
+    shutil.copytree(root + "/corpus", work + "/corpus")
+    shutil.copytree(root + "/signatures", work + "/signatures")
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doomed = docs.filter(
+        (F.col("doc_id") < 100) & (F.col("doc_id") % 7 == 2)
+    ).select("doc_id")
+    td.takedown(spark, work + "/corpus", keys=doomed)
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return dd.cross_corpus_neardup_indexed_portable(
+        new, spark, work + "/signatures", threshold=0.5
+    )
+
+
 @register("x2_cross_corpus_lsh", oracle_vec.cross_corpus_fixture_sql(0.5, 256))
 def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2g at scale: the same cross-corpus dedup through MinHash-LSH

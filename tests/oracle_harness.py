@@ -49,9 +49,42 @@ def _norm_rows(cols, rows):
     return [cols[i] for i in idx], out
 
 
+def flat_schema_problems(spark_df, name: str = "") -> list[str]:
+    """Driver-fidelity shape check (r13 — VERDICT r12 item 2): the driver's
+    correctness gate canonicalizes results with a pandas sort_values over
+    every column, which raises ``TypeError: unhashable type: 'list'`` on
+    array/map/struct cells. This harness used to tuple-ize lists
+    (_norm_cell) and pass shapes the driver rejects — that lenience is how
+    x5_bpe_gpt2_encode shipped red in r12. Any registry entry's output
+    schema must therefore be FLAT: atomic types only at the top level."""
+    from pyspark.sql import types as T
+
+    atomic = (
+        T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.BooleanType, T.DateType,
+        T.TimestampType, T.TimestampNTZType, T.DecimalType, T.BinaryType,
+        T.NullType,
+    )
+    complexes = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if not isinstance(f.dataType, atomic)
+    ]
+    if complexes:
+        return [
+            f"{name}: driver-incompatible output shape — complex top-level "
+            f"columns {complexes} (the driver's pandas canonicalizer cannot "
+            f"sort list/struct/map cells; project to a flat column, e.g. "
+            f"concat_ws or posexplode)"
+        ]
+    return []
+
+
 def compare(spark_df, con, sql: str, name: str = "") -> list[str]:
     """Return list of mismatch descriptions (empty = parity)."""
-    problems = []
+    problems = flat_schema_problems(spark_df, name)
+    if problems:
+        return problems
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
     o = con.execute(sql)

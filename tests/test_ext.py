@@ -3040,6 +3040,158 @@ def test_store_registry_defaults_takedown_and_verify(spark, sf_dir, tmp_path):
     assert derived not in {h["store"] for h in a3}
 
 
+def test_builders_autoregister_stores(spark, sf_dir, tmp_path):
+    """r13 (VERDICT r12 item 3): the index/signature BUILDERS register what
+    they build — pass corpus= and no manual register_store call is needed
+    for no-args takedown_verify to audit (and takedown to cover) the store.
+    Covers all four builder families and the pq 'table'-kind audit path."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+        clustering as cl,
+        dedup as dd,
+        similarity as sim,
+        takedown as td,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 60)
+    emb = src.load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 60
+    ).select(F.col("vec_id").alias("doc_id"), "embedding", "label")
+    corpus = str(tmp_path / "gold")
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"])
+
+    ivf, ivfpq, pq, sig = (str(tmp_path / n) for n in ("ivf", "ivfpq", "pq", "sig"))
+    sim.build_ivf_index(emb, ivf, corpus=corpus)
+    cl.build_ivfpq_index(emb, ivfpq, id_col="doc_id", corpus=corpus)
+    cl.pq_build_index(emb, pq, id_col="doc_id", corpus=corpus)
+    dd.write_signature_table(docs, sig, corpus=corpus)
+
+    got = td.registered_stores(corpus)
+    assert got["ivf"] == (ivf,)
+    assert got["ivfpq"] == (ivfpq,)
+    assert got["signature"] == (sig,)
+    assert got["table"] == (pq + "/codes",)
+
+    # no-args audit covers every auto-registered store
+    doomed = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    hits = td.takedown_verify(spark, corpus, doomed, id_col="doc_id")
+    assert {h["store"] for h in hits} >= {corpus, ivf, ivfpq, sig, pq + "/codes"}
+
+    # no-args takedown fans out to the erasable kinds and names the
+    # audit-only pq codes table as the remaining manual obligation
+    out = td.takedown(spark, corpus, keys=doomed, id_col="doc_id")
+    n = doomed.count()
+    assert out["stores"] == {ivf: n, ivfpq: n, sig: n}
+    assert out["manual_tables"] == [pq + "/codes"]
+
+
+def test_store_registry_survives_corpus_relocation(spark, sf_dir, tmp_path):
+    """ADVICE r12 (low): co-located stores are recorded corpus-RELATIVE in
+    _stores.json, so a cloned/relocated corpus' registry resolves to the
+    CLONE's co-located stores — a takedown on the clone mutates the clone,
+    never the original. A store outside the corpus' neighborhood stays
+    absolute (it does not move with the corpus)."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import (
+        dedup as dd,
+        takedown as td,
+    )
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 40)
+    root = tmp_path / "site_a"
+    root.mkdir()
+    corpus = str(root / "gold")
+    sig_inside = str(root / "gold" / "sig")   # under the corpus
+    sig_beside = str(root / "sig2")           # next to the corpus
+    far = tmp_path / "elsewhere"
+    far.mkdir()
+    sig_far = str(far / "sig3")               # outside the neighborhood
+    strm.merge_table(docs, corpus, keys=["doc_id"], order_cols=["doc_id"])
+    dd.write_signature_table(docs, sig_inside, corpus=corpus)
+    dd.write_signature_table(docs, sig_beside, corpus=corpus)
+    dd.write_signature_table(docs, sig_far, corpus=corpus)
+
+    # storage form: co-located relative, remote absolute
+    raw = json.loads((root / "gold" / "_stores.json").read_text())
+    stored = {s["path"] for s in raw["stores"]}
+    assert "sig" in stored and "../sig2" in stored and sig_far in stored
+
+    # resolution from the ORIGINAL location round-trips to absolute paths
+    got = td.registered_stores(corpus)
+    assert set(got["signature"]) == {sig_inside, sig_beside, sig_far}
+
+    # relocate the whole site; the clone's registry points at the clone
+    clone = tmp_path / "site_b"
+    shutil.copytree(root, clone)
+    got2 = td.registered_stores(str(clone / "gold"))
+    assert set(got2["signature"]) == {
+        str(clone / "gold" / "sig"), str(clone / "sig2"), sig_far,
+    }
+
+    # unregister accepts either form (resolved comparison)
+    assert td.unregister_store(str(clone / "gold"), str(clone / "sig2"))
+    assert str(clone / "sig2") not in set(
+        td.registered_stores(str(clone / "gold"))["signature"]
+    )
+
+
+def test_store_registry_unknown_kind_is_diagnosable(tmp_path):
+    """ADVICE r12 (low): a registry carrying an unknown store kind (hand
+    edit / newer-version file) raises a ValueError naming the kind and the
+    registry path, not a bare KeyError."""
+    import json
+
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+
+    corpus = tmp_path / "gold"
+    corpus.mkdir()
+    (corpus / "_stores.json").write_text(json.dumps(
+        {"version": 1,
+         "stores": [{"path": "x", "kind": "hologram", "registered_at": 0}]}
+    ))
+    with pytest.raises(ValueError, match="hologram"):
+        td.registered_stores(str(corpus))
+
+
+def test_store_registry_readback_detects_lost_update(tmp_path):
+    """ADVICE r12 (low): on a non-CAS store the registry write is
+    last-writer-wins; the post-write read-back makes an interleaved
+    registrar OBSERVABLE (ConcurrentWriterError) instead of silently
+    shrinking the erasure-critical registry."""
+    import pytest
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import takedown as td
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    corpus = str(tmp_path / "gold")
+
+    class RacingFS(mfs.LocalFS):
+        def put_atomic(self, path, data):
+            super().put_atomic(path, data)
+            if path.endswith("_stores.json"):
+                # another registrar's write lands right after ours
+                super().put_atomic(path, b'{"version": 1, "stores": []}')
+
+    with pytest.raises(mfs.ConcurrentWriterError, match="read-back"):
+        td.register_store(corpus, str(tmp_path / "a"), "ivf", fs=RacingFS())
+    # the clean path still registers fine
+    td.register_store(corpus, str(tmp_path / "a"), "ivf")
+    assert td.registered_stores(corpus)["ivf"] == (str(tmp_path / "a"),)
+
+
 def test_store_registry_cas_read_modify_write(tmp_path):
     """The registry's read-modify-write goes through the CAS primitives on
     a store that has them: interleaved registrations from two 'hosts' both
