@@ -13,8 +13,10 @@ heats the box and 3 consecutive samples ride the drift;
 `headline_pass_totals` keeps the raw sums), and the artifact is stamped
 `contaminated: true` when loadavg at start exceeds 2 — since r12 bench
 first WAITS (bounded, 10 min; `waited_for_idle_sec` in the artifact;
-SPARK_GRAFT_BENCH_NOWAIT=1 opts out) for the box to go idle instead of
-merely stamping the noise. `queries` carries per-query wall clock for the ENTIRE
+SPARK_GRAFT_BENCH_NOWAIT=1/true/yes opts out) for the box to go idle
+instead of merely stamping the noise, and since r13 the same bounded gate
+(150 s, `headline_pass_wait_sec`) runs BETWEEN headline passes so pass
+N's own load drains from the 1-min average before pass N+1 is timed. `queries` carries per-query wall clock for the ENTIRE
 registry — every oracle-backed query plus the rows-only approximate variants
 — so per-operator regressions are visible between rounds.
 
@@ -83,13 +85,38 @@ def main() -> None:
     # contamination threshold (a finished pytest/Spark job needs ~5 min to
     # drain from the 1-min average), then run regardless with the honest
     # stamp. Opt out with SPARK_GRAFT_BENCH_NOWAIT=1.
-    waited_for_idle_sec = 0.0
-    # "0"/"" mean "do wait" (review r12: plain truthiness made =0 skip)
-    if os.environ.get("SPARK_GRAFT_BENCH_NOWAIT") in (None, "", "0"):
-        deadline = time.time() + 600.0
-        while os.getloadavg()[0] > 2.0 and time.time() < deadline:
-            time.sleep(15.0)
-            waited_for_idle_sec += 15.0
+    # Opt-out is an explicit allowlist (ADVICE r12, low: the r12 check
+    # treated only None/""/"0" as 'do wait', so NOWAIT=false silently
+    # opted OUT — the inverse of the truthiness bug it replaced). Wait
+    # unless the value affirmatively says don't; warn on junk values.
+    nowait_raw = os.environ.get("SPARK_GRAFT_BENCH_NOWAIT")
+    nowait = (nowait_raw or "").strip().lower() in ("1", "true", "yes")
+    if nowait_raw not in (None, "") and not nowait and nowait_raw.strip().lower() not in ("0", "false", "no"):
+        print(
+            f"bench: WARNING unrecognized SPARK_GRAFT_BENCH_NOWAIT="
+            f"{nowait_raw!r} — treating as 'do wait' (use 1/true/yes to "
+            "skip the idle wait)",
+            file=sys.stderr,
+        )
+
+    def wait_for_idle(bound_sec: float, threshold: float = 2.0) -> float:
+        """Sleep (bounded) until the 1-min loadavg decays below threshold.
+        Used at start AND between headline passes (r13 — VERDICT r12 item
+        4): the r12 headline drift (+6%) came with per-pass loadavg 3.2-8.2
+        — partly the sweep's own just-finished pass still draining from the
+        1-min average, partly box contention; either way pass N+1 started
+        on a loaded box. Waiting lets bench's own load decay (~63%/min) and
+        makes external contamination visible as a wait that never ends."""
+        waited = 0.0
+        if nowait:
+            return waited
+        deadline = time.time() + bound_sec
+        while os.getloadavg()[0] > threshold and time.time() < deadline:
+            time.sleep(5.0)
+            waited += 5.0
+        return waited
+
+    waited_for_idle_sec = wait_for_idle(600.0)
     load_before = round(os.getloadavg()[0], 2)
 
     from tesla_competitive_intelligence_etl_pipeline_spark.session import get_spark
@@ -163,9 +190,14 @@ def main() -> None:
     # ...and the gpt2-pretokenized artifact for x5_bpe_gpt2_encode (r11;
     # x5_bpe_gpt2_pretok times THAT training), plus its pre-token fixture
     registry_corpus._ensure_gpt2_vocab(spark, sf_dir)
+    # ...and the 96-merge artifact for x5_bpe_encode_highmerge (r13): the
+    # vocab-scale local training is the amortized offline cost; the timed
+    # path is artifact load + deployment-regime encode
+    registry_corpus._ensure_hm_vocab(spark, sf_dir)
     from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures as _fx
 
     _fx.ensure_gpt2_pretok_fixture(spark, sf_dir)
+    _fx.ensure_bpehm_fixture(spark, sf_dir)
     _fx.ensure_scd2ts_fixture(spark, sf_dir)
     spark.catalog.clearCache()
 
@@ -206,10 +238,17 @@ def main() -> None:
     # summed; per-pass sums stay alongside for audit.
     headline_passes: list[dict[str, float]] = []
     headline_pass_loadavg: list[float] = []
+    headline_pass_wait_sec: list[float] = []
     for i in range(5):
         if i:
             spark.sparkContext._jvm.System.gc()
             time.sleep(2.0)
+        # between-pass idle gate (r13 — VERDICT r12 item 4): bounded at
+        # 150 s/pass so one stuck neighbor cannot hang the bench; on an
+        # idle box this drains the previous pass's own load from the 1-min
+        # average, so the recorded per-pass loadavg actually measures
+        # EXTERNAL contamination, not the sweep's heat.
+        headline_pass_wait_sec.append(wait_for_idle(150.0) if i else 0.0)
         headline_pass_loadavg.append(round(os.getloadavg()[0], 2))
         headline_passes.append({name: run(name) for name in HEADLINE})
     timings: dict[str, float] = {
@@ -243,8 +282,9 @@ def main() -> None:
         "all_queries_total_sec": round(sum(timings.values()), 3),
         "n_queries": len(timings),
         "queries": timings,
-        "headline_protocol": "median_of_5_gc_interleaved",
+        "headline_protocol": "median_of_5_gc_interleaved_idle_gated",
         "headline_pass_loadavg": headline_pass_loadavg,
+        "headline_pass_wait_sec": headline_pass_wait_sec,
         # sweep protocol (r6 item 3): headline entries are median-of-3 by the
         # block above; remaining entries are median-of-3 when the first pass
         # ran > 1 s, else single-pass. single_pass entries carry the box's
@@ -282,7 +322,7 @@ def main() -> None:
                 "all_queries_total_sec": round(sum(timings.values()), 3),
                 "n_queries": len(timings),
                 "queries": {n: timings[n] for n in HEADLINE},
-                "headline_protocol": "median_of_5_gc_interleaved",
+                "headline_protocol": "median_of_5_gc_interleaved_idle_gated",
                 "headline_pass_loadavg": headline_pass_loadavg,
                 "sweep_protocol": "median_of_3_over_1s",
                 "headline_pass_totals": [

@@ -62,7 +62,13 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_gold_dedup",
     "pipeline_eps_share_lookup",
     "pipeline_actual_vs_estimate",
-    "x1_dedup_exact",
+    # r13 swap: x1_dedup_exact -> x1_cdc_incremental_dedup — the steady-
+    # state crawl shape (exact dedup COMPOSED with the merge table's CDC
+    # read: only the increment is hashed, the seen-hash set is maintained
+    # incrementally), strictly more machinery than the one-shot hash-
+    # groupBy it displaces. x1_dedup_exact stays registered, HEADLINE-
+    # benched, and locally parity-checked at both SFs.
+    "x1_cdc_incremental_dedup",
     # r9 rotation (the r8 precedent): x2_ngram_jaccard -> x2_sig_takedown.
     # The n-gram Jaccard shape stays registered + locally parity-checked;
     # the slot now drives the newest machinery — the crawl-loop signature
@@ -84,8 +90,22 @@ DRIVER_WINDOW: list[str] = [
     # path (register_store -> takedown with NO store arguments), so the
     # slot's coverage strictly grows; the e2e twin stays registered +
     # locally parity-checked at both SFs.
-    "x_takedown_registry",
-    "x3_cosine_topk",
+    # r13 rotation, three swaps (the r8-r12 precedent):
+    # x_takedown_registry -> x_store_autoregister — the same registry-
+    # driven no-args erasure against the same survivor-excluding oracle,
+    # PLUS the r13 build-time auto-registration path (the signature table
+    # is registered by its own builder, nobody calls register_store) PLUS
+    # the corpus-relocation resolution of relative store paths. Coverage
+    # strictly grows again; both takedown twins stay registered + locally
+    # parity-checked at both SFs.
+    "x_store_autoregister",
+    # x3_cosine_topk -> x3_ivfpq_batch: the PRODUCTION ANN path — whole
+    # query-table IVF-PQ search over the materialized index (partition-
+    # pruned probes, ADC shortlist, exact refine) — replaces the brute-
+    # force baseline in the window, giving X-3 an index-backed driver-
+    # checked row (VERDICT r12 item 5). The brute-force entry stays
+    # registered, HEADLINE-benched, and locally parity-checked.
+    "x3_ivfpq_batch",
     "x4_multimodal_meta",
     # r10 third swap: x9_clustered_skipping -> x9_zorder_skipping (the
     # multi-column Z-order file skip subsumes the 1-D read shape — same

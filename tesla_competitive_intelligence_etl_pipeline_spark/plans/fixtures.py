@@ -271,6 +271,39 @@ def ensure_gpt2_pretok_fixture(spark: SparkSession, sf_dir: str) -> None:
     _WRITTEN.add(("gpt2pretok", sf_dir))
 
 
+def ensure_bpehm_fixture(spark: SparkSession, sf_dir: str) -> None:
+    """(word, sym) vocabulary + (merge_rank, pair, merged) merge list from
+    a HIGH-MERGE (96-round) BPE training run (r13 — VERDICT r12 item 6):
+    96 > BPE_EXPR_MAX_MERGES=64, so the ENCODE entry that reads these
+    exercises the deployment regime — the Arrow-UDF per-distinct-OOV-word
+    path — under the driver's hash gate. Training uses strategy='local'
+    (bit-identical merge lists to the distributed trainer, pinned in
+    tests/test_corpus.py); the oracle re-derives the OOV ranked-merge
+    replay from the persisted merge list via a recursive CTE (one 3-pass
+    replace per rank — exact for this corpus: max word length is 8
+    symbols, far under the 64-symbol 3-pass fixpoint bound), the
+    vocabulary join, dense symbol ids, and ordered assembly. Only the
+    TRAINING (separately oracle-checked at low merge counts by
+    x5_bpe_train / x5_bpe_train_local) stays engine-side here."""
+    if ("bpehm", sf_dir) in _WRITTEN:
+        return
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    merges, vocab = tx.bpe_train(
+        docs, n_merges=96, return_vocab=True, strategy="local"
+    )
+    _write(
+        spark, sf_dir, "bpehm",
+        {
+            "vocab": vocab.select("word", "sym"),
+            "merges": merges.select("merge_rank", "pair", "merged"),
+        },
+    )
+    _WRITTEN.add(("bpehm", sf_dir))
+
+
 def ensure_minhash_fixture(spark: SparkSession, sf_dir: str) -> None:
     """(doc_id, sh) + (doc_id, band, bucket) for the full documents corpus —
     the xxhash64 outputs behind x2_minhash_lsh / x2_near_dedup_canonical /

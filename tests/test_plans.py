@@ -512,6 +512,20 @@ def test_bpe_udf_regime_plan_single_arrow_over_distinct(spark, sf_dir):
     assert "LeftAnti" in plan[idx:], "udf not over the distinct-OOV table"
 
 
+def test_highmerge_entry_runs_udf_regime(spark, sf_dir, registry):
+    """x5_bpe_encode_highmerge (r13): the driver-gated entry really takes
+    the DEPLOYMENT regime — 96 merges > BPE_EXPR_MAX_MERGES, so the plan
+    carries exactly one ArrowEvalPython over the distinct-OOV subtree
+    (the expression regime would show zero)."""
+    plan = (
+        registry["x5_bpe_encode_highmerge"][0](spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    idx = plan.find("ArrowEvalPython")
+    assert "LeftAnti" in plan[idx:], "udf not over the distinct-OOV table"
+
+
 def test_clustered_skipping_prunes_files_not_buckets(spark, sf_dir, registry):
     """x9_clustered_skipping (r10): on the clustered gold table the entry
     reads, (1) per-BUCKET min/max provably prunes ZERO buckets for the
