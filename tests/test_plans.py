@@ -781,6 +781,25 @@ def test_join_estimate_vs_actual_events_gold(spark, tmp_path, sf_dir):
     sparse_est = joins.explain_join_estimate(spark, sparse_t, dim_t, "user_id")
     assert est["fact"]["rows_per_key"] > 5 * sparse_est["fact"]["rows_per_key"]
 
+    # the salting consumer: n_salts sized from rows_per_key, clamped,
+    # no-guess on a stats-less side; result set unchanged by the salt
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import skew
+
+    n = skew.suggest_salts(spark, fact_t, dim_t, "user_id",
+                           target_rows_per_group=10)
+    assert n is not None and 2 <= n <= 64
+    assert skew.suggest_salts(spark, fact_t, dim_t, "user_id",
+                              target_rows_per_group=10, max_salts=4) == 4
+    assert skew.suggest_salts(
+        spark, fact_t, dim_t, "user_id",
+        target_rows_per_group=10**9) == 1  # roomy target: don't salt
+    assert skew.suggest_salts(spark, fact_t, legacy, "user_id",
+                              target_rows_per_group=10) is None
+    salted = skew.salted_join(
+        strm.read_merged(spark, fact_t), strm.read_merged(spark, dim_t),
+        "user_id", n_salts=n)
+    assert salted.count() == actual_inner
+
 
 def test_estimate_correlation_clamp_auto_threshold_and_join_helper(
     spark, tmp_path
