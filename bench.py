@@ -243,12 +243,13 @@ def main() -> None:
         if i:
             spark.sparkContext._jvm.System.gc()
             time.sleep(2.0)
-        # between-pass idle gate (r13 — VERDICT r12 item 4): bounded at
+        # per-pass idle gate (r13 — VERDICT r12 item 4): bounded at
         # 150 s/pass so one stuck neighbor cannot hang the bench; on an
-        # idle box this drains the previous pass's own load from the 1-min
-        # average, so the recorded per-pass loadavg actually measures
-        # EXTERNAL contamination, not the sweep's heat.
-        headline_pass_wait_sec.append(wait_for_idle(150.0) if i else 0.0)
+        # idle box this drains the previous pass's (and, for pass 0, the
+        # WARMUP's) own load from the 1-min average, so the recorded
+        # per-pass loadavg actually measures EXTERNAL contamination, not
+        # the sweep's heat.
+        headline_pass_wait_sec.append(wait_for_idle(150.0))
         headline_pass_loadavg.append(round(os.getloadavg()[0], 2))
         headline_passes.append({name: run(name) for name in HEADLINE})
     timings: dict[str, float] = {

@@ -48,6 +48,11 @@ EXTRA = [  # the big iterative / quadratic-risk entries beyond the headline
     "x5_bpe_gpt2_pretok",     # gpt2-pretokenized BPE training
     "xtra_scd2_commit_ts",    # wall-clock SCD2 (sub-second: noisy exp)
     "x_takedown_registry",    # registry-driven one-call erasure
+    # r13 (VERDICT r12 item 6): the r13 surfaces join the battery
+    "x5_bpe_encode_highmerge",  # deployment-regime (Arrow-UDF) encode
+    "x_store_autoregister",     # builder-registered erasure + relocation
+    "x3_ivfpq_batch",           # index-backed batch ANN (now in-window)
+    "x1_cdc_incremental_dedup",  # CDC-composed crawl dedup (in-window)
 ]
 
 SF01 = "/root/testdata/sf0.1"

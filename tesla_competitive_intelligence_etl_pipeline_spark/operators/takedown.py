@@ -164,7 +164,15 @@ def register_store(
     caller-supplied list that OMITS a registered store fails loudly — the
     pre-r12 API let a forgotten index silently escape both the erasure and
     the zero-residual proof. Idempotent; CAS-safe read-modify-write on
-    stores that support it. Returns the registry after the update."""
+    stores that support it. Returns the registry after the update.
+
+    Stores located under or next to the corpus are recorded
+    corpus-RELATIVE and resolve against the corpus path at read time
+    (r13 — ADVICE r12: a cloned/relocated corpus' registry points at ITS
+    co-located stores, not the original's); remote stores stay absolute.
+    Prefer letting the BUILDERS register for you: build_ivf_index /
+    build_ivfpq_index / pq_build_index / write_signature_table* all take
+    ``corpus=`` and call this after their write commits."""
     from tesla_competitive_intelligence_etl_pipeline_spark.streaming import fs as mfs
 
     fs = fs or mfs.LOCAL_FS
