@@ -1654,7 +1654,7 @@ def x5_bpe_gpt2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_hm_oracle_sql() -> str:
+def _bpe_hm_oracle_sql(pack_bins: int | None = None) -> str:
     """High-merge encode oracle (r13 — VERDICT r12 item 6): vocabulary and
     96-round merge list come from the engine-persisted bpehm fixture
     (training is separately oracle-checked at low merge counts); this SQL
@@ -1664,7 +1664,13 @@ def _bpe_hm_oracle_sql() -> str:
     non-overlapping replace passes per rank: exact, since the corpus' max
     word length of 8 symbols sits far under the 64-symbol 3-pass fixpoint
     bound the engine's Arrow UDF shares), the dense symbol-ASC id table,
-    the unk(-1) convention, and the ordered per-doc assembly."""
+    the unk(-1) convention, and the ordered per-doc assembly.
+
+    ``pack_bins`` (the x5_tokenize_pack composite): instead of the encode
+    output, emit per-BIN packing stats — per-doc REAL-tokenizer token
+    counts fed through concat-then-chunk sequence packing (naive window
+    prefix sum here; the engine runs the two-pass distributed rewrite and
+    must agree exactly)."""
     from tesla_competitive_intelligence_etl_pipeline_spark.plans.oracle_vec import _fx, _FX_GATE
 
     rep = (
@@ -1673,6 +1679,28 @@ def _bpe_hm_oracle_sql() -> str:
     inner = "rec.s"
     for _ in range(3):
         inner = "replace({inner}, {rep})".format(inner=inner, rep=rep)
+    if pack_bins is None:
+        final = """
+    SELECT tk.doc_id,
+           string_agg(CAST(COALESCE(s.tok_id, CAST(-1 AS BIGINT)) AS VARCHAR),
+                      ' ' ORDER BY tk.wpos, tk.spos) AS token_str,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tk LEFT JOIN symtab s USING (symbol)
+    GROUP BY tk.doc_id"""
+    else:
+        final = f""",
+    nd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS toks FROM tk GROUP BY doc_id
+    ),
+    o AS (
+      SELECT *, SUM(toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM nd
+    )
+    SELECT CAST(FLOOR((cum - toks) / {int(pack_bins)}.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM o GROUP BY 1"""
     return f"""
     WITH RECURSIVE
     v AS MATERIALIZED (
@@ -1724,13 +1752,7 @@ def _bpe_hm_oracle_sql() -> str:
         SELECT doc_id, wpos, unnest(sarr) AS symbol,
                unnest(range(1, len(sarr) + 1)) AS spos
         FROM (SELECT doc_id, wpos, string_split(sym, ' ') AS sarr FROM ws))
-    )
-    SELECT tk.doc_id,
-           string_agg(CAST(COALESCE(s.tok_id, CAST(-1 AS BIGINT)) AS VARCHAR),
-                      ' ' ORDER BY tk.wpos, tk.spos) AS token_str,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens
-    FROM tk LEFT JOIN symtab s USING (symbol)
-    GROUP BY tk.doc_id"""
+    ){final}"""
 
 
 # high-merge tokenizer artifact, trained once per session/sf via the
@@ -1782,3 +1804,39 @@ def x5_bpe_encode_highmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" winnower"), F.col("doc_id").cast("string")),
     )
     return _flat_token_ids(tx.bpe_encode_ids(docs, vocab, merges=merges))
+
+
+@register("x5_tokenize_pack", _bpe_hm_oracle_sql(pack_bins=4096))
+def x5_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5q (r13): the training-data pipeline's tail COMPOSED end-to-end —
+    REAL-tokenizer token counts (the deployment-regime high-merge encode,
+    not the whitespace proxy xtra_sequence_packing bins on) feeding
+    GPT-style concat-then-chunk sequence packing (operators/packing.py's
+    two-pass distributed prefix sum — no single-partition exchange), per
+    4096-token training bin. This is the shape a 100 TB pre-training
+    ingest actually runs: tokenize once with the learned vocabulary,
+    lay documents into fixed-token bins, hand bins to the chunker. The
+    oracle re-derives the tokenizer from the bpehm fixture (vocabulary
+    join + recursive-CTE merge replay, same as x5_bpe_encode_highmerge)
+    and packs with the naive single-node window — both sides must agree
+    on every bin's doc count and token mass exactly."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import packing
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_bpehm_fixture(spark, sf_dir)
+    path = _ensure_hm_vocab(spark, sf_dir)
+    merges, vocab, cfg = tx.bpe_load(spark, path)
+    docs = src.load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" winnower"), F.col("doc_id").cast("string")),
+    )
+    toks = tx.bpe_encode_ids(docs, vocab, merges=merges).select(
+        "doc_id", F.col("n_tokens").alias("toks")
+    )
+    packed = packing.pack_sequences(
+        toks, token_col="toks", order_cols=["doc_id"], bin_tokens=4096
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+    )
