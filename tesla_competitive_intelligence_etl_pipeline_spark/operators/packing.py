@@ -13,7 +13,13 @@ two-pass rewrite:
      offsets.
 
 Result: the exact global cumulative sum with NO single-partition stage
-(asserted in tests/test_plans.py against the naive plan).
+over the data (asserted in tests/test_operators.py against the naive
+plan). The range-partitioned, pid-stamped relation is persisted before
+fanning into the two passes: both correctness (each physical range
+exchange samples its own partition bounds, so un-cached branches could
+partition differently on skewed data) and cost (the upstream — e.g. a
+tokenizer — must evaluate once, not once per branch) require the fan-out
+point to be materialized.
 
 On top of it: GPT-style sequence packing — documents concatenated in a
 deterministic (stable-hash) order and chunked into fixed-token bins
@@ -35,8 +41,21 @@ def global_cumsum(
 ) -> DataFrame:
     """Exact inclusive running total of ``value_col`` over the TOTAL order
     given by ``order_cols`` (must be unique-per-row for determinism), with
-    no single-partition exchange."""
+    no single-partition exchange over the data (the per-partition totals —
+    one row per partition — are the only single-partition stage)."""
     d = df.repartitionByRange(*order_cols).withColumn("__pid", F.spark_partition_id())
+    # Persisted because BOTH branches below (the per-row local window and the
+    # per-partition totals) consume d. Without it each branch re-evaluates
+    # the whole upstream — twice the scan/compute, fatal when the input is
+    # e.g. a tokenizer output (x5_tokenize_pack) — and, worse, runs its OWN
+    # range exchange whose partition bounds are SAMPLED per physical
+    # exchange: two independent evaluations can draw different bounds on
+    # skewed data and assign a row different __pid in each branch, making
+    # the offsets join silently wrong. One materialization removes both.
+    # The cache holds exactly the input columns + __pid — callers should
+    # project to (order, value) + carried columns before calling to keep
+    # the footprint minimal (x5_tokenize_pack caches 2 longs per doc).
+    d = d.persist()
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)

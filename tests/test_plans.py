@@ -526,6 +526,36 @@ def test_highmerge_entry_runs_udf_regime(spark, sf_dir, registry):
     assert "LeftAnti" in plan[idx:], "udf not over the distinct-OOV table"
 
 
+def test_tokenize_pack_composite_plan_shape(spark, sf_dir, registry):
+    """x5_tokenize_pack (r13): the composite's expensive half (the
+    Arrow-UDF encode) must evaluate ONCE even though global_cumsum fans
+    into two branches (local window + per-partition totals). Spark's
+    ReuseExchange does NOT fire across the branches (each physical range
+    exchange is planned — and its bounds sampled — independently), so
+    global_cumsum persists the fan-out point: both InMemoryRelation
+    leaves must share ONE cache builder (one materialization of the
+    tokenizer), and the cached plan must carry exactly one
+    ArrowEvalPython over the distinct-OOV subtree plus the single range
+    exchange of the two-pass prefix sum."""
+    df = registry["x5_tokenize_pack"][0](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    leaves = qe.optimizedPlan().collectLeaves()
+    imrs = [
+        leaves.apply(i)
+        for i in range(leaves.size())
+        if leaves.apply(i).getClass().getSimpleName() == "InMemoryRelation"
+    ]
+    assert len(imrs) == 2, "both cumsum branches must read the cache"
+    assert imrs[0].cacheBuilder().equals(imrs[1].cacheBuilder()), (
+        "branches hold DIFFERENT caches - the encode would run twice"
+    )
+    cached = imrs[0].cacheBuilder().cachedPlan().toString()
+    assert cached.count("ArrowEvalPython") == 1
+    assert "rangepartitioning" in cached.lower(), (
+        "packing prefix sum lost its range pass"
+    )
+
+
 def test_clustered_skipping_prunes_files_not_buckets(spark, sf_dir, registry):
     """x9_clustered_skipping (r10): on the clustered gold table the entry
     reads, (1) per-BUCKET min/max provably prunes ZERO buckets for the
