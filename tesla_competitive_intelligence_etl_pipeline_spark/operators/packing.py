@@ -95,3 +95,42 @@ def pack_sequences(
         "bin_id",
         F.floor((F.col("cum_tokens") - F.col(token_col)) / bin_tokens).cast("long"),
     )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    token_col: str,
+    order_cols: list[str],
+    bin_tokens: int = 4096,
+) -> DataFrame:
+    """The chunking half of concat-then-chunk packing (r13): explode each
+    document into its per-bin token SLICES. A document occupying global
+    token interval ``[cum_tokens - toks, cum_tokens)`` contributes one row
+    per bin it overlaps — ``tok_offset`` is the 0-based token offset into
+    the document where the slice starts, ``chunk_tokens`` its length, so a
+    downstream splitter can cut the actual token arrays without any further
+    coordination: every bin's slices sum to exactly ``bin_tokens`` (except
+    the corpus' final bin), every document's slices are contiguous and sum
+    to its token count. Zero-token documents occupy no interval and are
+    dropped. Adds ``bin_id``, ``tok_offset``, ``chunk_tokens`` (and the
+    intermediate ``cum_tokens``); one generate-series explode per doc —
+    rows grow only by the straddle count (≤ total_tokens/bin_tokens), never
+    a cross join."""
+    packed = pack_sequences(docs, token_col, order_cols, bin_tokens)
+    start = F.col("cum_tokens") - F.col(token_col)  # first token, inclusive
+    first_bin = F.floor(start / bin_tokens)
+    last_bin = F.floor((F.col("cum_tokens") - 1) / bin_tokens)
+    sliced = (
+        packed.filter(F.col(token_col) > 0)
+        # replaces pack_sequences' first-token bin_id with one row per
+        # overlapped bin; toks > 0 guarantees first_bin <= last_bin, so
+        # the sequence is ascending and never empty
+        .withColumn("bin_id", F.explode(F.sequence(first_bin, last_bin)))
+    )
+    chunk_start = F.greatest(start, F.col("bin_id") * F.lit(bin_tokens))
+    chunk_end = F.least(
+        F.col("cum_tokens"), (F.col("bin_id") + 1) * F.lit(bin_tokens)
+    )
+    return sliced.withColumn(
+        "tok_offset", (chunk_start - start).cast("long")
+    ).withColumn("chunk_tokens", (chunk_end - chunk_start).cast("long"))

@@ -1924,6 +1924,54 @@ def xtra_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "xtra_pack_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS toks,
+             {_bucket_sql('doc_id', 2147483648)} AS b
+      FROM documents
+    ),
+    o AS (
+      SELECT *, SUM(toks) OVER (ORDER BY b, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks, cum, cum - toks AS st,
+             unnest(generate_series(CAST(FLOOR((cum - toks) / 4096.0) AS BIGINT),
+                                    CAST(FLOOR((cum - 1) / 4096.0) AS BIGINT))) AS bin_id
+      FROM o WHERE toks > 0
+    )
+    SELECT doc_id, bin_id,
+           CAST(GREATEST(st, bin_id * 4096) - st AS BIGINT) AS tok_offset,
+           CAST(LEAST(cum, (bin_id + 1) * 4096)
+                - GREATEST(st, bin_id * 4096) AS BIGINT) AS chunk_tokens
+    FROM e
+    """,
+)
+def xtra_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHUNKING half of concat-then-chunk packing (r13, completes
+    xtra_sequence_packing): every document exploded into its per-bin token
+    slices — (doc_id, bin_id, tok_offset, chunk_tokens) rows a downstream
+    splitter cuts token arrays with, no further coordination needed. The
+    generate-series explode adds only straddle rows (≤ total_tokens/4096),
+    never a cross join; the prefix sum underneath is the two-pass
+    distributed rewrite. The oracle re-derives every slice from the naive
+    window + generate_series and must agree row-for-row."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("long").alias("toks"),
+        sampling.stable_bucket(F.col("doc_id"), 1 << 31).alias("b"),
+    )
+    chunks = packing.pack_chunks(
+        t, token_col="toks", order_cols=["b", "doc_id"], bin_tokens=4096
+    )
+    return chunks.select("doc_id", "bin_id", "tok_offset", "chunk_tokens")
+
+
 # ===========================================================================
 # PII scan + redaction (pre-training scrub pass)
 # ===========================================================================

@@ -1654,7 +1654,9 @@ def x5_bpe_gpt2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_hm_oracle_sql(pack_bins: int | None = None) -> str:
+def _bpe_hm_oracle_sql(
+    pack_bins: int | None = None, chunk_bins: int | None = None
+) -> str:
     """High-merge encode oracle (r13 — VERDICT r12 item 6): vocabulary and
     96-round merge list come from the engine-persisted bpehm fixture
     (training is separately oracle-checked at low merge counts); this SQL
@@ -1670,7 +1672,13 @@ def _bpe_hm_oracle_sql(pack_bins: int | None = None) -> str:
     output, emit per-BIN packing stats — per-doc REAL-tokenizer token
     counts fed through concat-then-chunk sequence packing (naive window
     prefix sum here; the engine runs the two-pass distributed rewrite and
-    must agree exactly)."""
+    must agree exactly).
+
+    ``chunk_bins`` (the x5_pack_chunk_streams composite): the per-bin
+    TOKEN STREAMS themselves — every token's global position is its doc's
+    cumulative start plus its in-doc index, its bin floor(gpos/B), and the
+    bin's stream is the position-ordered id string: the literal training
+    sequence a GPT-style loader would feed, re-derived naively."""
     from tesla_competitive_intelligence_etl_pipeline_spark.plans.oracle_vec import _fx, _FX_GATE
 
     rep = (
@@ -1679,7 +1687,7 @@ def _bpe_hm_oracle_sql(pack_bins: int | None = None) -> str:
     inner = "rec.s"
     for _ in range(3):
         inner = "replace({inner}, {rep})".format(inner=inner, rep=rep)
-    if pack_bins is None:
+    if pack_bins is None and chunk_bins is None:
         final = """
     SELECT tk.doc_id,
            string_agg(CAST(COALESCE(s.tok_id, CAST(-1 AS BIGINT)) AS VARCHAR),
@@ -1687,6 +1695,27 @@ def _bpe_hm_oracle_sql(pack_bins: int | None = None) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_tokens
     FROM tk LEFT JOIN symtab s USING (symbol)
     GROUP BY tk.doc_id"""
+    elif chunk_bins is not None:
+        final = f""",
+    nd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS toks FROM tk GROUP BY doc_id
+    ),
+    o AS (
+      SELECT *, SUM(toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM nd
+    ),
+    g AS (
+      SELECT o.cum - o.toks
+               + row_number() OVER (PARTITION BY tk.doc_id
+                                    ORDER BY tk.wpos, tk.spos) - 1 AS gpos,
+             COALESCE(s.tok_id, CAST(-1 AS BIGINT)) AS tok
+      FROM tk JOIN o USING (doc_id) LEFT JOIN symtab s USING (symbol)
+    )
+    SELECT CAST(FLOOR(gpos / {int(chunk_bins)}.0) AS BIGINT) AS bin_id,
+           string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gpos) AS token_str,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM g GROUP BY 1"""
     else:
         final = f""",
     nd AS (
@@ -1839,4 +1868,54 @@ def x5_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("toks").cast("long").alias("total_tokens"),
+    )
+
+
+@register("x5_pack_chunk_streams", _bpe_hm_oracle_sql(chunk_bins=4096))
+def x5_pack_chunk_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5r (r13): the LITERAL training batches — x5_tokenize_pack's bin
+    assignment carried all the way down to the per-bin TOKEN STREAMS a
+    GPT-style loader would read. Real high-merge tokenizer encode, every
+    token's global position = its document's cumulative start (two-pass
+    distributed prefix sum) + its in-document index, bin =
+    floor(gpos/4096), and the bin's stream assembled position-ordered —
+    all JVM-side (posexplode + join + array_sort(collect_list(struct)));
+    the hash check covers every token id at every position of every bin.
+    The encode output feeds BOTH the per-doc-count cumsum and the
+    per-token explode, so it is persisted once (the global_cumsum lesson:
+    un-cached fan-out re-runs the tokenizer per branch). Oracle:
+    recursive-CTE merge replay + naive window positions."""
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import packing
+    from tesla_competitive_intelligence_etl_pipeline_spark.plans import fixtures
+
+    fixtures.ensure_bpehm_fixture(spark, sf_dir)
+    path = _ensure_hm_vocab(spark, sf_dir)
+    merges, vocab, cfg = tx.bpe_load(spark, path)
+    docs = src.load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" winnower"), F.col("doc_id").cast("string")),
+    )
+    enc = tx.bpe_encode_ids(docs, vocab, merges=merges).select(
+        "doc_id", "token_ids", "n_tokens"
+    ).persist()
+    cum = packing.global_cumsum(
+        enc.select("doc_id", F.col("n_tokens").alias("toks")),
+        ["doc_id"], "toks", out_col="cum",
+    )
+    pos = enc.select("doc_id", F.posexplode("token_ids").alias("pos", "tok"))
+    g = pos.join(cum, "doc_id").select(
+        (F.col("cum") - F.col("toks") + F.col("pos")).alias("gpos"), "tok"
+    )
+    binned = g.withColumn(
+        "bin_id", F.floor(F.col("gpos") / F.lit(4096)).cast("long")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                lambda x: x["tok"].cast("string"),
+            ),
+        ).alias("token_str"),
+        F.count("*").cast("long").alias("n_tokens"),
     )

@@ -277,3 +277,49 @@ def test_global_cumsum_exact_and_not_single_partitioned(spark):
         out.explain("formatted")
     plan = buf.getvalue().lower()
     assert "rangepartitioning" in plan  # the corpus-wide pass is parallel
+
+
+def test_pack_chunks_invariants(spark):
+    """pack_chunks (r13): (1) each document's slices are contiguous,
+    start at tok_offset 0, and sum to its token count; (2) every bin
+    except the corpus' last sums to exactly bin_tokens; (3) a document
+    longer than several bins contributes one full-capacity slice per
+    interior bin; (4) zero-token documents are dropped."""
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import packing
+
+    B = 100
+    rows = [  # (doc_id, toks): mix of tiny, straddling, and multi-bin docs
+        (1, 30), (2, 90), (3, 250), (4, 0), (5, 1), (6, 99), (7, 430),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    got = packing.pack_chunks(df, "toks", ["doc_id"], bin_tokens=B).collect()
+
+    assert not [r for r in got if r.doc_id == 4], "zero-token doc must drop"
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    toks = dict(rows)
+    for doc, slices in by_doc.items():
+        slices.sort(key=lambda r: r.tok_offset)
+        assert slices[0].tok_offset == 0
+        pos = 0
+        for s in slices:
+            assert s.tok_offset == pos, "slices must be contiguous"
+            assert 0 < s.chunk_tokens <= B
+            pos += s.chunk_tokens
+        assert pos == toks[doc], "slices must cover the document exactly"
+        assert [s.bin_id for s in slices] == sorted(
+            {s.bin_id for s in slices}
+        ), "one slice per bin, ascending"
+    per_bin: dict[int, int] = {}
+    for r in got:
+        per_bin[r.bin_id] = per_bin.get(r.bin_id, 0) + r.chunk_tokens
+    last = max(per_bin)
+    total = sum(t for _, t in rows)
+    for b, n in per_bin.items():
+        assert n == (B if b != last else total - last * B)
+    # doc 7 (430 toks) spans >= 4 bins; its interior slices are full bins
+    interior = sorted(by_doc[7], key=lambda r: r.tok_offset)[1:-1]
+    assert interior and all(s.chunk_tokens == B for s in interior)
