@@ -212,18 +212,18 @@ def kmeans(
     n_part = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_part).persist()
     try:
-        probe = df.select(vec_col).first()
-        if probe is None:
-            raise ValueError("kmeans: empty input (or empty training sample)")
-        dim = len(probe[0])
-
         # deterministic, engine-portable seeding: k lowest stable-bucket rows
+        # (r13, guide §1.2 step 1 — one fewer pass: the former dim-probe
+        # `first()` job is folded into this collect; dim comes from seeds)
         seeds = (
             df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
             .orderBy(stable_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc())
             .limit(k)
             .collect()
         )
+        if not seeds:
+            raise ValueError("kmeans: empty input (or empty training sample)")
+        dim = len(seeds[0]["v"])
         if len(seeds) < k:
             warnings.warn(
                 f"kmeans: k={k} but input has only {len(seeds)} rows; "
@@ -319,11 +319,11 @@ def kmeans_df(
         .persist()
     )
     try:
-        if slim.first() is None:
-            raise ValueError("kmeans_df: empty input")
         # same deterministic seeding as kmeans: the k lowest
         # (stable_bucket(id), id) rows, cluster index = seed rank. The
         # k-row window is the one k-sized single-task stage (seeding only).
+        # (r13: the former `slim.first()` empty-probe job is folded into the
+        # actual_k count below — one fewer pass, guide §1.2 step 1.)
         order = [stable_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc()]
         w = Window.orderBy(*order)
         cents = _truncate_lineage(
@@ -336,6 +336,8 @@ def kmeans_df(
             reliable,
         )
         actual_k = cents.count()
+        if actual_k == 0:
+            raise ValueError("kmeans_df: empty input")
         if actual_k < k:
             warnings.warn(
                 f"kmeans_df: k={k} but input has only {actual_k} rows; "

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tesla_competitive_intelligence_etl_pipeline_spark.operators.text import (
+    _sliding_tuples,
     fingerprint_md5,
     normalized_text,
     shingles,
@@ -82,17 +83,41 @@ _MINHASH_A = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4
 def minhash_int_signature(hashed_shingle_arr: Column, num_hashes: int = 32) -> Column:
     """num_hashes independent min-hashes over pre-hashed shingles: the j-th
     hash is an affine transform h_j(x) = a_j*x + b_j over Z/2^64 (long
-    overflow wraps = mod-2^64, ANSI off). Pure JVM expression, map-side."""
+    overflow wraps = mod-2^64, ANSI off). Pure JVM expression, map-side.
 
-    def h(j: int):
+    r13 (guide §1.2 step 2 — per-task work): each min is ONE
+    ``aggregate(..., least)`` fold instead of ``array_min(transform(...))``.
+    Higher-order functions evaluate interpreted, and the transform form
+    materialized num_hashes intermediate arrays of |shingles| longs per row;
+    the fold keeps a single long accumulator per hash. Measured 0.27 s ->
+    0.15 s for the signature pass over sf0.1 documents (scripts note in
+    OPTIMIZATION_r13.md); values are bit-identical (same affine arithmetic,
+    ``b + j`` pre-folded mod 2^64 — addition is associative mod 2^64)."""
+
+    def coeffs(j: int) -> tuple[int, int]:
         a = _MINHASH_A[j % len(_MINHASH_A)] | 1  # odd -> bijective mod 2^64
-        b = (j * 0x9E3779B97F4A7C15 + 0x85EBCA77C2B2AE63) % (1 << 64)
+        b = (j * 0x9E3779B97F4A7C15 + 0x85EBCA77C2B2AE63 + j) % (1 << 64)
         a_signed = a - (1 << 64) if a >= (1 << 63) else a
         b_signed = b - (1 << 64) if b >= (1 << 63) else b
-        return lambda x: x * F.lit(a_signed) + F.lit(b_signed) + F.lit(j)
+        return a_signed, b_signed
 
-    return F.array(
-        *[F.array_min(F.transform(hashed_shingle_arr, h(j))) for j in range(num_hashes)]
+    _MAX_LONG = (1 << 63) - 1
+
+    def one_min(j: int) -> Column:
+        a, b = coeffs(j)
+        return F.aggregate(
+            hashed_shingle_arr,
+            F.lit(_MAX_LONG),
+            lambda acc, x: F.least(acc, x * F.lit(a) + F.lit(b)),
+        )
+
+    sig = F.array(*[one_min(j) for j in range(num_hashes)])
+    # array_min(empty) was NULL; the fold's identity would leak MAX_LONG.
+    # No engine path builds empty shingle arrays (hashed_shingles/shingles
+    # always emit >= 1 gram), but minhash_signature is exported API — keep
+    # the old contract for external callers.
+    return F.when(F.size(hashed_shingle_arr) > 0, sig).otherwise(
+        F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)])
     )
 
 
@@ -106,14 +131,12 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
 def hashed_shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word-n-gram shingles as 64-bit hashes: hash each token once,
     combine n consecutive token hashes with xxhash64 — no n-gram string is
-    ever materialized (the dominant cost of string shingling)."""
+    ever materialized (the dominant cost of string shingling). Windows are
+    assembled with the slice/zip form (_sliding_tuples, r13)."""
     th = F.transform(tokens(normalized_text(text_col)), lambda t: F.xxhash64(t))
     grams = F.when(
         F.size(th) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(th) - n),
-            lambda i: F.xxhash64(*[F.get(th, i + k) for k in range(n)]),
-        ),
+        _sliding_tuples(th, n, lambda *cols: F.xxhash64(*cols)),
     ).otherwise(F.array(F.xxhash64(*[F.lit(0)])))
     return F.array_distinct(grams)
 
@@ -322,7 +345,15 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = vertices.select(F.col("id"), F.col("id").alias("comp"))
+    # r13 (guide §2.3 — shuffle fewer bytes): iterate ONLY over vertices
+    # that touch an edge. Singletons are fixpoints by definition
+    # (comp == id), yet they dominated every round's label table — a
+    # near-dup pair graph covers a small fraction of the corpus, so each
+    # round shuffled O(|V|) labels to move O(|touched|) information. They
+    # rejoin via the final left join below, identical result.
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
     for _ in range(max_iters):
         nbr = (
             sym.join(labels, sym.src == labels.id)
@@ -346,7 +377,9 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    return vertices.select("id").join(labels, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
 
 
 def connected_components_star(

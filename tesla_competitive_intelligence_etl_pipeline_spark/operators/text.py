@@ -97,6 +97,48 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+def _sliding_tuples(arr: Column, n: int, combine) -> Column:
+    """All length-n sliding windows of ``arr`` combined by
+    ``combine(c0, ..., cn-1)`` — built from n bulk ``slice``s zipped
+    together instead of ``transform(sequence(...), <per-window lookup>)``.
+
+    r13 (guide §1.2 step 2 — per-task work): higher-order functions run
+    interpreted, and the per-gram ``F.get``/``F.slice`` form paid n
+    bounds-checked lookups (or an n-element copy) plus an index-array
+    materialization per row; this form does n bulk array copies and one
+    fused combine per window. Measured 1.50 s -> 0.36 s (4.2x) for trigram
+    hashed shingling over sf0.1 documents with bit-identical output.
+    Caller guards ``size(arr) >= n``."""
+    length = F.size(arr) - (n - 1)
+    sl = [F.slice(arr, k + 1, length) for k in range(n)]
+    if n == 1:
+        return F.transform(sl[0], lambda x: combine(x))
+    if n == 2:
+        return F.zip_with(sl[0], sl[1], lambda x, y: combine(x, y))
+    # n >= 3: fold the trailing n-1 slices into a struct column-wise, then
+    # one final zip applies `combine` over the full window
+    acc = F.zip_with(
+        sl[n - 2], sl[n - 1], lambda x, y: F.struct(x.alias("f0"), y.alias("f1"))
+    )
+    width = 2
+    # NB: zip_with evaluates its callback EAGERLY to build the expression
+    # tree (and requires exactly-2-arg callables), so plain closures over
+    # `width` are safe — each call sees the loop's current value.
+    for k in range(n - 3, 0, -1):
+        acc = F.zip_with(
+            sl[k],
+            acc,
+            lambda x, st: F.struct(
+                x.alias("f0"),
+                *[st.getField(f"f{i}").alias(f"f{i + 1}") for i in range(width)],
+            ),
+        )
+        width += 1
+    return F.zip_with(
+        sl[0], acc, lambda x, st: combine(x, *[st.getField(f"f{i}") for i in range(width)])
+    )
+
+
 def ngrams(text: Column, n: int) -> Column:
     """ALL word n-grams in order (non-distinct — repetition analysis needs the
     multiplicities; `shingles` is the distinct variant for MinHash). Docs with
@@ -104,10 +146,7 @@ def ngrams(text: Column, n: int) -> Column:
     toks = tokens(normalized_text(text))
     return F.when(
         F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
+        _sliding_tuples(toks, n, lambda *cols: F.concat_ws(" ", *cols)),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
@@ -123,16 +162,7 @@ def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the MinHash input set)."""
-    toks = tokens(normalized_text(text))
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    return F.array_distinct(ngrams(text, n))
 
 
 # ---------------------------------------------------------------------------
@@ -178,10 +208,7 @@ def adjacent_pairs(text: Column) -> Column:
     n = F.size(toks)
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
-        ),
+        _sliding_tuples(toks, 2, lambda a, b: F.concat_ws(" ", a, b)),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -769,12 +796,7 @@ def bpe_train(
         arr = F.split(F.col("sym"), " ")
         pair_col = F.when(
             F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-                ),
-            ),
+            _sliding_tuples(arr, 2, lambda a, b: F.concat_ws(" ", a, b)),
         ).otherwise(F.array().cast("array<string>"))
         best = (
             wf.select(F.explode(pair_col).alias("pair"), "freq")
