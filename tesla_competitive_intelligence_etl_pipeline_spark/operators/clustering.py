@@ -209,8 +209,9 @@ def kmeans(
     in plans/oracle_vec.py) reproduces bit-identical centroids. 1e-6 is far
     above double noise and far below any real centroid separation — it does
     not change clustering quality, it pins reproducibility."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n_part).persist()
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
+    df = spread(df, id_col).persist()
     try:
         # deterministic, engine-portable seeding: k lowest stable-bucket rows
         # (r13, guide §1.2 step 1 — one fewer pass: the former dim-probe
@@ -312,10 +313,13 @@ def kmeans_df(
             return col
         return F.transform(col, lambda x: F.bround(x, round_decimals))
 
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
     slim = (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
-        .repartition(n_part)
+        spread(
+            df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v")),
+            id_col,
+        )
         .persist()
     )
     try:

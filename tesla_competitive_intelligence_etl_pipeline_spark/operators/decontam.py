@@ -57,12 +57,13 @@ def decontaminate(
     Keep the clean corpus with `.filter(~F.col('contaminated'))`.
     """
     # n-gram generation is CPU-bound per row; small single-file inputs arrive
-    # as one partition, so spread across cores first (same idiom as
-    # dedup._with_shingles_and_sig — at 100 TB the input is already many
-    # splits and the repartition is unnecessary but harmless vs the join).
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    bench = benchmark_ngrams(benchmark.repartition(n_part), n, text_col)
-    doc_grams = docs.repartition(n_part).select(
+    # as one partition, so spread across cores first (r13: conditional keyed
+    # spread — at 100 TB the inputs are already many splits and the spread
+    # is a NO-OP instead of a pointless full shuffle; guide §2.4/§2.5).
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
+    bench = benchmark_ngrams(spread(benchmark, text_col), n, text_col)
+    doc_grams = spread(docs, id_col).select(
         F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("ng")
     )
     hits = (

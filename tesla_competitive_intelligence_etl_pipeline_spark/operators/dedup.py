@@ -32,17 +32,27 @@ def _truncate_lineage(df: DataFrame, reliable: bool = False) -> DataFrame:
     iterative loop (CC) and multi-consumer fan-in (indexed dedup, SemDeDup's
     capped path) here uses so plans don't grow across rounds.
 
-    Default: eager ``localCheckpoint`` — blocks live on executors, so on a
-    cluster with executor decommissioning/spot churn a lost block FAILS the
+    Default: LAZY ``localCheckpoint`` (r13 — guide §1.2 step 1, one fewer
+    pass per call site): the eager form ran a dedicated materialization job
+    per call, then every consumer read the blocks; the lazy form fuses
+    materialization into the FIRST consumer's job (every call site here is
+    followed by one — a convergence probe, a count, or the pair join), so
+    the truncation costs zero extra jobs. Every call site was audited for
+    snapshot-before-overwrite reliance (none: no site reads a path that is
+    later overwritten before evaluation). Blocks still live on executors:
+    on a cluster with decommissioning/spot churn a lost block FAILS the
     query instead of recomputing (truncated lineage cannot rebuild).
+    Iterative loops stay bounded: each round's consumer fully materializes
+    the previous round's checkpoint, so lazy chains never deepen past one
+    round.
     ``reliable=True`` is the escape hatch (VERDICT r5 item 5): a REAL
-    checkpoint to the SparkContext checkpoint dir (HDFS/S3-backed, survives
-    executor loss) — slower per round, the right trade on
+    (eager) checkpoint to the SparkContext checkpoint dir (HDFS/S3-backed,
+    survives executor loss) — slower per round, the right trade on
     decommissioning-prone clusters. Requires
     ``spark.sparkContext.setCheckpointDir(...)``; raises a clear error
     otherwise. See DEPLOYMENT.md § Checkpointing."""
     if not reliable:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=False)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         raise ValueError(
@@ -145,13 +155,16 @@ def _with_shingles_and_sig(
     docs: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
 ) -> DataFrame:
     # Signature computation is CPU-bound per row; small single-file inputs
-    # arrive as one partition, so spread across cores first (plain
-    # defaultParallelism — touching df.rdd would force an RDD conversion of
-    # the plan). At 100 TB the input is already many splits and AQE keeps
-    # partition sizing sane.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # arrive as one partition, so spread across cores first. r13: the former
+    # UNCONDITIONAL keyless repartition (a) always shuffled — at 100 TB a
+    # pointless full-corpus pass when the scan is already wide — and
+    # (b) paid round-robin's sort-before-repartition; io.spread is a no-op
+    # when the plan already has >= defaultParallelism partitions and hash-
+    # partitions on the id otherwise (guide §2.4/§2.5).
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
     return (
-        docs.repartition(n_part)
+        spread(docs, id_col)
         .select(
             F.col(id_col).alias("doc_id"),
             hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -723,9 +736,10 @@ def simhash_pairs(
     """Near-dup pairs by SimHash hamming distance <= max_hamming. Banding on
     16-bit chunks (pigeonhole: any pair within distance 3 shares a chunk for
     4 bands; wider distances still mostly collide) prunes the self-join."""
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
     sigs = (
-        docs.repartition(n_part)
+        spread(docs, id_col)
         .select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig"))
         .persist()  # feeds both sides of the band self-join
     )
@@ -1117,9 +1131,10 @@ def cross_corpus_neardup(
         )
     )
     rows_per_band = num_hashes // bands
-    n_part = tagged.sparkSession.sparkContext.defaultParallelism
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
     sigs = (
-        tagged.repartition(n_part)
+        spread(tagged, "doc_id")
         .select(
             "__side",
             "doc_id",
@@ -1406,13 +1421,14 @@ def minhash_lsh_pairs_portable(
     random family proposes — both verify candidates with exact Jaccard, so
     neither reports a false pair; this one's candidates are reproducible in
     DuckDB, making the registry entry hash-checked rather than rows-only."""
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    # eager lineage truncation (not persist): the signature table feeds the
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
+    # lazy lineage truncation (not persist): the signature table feeds the
     # band explode AND both sides of the verification join; blocks are
     # released when the returned plan is GC'd — no caller-must-unpersist
     # contract (same trade-offs as cross_corpus_neardup_indexed)
     sigs = _truncate_lineage(
-        docs.repartition(n_part)
+        spread(docs, id_col)
         .select(
             F.col(id_col).alias("doc_id"),
             portable_hashed_shingles(F.col(text_col)).alias("sh"),
@@ -1475,9 +1491,10 @@ def cross_corpus_neardup_portable(
             F.col(text_col).alias("text"),
         )
     )
-    n_part = tagged.sparkSession.sparkContext.defaultParallelism
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
     sigs = _truncate_lineage(
-        tagged.repartition(n_part)
+        spread(tagged, "doc_id")
         .select(
             "__side",
             "doc_id",
@@ -1550,9 +1567,10 @@ def simhash_pairs_portable(
     end-to-end (plans/oracle_vec.simhash_portable_sql), unlike the
     xxhash64-based simhash_pairs. Pigeonhole: any pair within distance 3
     shares a chunk across 4 bands; wider distances still mostly collide."""
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
     sigs = _truncate_lineage(
-        docs.repartition(n_part).select(
+        spread(docs, id_col).select(
             F.col(id_col).alias("doc_id"),
             simhash60_portable(F.col(text_col)).alias("sig"),
         ),

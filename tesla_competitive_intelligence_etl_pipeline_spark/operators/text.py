@@ -221,10 +221,12 @@ def bpe_pair_frequencies(
     from pyspark.sql import Window
 
     # pair generation is CPU-bound per row; small single-file inputs arrive
-    # as one partition, so spread across cores first (same idiom as
-    # decontam/dedup — harmless at scale where inputs are already split)
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    pairs = docs.repartition(n_part).select(
+    # as one partition, so spread across cores first (r13: conditional
+    # keyed spread — a no-op at scale where inputs are already split, and
+    # no round-robin pre-sort; guide §2.4/§2.5)
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
+    pairs = spread(docs, text_col).select(
         F.explode(adjacent_pairs(F.col(text_col))).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count("*").alias("freq"))
@@ -276,9 +278,10 @@ def chunk_documents(
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
     return (
-        docs.repartition(n_part)
+        spread(docs, id_col)
         .select(
             F.col(id_col),
             toks.alias("__tk"),
@@ -321,9 +324,10 @@ def keyword_scores(
     broadcast."""
     from pyspark.sql import Window
 
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources.io import spread
+
     tok = (
-        docs.repartition(n_part)
+        spread(docs, id_col)
         .select(F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"))
     )
     tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))

@@ -66,7 +66,9 @@ def _dsum(expr: str, scale: int = 6) -> str:
 )
 def flagship_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = src.load_table(spark, sf_dir, "customer")
-    orders = src.load_table(spark, sf_dir, "orders")
+    # r13: spread keyed on the grouping key — the groupBy reuses this
+    # exchange (guide §2.4/§2.5); scale-adaptive no-op on split-rich inputs
+    orders = src.spread(src.load_table(spark, sf_dir, "orders"), "o_custkey")
     nation = src.load_table(spark, sf_dir, "nation")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("*").alias("order_cnt"),
@@ -402,7 +404,9 @@ def join_actual_vs_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-7: actual-vs-estimate conformance across fact tables on the shared
     natural key (schema.sql:30 vs :46)."""
     orders = src.load_table(spark, sf_dir, "orders")
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread keyed on the grouping key — the groupBy reuses this
+    # exchange (guide §2.4/§2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     actual = li.groupBy("l_orderkey").agg(
         agg.exact_sum(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
@@ -574,7 +578,9 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIM-1: k most-recent rows per group — the reference's only implicit
     window fn (limit=8 quarters/ticker, extract.py:97). Unique tiebreaker
     (o_orderkey) keeps row_number deterministic."""
-    orders = src.load_table(spark, sf_dir, "orders")
+    # r13: spread keyed on the window partition key — the window reuses
+    # this exchange (guide §2.4/§2.5)
+    orders = src.spread(src.load_table(spark, sf_dir, "orders"), "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").cast("date").desc(), F.col("o_orderkey").desc()
     )
@@ -614,7 +620,8 @@ def limit_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEDUP-1: natural-key uniqueness, last write wins (reference
     schema.sql:30 UNIQUE + upsert load.py:128-154)."""
-    orders = src.load_table(spark, sf_dir, "orders")
+    # r13: spread keyed on the dedup key — the window reuses this exchange
+    orders = src.spread(src.load_table(spark, sf_dir, "orders"), "o_custkey")
     return topk.dedup_last_write_wins(
         orders,
         keys=["o_custkey"],

@@ -37,8 +37,13 @@ from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: wide multi-aggregate scan — one pass, map-side partial
     aggregation, 6-group result."""
-    li = src.load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= "1998-09-02"
+    # r13: single-row-group input -> spread the exact-decimal aggregation
+    # across cores (scale-adaptive no-op on split-rich inputs; guide §2.5)
+    li = src.spread(
+        src.load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= "1998-09-02"
+        ),
+        "l_orderkey",
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -72,7 +77,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> top-k by revenue."""
     c = src.load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = src.load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
-    l = src.load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    # r13: spread the fact probe side of the broadcast joins (guide §2.5)
+    l = src.spread(
+        src.load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > "1995-03-15"
+        ),
+        "l_orderkey",
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
@@ -110,7 +121,8 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = src.load_table(spark, sf_dir, "nation")
     c = src.load_table(spark, sf_dir, "customer")
     o = src.load_table(spark, sf_dir, "orders")
-    l = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread the fact side of the snowflake join (guide §2.5)
+    l = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     s = src.load_table(spark, sf_dir, "supplier")
     return (
         F.broadcast(r)

@@ -552,7 +552,8 @@ def fn_parse_label_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     _parse_date transform.py:141-166) -> FN-2 (quarter label,
     transform.py:31-57) -> FN-10 (printf-style tag, transform.py:53) chained
     in one whole-stage-codegen pass."""
-    orders = src.load_table(spark, sf_dir, "orders")
+    # r13: per-row parse chain — spread across cores (guide §2.5)
+    orders = src.spread(src.load_table(spark, sf_dir, "orders"), "o_orderkey")
     d = F.col("o_orderdate").cast("date")
     raw = (
         F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "yyyy-MM-dd"))
@@ -658,7 +659,9 @@ def fn_boundary_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue rule + 0.01 absolute eps rule, transform.py:245-259) — one
     single-row metrics report from three tiny aggregates cross-joined."""
     orders = src.load_table(spark, sf_dir, "orders")
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread keyed on the grouping key — the actual-total groupBy
+    # reuses the exchange; the boundary agg runs wide (guide §2.4/§2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     stamped = orders.withColumn("processed_at", scalars.processed_at()).agg(
         F.count("*").alias("cnt"),
         F.count_if(F.col("processed_at").isNotNull()).alias("with_ts"),
@@ -874,7 +877,8 @@ def x5_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_tokens_udf(texts: pd.Series) -> pd.Series:
         return texts.str.split(r"\s+").str.len().astype("int64")
 
-    docs = src.load_table(spark, sf_dir, "documents")
+    # r13: regex/UDF-heavy per-row profile — spread across cores (§2.5)
+    docs = src.spread(src.load_table(spark, sf_dir, "documents"), "doc_id")
     feats = tx.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -919,7 +923,8 @@ def x5_sentiment_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5e (sentiment via broadcast lexicon join — the corpus never
     shuffles for the lexicon) + X-5f (per-language mix report) rolled up to
     language granularity."""
-    docs = src.load_table(spark, sf_dir, "documents")
+    # r13: tokenize map side spread across cores (guide §2.5)
+    docs = src.spread(src.load_table(spark, sf_dir, "documents"), "doc_id")
     lex = spark.createDataFrame(SENTIMENT_LEXICON, "tok string, score int")
     toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
     doc_sent = (
@@ -979,8 +984,9 @@ def x7_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = src.load_table(spark, sf_dir, "customer")
     n = src.load_table(spark, sf_dir, "nation")
     r = src.load_table(spark, sf_dir, "region")
-    o = src.load_table(spark, sf_dir, "orders")
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread the two fact sides of the cube/gsets branches (§2.5)
+    o = src.spread(src.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
 
     rollup = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -1614,8 +1620,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade volume — two broadcast nation dims
     with an inequality between them, per-year revenue."""
     s = src.load_table(spark, sf_dir, "supplier")
-    li = src.load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    # r13: spread the fact probe side (guide §2.5)
+    li = src.spread(
+        src.load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+        ),
+        "l_orderkey",
     )
     o = src.load_table(spark, sf_dir, "orders")
     c = src.load_table(spark, sf_dir, "customer")
@@ -1661,7 +1671,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = src.load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
     )
-    li = src.load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # r13: spread the fact probe side (guide §2.5)
+    li = src.spread(
+        src.load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_returnflag") == "R"
+        ),
+        "l_orderkey",
+    )
     n = src.load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -1710,7 +1726,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims broadcast, one groupBy on year with two exact-decimal sums divided
     in double space (reference parity: numeric discipline of
     transform.py:184-186)."""
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread the fact probe side (guide §2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     p = src.load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     s = src.load_table(spark, sf_dir, "supplier")
     o = src.load_table(spark, sf_dir, "orders").filter(

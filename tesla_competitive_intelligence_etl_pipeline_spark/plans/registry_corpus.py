@@ -65,9 +65,8 @@ def x5_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (doc_id, token, count) triples shuffle — never the text."""
     # single-file local input arrives as ONE partition; tokenization and the
     # trigram arrays are CPU-bound per row -> spread across cores first
-    docs = src.load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # (r13: conditional keyed spread — no-op at scale, no round-robin sort)
+    docs = src.spread(src.load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(tx.tokens(tx.normalized_text(F.col("text")))).alias("tok")
     )
@@ -125,9 +124,7 @@ def x5_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode into (gram, 1) pairs; document frequency is one partial-aggregable
     groupBy, and the top-k is TakeOrdered (no global sort). Only grams — never
     documents — shuffle."""
-    docs = src.load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = src.spread(src.load_table(spark, sf_dir, "documents"), "doc_id")
     g = docs.select(F.explode(dc.ngram_set(F.col("text"), 3)).alias("ng"))
     return (
         g.groupBy("ng")
@@ -209,7 +206,8 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, ts) pairs per step shuffle; cohorts shrink monotonically."""
     from tesla_competitive_intelligence_etl_pipeline_spark.operators import funnel as fu
 
-    ev = src.load_events(spark, sf_dir)
+    # r13: spread keyed on user_id — every step groupBy reuses it (§2.4)
+    ev = src.spread(src.load_events(spark, sf_dir), "user_id")
     return fu.funnel_counts(ev, ["signup", "view", "click", "purchase"])
 
 
@@ -348,7 +346,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average decorrelated into a
     pre-aggregated join (the avg side shrinks to one row per part before the
     shuffle); brand filter broadcast."""
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread keyed on l_partkey — the per-part average groupBy AND the
+    # qlim join are both keyed the same way, so this one exchange serves
+    # all three consumers (guide §2.4/§2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_partkey")
     p = src.load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     qlim = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * agg.exact_avg(F.col("l_quantity"), 2)).alias("qlim")
@@ -383,7 +384,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-conjunctions across both join sides. Catalyst
     derives the single-side residuals (brand/size on part, quantity 1-30 on
     lineitem) and pushes them below the broadcast join."""
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread the fact probe side (guide §2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     p = src.load_table(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
@@ -591,9 +593,8 @@ def x3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final summary pass: ONE assignment expression yields cluster AND its
     # distance (with_distance) — not a second k x dim distance computation
     # over an already-labeled row (that double pass cost ~2.5 s at sf0.1)
-    n_part = spark.sparkContext.defaultParallelism
     assigned = clustering.assign_clusters(
-        emb.repartition(n_part), "embedding", cents, with_distance=True
+        src.spread(emb, "vec_id"), "embedding", cents, with_distance=True
     )
     return (
         assigned.groupBy("cluster")
@@ -619,9 +620,8 @@ def x3_kmeans_df_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = src.load_table(spark, sf_dir, "embeddings")
     _, cents_df = clustering.kmeans_df(emb, k=8, max_iters=5, round_decimals=6)
-    n_part = spark.sparkContext.defaultParallelism
     assigned = clustering.assign_clusters_join(
-        emb.repartition(n_part).select("vec_id", "embedding"),
+        src.spread(emb.select("vec_id", "embedding"), "vec_id"),
         "embedding",
         cents_df,
         "vec_id",
@@ -653,8 +653,9 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, list]
         from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
 
         path = tempfile.mkdtemp(prefix="pq_index_")
-        n_part = spark.sparkContext.defaultParallelism
-        emb = src.load_table(spark, sf_dir, "embeddings").repartition(n_part).persist()
+        emb = src.spread(
+            src.load_table(spark, sf_dir, "embeddings"), "vec_id"
+        ).persist()
         try:
             books = clustering.pq_build_index(
                 emb, path, m=4, k=16, max_iters=2, train_fraction=0.2,
@@ -705,8 +706,9 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, li
         from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
 
         path = tempfile.mkdtemp(prefix="ivfpq_index_")
-        n_part = spark.sparkContext.defaultParallelism
-        emb = src.load_table(spark, sf_dir, "embeddings").repartition(n_part).persist()
+        emb = src.spread(
+            src.load_table(spark, sf_dir, "embeddings"), "vec_id"
+        ).persist()
         try:
             books = clustering.build_ivfpq_index(
                 emb, path, m=4, k=16, max_iters=2, train_fraction=0.2,

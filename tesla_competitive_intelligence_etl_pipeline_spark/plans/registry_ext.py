@@ -70,7 +70,12 @@ def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-1: exact dedup by content hash over a simulated re-crawl (every doc
     appears twice under different ids); survivor = lowest id."""
     docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    # r13: spread AFTER the union (one exchange, not one per branch) so the
+    # normalize+md5 map side runs across cores (guide §2.5)
+    recrawl = src.spread(
+        docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000)),
+        "doc_id",
+    )
     return dd.exact_dedup(recrawl)
 
 
@@ -928,7 +933,8 @@ def x5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5b: quality scoring from length/diversity/cleanliness features."""
-    docs = src.load_table(spark, sf_dir, "documents")
+    # r13: regex-heavy per-row features — spread across cores (guide §2.5)
+    docs = src.spread(src.load_table(spark, sf_dir, "documents"), "doc_id")
     feats = tx.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1006,7 +1012,8 @@ def x6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand-based distinct plan and the sketch aggregates then process the
     expanded (N x groups) input — measured 15.35 s combined vs
     0.66 s + 1.02 s split at sf 0.1. The cross join is 1 row x 1 row."""
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread — both 1-row aggregations'"'"' partial phases run wide (§2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_partkey")
     sketches = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("a_p50"),
@@ -1042,7 +1049,8 @@ def x6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x6_exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-6b: exact twins of the sketches (count distinct + interpolated
     percentiles)."""
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread — the partial distinct/percentile phases run wide (§2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_partkey")
     return li.agg(
         F.count_distinct("l_partkey").alias("n_parts"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
@@ -1166,7 +1174,9 @@ def x7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-7b: full cube over two dimensions."""
-    o = src.load_table(spark, sf_dir, "orders")
+    # r13: spread the fact side — the dim broadcast-join probe and the
+    # cube's partial aggregation then run across cores (guide §2.5)
+    o = src.spread(src.load_table(spark, sf_dir, "orders"), "o_orderkey")
     c = src.load_table(spark, sf_dir, "customer")
     joined = o.join(c, c.c_custkey == o.o_custkey)
     return joined.cube("c_mktsegment", "o_orderstatus").agg(
@@ -1186,7 +1196,8 @@ def x7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-7c: explicit grouping sets via Spark SQL."""
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread the expand+partial-agg input across cores (guide §2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     li.createOrReplaceTempView("__gs_lineitem")
     return spark.sql(
         """
@@ -1216,7 +1227,8 @@ def x7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x8_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-8a: QoQ-style deltas — lag over event order per key (the natural
     extension of LIM-1, SURVEY §2.9)."""
-    o = src.load_table(spark, sf_dir, "orders")
+    # r13: spread keyed on the window partition key — exchange reused
+    o = src.spread(src.load_table(spark, sf_dir, "orders"), "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
     prev = F.lag("o_totalprice").over(w)
     return o.select(
@@ -1262,7 +1274,8 @@ def x8_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x8_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-8c: explicit frame spec — running total (exact decimal accumulation
     inside the frame so engines agree)."""
-    o = src.load_table(spark, sf_dir, "orders")
+    # r13: spread keyed on the window partition key — exchange reused
+    o = src.spread(src.load_table(spark, sf_dir, "orders"), "o_custkey")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
@@ -1352,7 +1365,9 @@ def evt_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (an event at exactly start+gap joins the session; pinned in
     test_streaming.py::test_session_gap_boundary_matches_session_window),
     so batch, streaming, and oracle agree on boundary-straddling gaps."""
-    ev = src.load_events(spark, sf_dir)
+    # r13: spread keyed on the session key — both windows and the final
+    # groupBy share this one exchange (guide §2.4/§2.5)
+    ev = src.spread(src.load_events(spark, sf_dir), "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 1800 * 1_000_000
     flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(

@@ -55,7 +55,8 @@ from tesla_competitive_intelligence_etl_pipeline_spark.sources import seed as se
 def fn_date_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FN-1 multi-format date parse (reference _parse_date transform.py:141-166)
     exercised over all four accepted shapes, derived from o_orderdate."""
-    orders = src.load_table(spark, sf_dir, "orders")
+    # r13: per-row multi-format parse — spread across cores (guide §2.5)
+    orders = src.spread(src.load_table(spark, sf_dir, "orders"), "o_orderkey")
     d = F.col("o_orderdate").cast("date")
     raw = (
         F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "yyyy-MM-dd"))
@@ -198,7 +199,8 @@ def fn_tolerance_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FN-9 tolerance compare (reference transform.py:245-259): relative 0.1%
     (revenue rule) and absolute 0.01 (eps rule) over actual-vs-stated totals."""
     orders = src.load_table(spark, sf_dir, "orders")
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread keyed on the grouping key — groupBy reuses it (§2.4/§2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     actual = li.groupBy("l_orderkey").agg(
         agg.exact_sum(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))

@@ -98,7 +98,8 @@ def _lexicon_values() -> str:
 def x5_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5e: sentiment via broadcast lexicon join — explode tokens, join the
     tiny lexicon (broadcast: the corpus never shuffles), sum scores per doc."""
-    docs = src.load_table(spark, sf_dir, "documents")
+    # r13: tokenize map side spread across cores (guide §2.5)
+    docs = src.spread(src.load_table(spark, sf_dir, "documents"), "doc_id")
     lex = spark.createDataFrame(SENTIMENT_LEXICON, "tok string, score int")
     toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
     scored = (
@@ -149,7 +150,8 @@ def x5_per_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan + conjunctive pushdown filter + one agg."""
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread the decimal aggregation across cores (guide §2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01")
@@ -175,7 +177,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional counts by category."""
     o = src.load_table(spark, sf_dir, "orders")
-    li = src.load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1997-01-01")
+    # r13: spread the fact probe side (guide §2.5)
+    li = src.spread(
+        src.load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") >= "1997-01-01"
+        ),
+        "l_orderkey",
+    )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
@@ -227,7 +235,10 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: groupBy + HAVING threshold, joined back to orders."""
-    li = src.load_table(spark, sf_dir, "lineitem")
+    # r13: spread keyed on the GROUPING key, so the aggregation REUSES this
+    # exchange (guide §2.4) — the single-task scan now only hashes rows out
+    # instead of running the whole decimal aggregation alone (guide §2.5)
+    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     big = (
         li.groupBy("l_orderkey")
         .agg(agg.exact_sum(F.col("l_quantity"), 2).alias("total_qty"))

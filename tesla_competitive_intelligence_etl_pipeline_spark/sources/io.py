@@ -112,6 +112,42 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(load_table(spark, sf_dir, "events"))
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-ADAPTIVE compute spread (r13 — guide §2.5 "input skew: one huge
+    unsplittable file … repartition immediately after the read"): the driver
+    testdata tables are ONE parquet file with ONE row group, so every
+    scan(+partial-aggregate/join-probe) stage runs as a SINGLE task no
+    matter how `spark.sql.files.maxPartitionBytes` is set — Spark can only
+    split parquet at row-group boundaries. Heavy per-row work downstream of
+    such a scan (exact-decimal aggregation, text normalization) is then
+    single-threaded on a 32-core box.
+
+    This helper hash-repartitions to ``defaultParallelism`` ONLY when the
+    plan's actual scan parallelism is below it. At production scale the scan
+    has hundreds-to-thousands of splits, the condition is false, and the
+    helper is a no-op costing one driver-side partition-count lookup — the
+    repartition is never a constant baked for local mode (the driver's
+    lower-core bench re-evaluates ``defaultParallelism`` and the condition).
+
+    ``keys`` MUST be deterministic, reasonably high-cardinality columns
+    (a natural key): hash partitioning on them avoids the local
+    sort-before-repartition a keyless round-robin pays
+    (``spark.sql.execution.sortBeforeRepartition``, guide §2.5), and when a
+    downstream groupBy/window/join is keyed the SAME way the exchange is
+    REUSED — the spread replaces the aggregation's own shuffle instead of
+    adding one. Results are unchanged for the engine's query shapes: exact
+    aggregates use order-independent decimal accumulators, and
+    windows/sorts establish their own order."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    # .rdd here only PLANS the query to read its partitioning — no job runs
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def write_json_bronze(df: DataFrame, path: str, partition_col: str = "ticker") -> None:
     """SNK-1: raw payload bronze layer (reference extract.py:104-107 writes
     data/raw/{ticker}_*.json; here partitioned JSON, prunable by ticker)."""
