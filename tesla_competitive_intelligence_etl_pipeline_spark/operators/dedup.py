@@ -261,10 +261,17 @@ def minhash_lsh_pairs(
             .filter(F.col("__bsz") > max_bucket_size)
             .select("band", "bucket")
         )
-        banded = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+        # r13: cap the LEFT side only — a pair needs both endpoints in the
+        # bucket, so emptying one side of an oversized bucket kills every
+        # pair from it; the candidate set is IDENTICAL to capping both
+        # sides, and the plan drops one whole aggregate+anti-join subtree
+        # (the old both-sides cap was re-derived once per self-join side).
+        left_banded = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+    else:
+        left_banded = banded
 
     candidates = (
-        banded.alias("l")
+        left_banded.alias("l")
         .join(
             banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
@@ -352,9 +359,22 @@ def connected_components(
     contracts paths in O(log n) rounds) — same per-round shuffle shape.
     ``reliable=True`` swaps the per-round localCheckpoint for a reliable
     checkpoint (see _truncate_lineage / DEPLOYMENT.md § Checkpointing)."""
+    # r13 (guide §1.2 step 1 — don't compute things twice): symmetrize by
+    # EXPLODING each edge into its two directions instead of a self-union.
+    # The union form scanned the (usually expensive, un-cached) upstream pair
+    # plan once PER BRANCH — for near_dup_clusters that re-ran the entire
+    # LSH candidate+verify pipeline a second time just to flip the columns.
+    # The explode evaluates the upstream exactly once; rows are identical.
     sym = (
-        edges.select(F.col("src"), F.col("dst"))
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .persist()
     )
@@ -1270,14 +1290,15 @@ def semantic_dedup(
             )
         ).alias("__n"),
     )
+    # slim is read twice by the pair self-join (a and b) and a third time by
+    # the capped path's size census; lineage truncation materializes the
+    # scan + assignment + norm ONCE instead of re-running them per consumer
+    # (code review r5; r13 extends it to the uncapped path, which re-ran the
+    # whole assignment per join side — guide §1.2 step 1). Blocks live until
+    # the checkpointed RDD is GC'd (the returned plan holds a reference);
+    # ``reliable=True`` survives executor decommissioning (_truncate_lineage).
+    slim = _truncate_lineage(slim, reliable)
     if max_cluster_size is not None:
-        # the capped path reads slim THREE times (size census + both pair
-        # sides); eager lineage truncation materializes the scan +
-        # assignment + norm once instead of re-running them per consumer
-        # (code review r5). Blocks live until the checkpointed RDD is
-        # GC'd (the returned plan holds a reference); ``reliable=True``
-        # survives executor decommissioning (see _truncate_lineage).
-        slim = _truncate_lineage(slim, reliable)
         over = (
             slim.groupBy("cluster")
             .agg(F.count("*").alias("__csz"))
