@@ -210,9 +210,11 @@ def minhash_lsh_pairs(
     enabling a cap, measure what it would drop with
     ``lsh_oversized_buckets`` (same banding, same HAVING aggregate).
 
-    Storage contract: the signature (and, when capped, band) tables are
-    persisted because the RETURNED lazy plan reads them from multiple
-    branches — they cannot be released here without forfeiting the sharing.
+    Storage contract: the signature table is persisted because the RETURNED
+    lazy plan reads it from multiple branches (banding + both verification
+    sides) — it cannot be released here without forfeiting the sharing.
+    (r13: the band table is no longer persisted — the capped path consumes
+    it exactly once via the groupBy pair expansion.)
     The caller owns the cleanup once done with the result
     (``spark.catalog.clearCache()`` or unpersisting, as bench.py does after
     every query); long-lived sessions that skip it accumulate storage.
@@ -242,45 +244,62 @@ def minhash_lsh_pairs(
     ).select("doc_id", "bb.band", "bb.bucket")
 
     if max_bucket_size is not None:
-        # oversized-bucket list is computed as a tiny partial-aggregable
-        # groupBy (HAVING count > cap) and removed with a broadcast ANTI
-        # join — map-side for the corpus. (A window count over (band,bucket)
-        # would be the "shared shuffle" formulation, but a windowed df on
-        # both sides of a self-join defeats Spark's exchange reuse and
-        # measured 30x slower at sf0.1; the anti-join form keeps the
-        # self-join plan untouched.) Oversized buckets are few by
-        # construction: they only arise from identical/boilerplate blocks.
-        # banded is persisted because three passes read it (the bucket-size
-        # aggregate plus both self-join sides); it is only (doc_id, band,
-        # bucket) — 24 bytes/row — so the footprint is far below the shingle
-        # arrays the sigs persist already holds.
-        banded = banded.persist()
-        over = (
+        # CAPPED path (r13 — guide §2.4 "remove shuffles outright"): the cap
+        # bounds every bucket's membership list, so candidate pairs can be
+        # expanded IN-ROW from one groupBy instead of the pre-r13
+        # [bucket-size aggregate + broadcast anti-join + banded self-join]
+        # — one shuffle of (band, bucket, doc_id) and zero cache/broadcast
+        # where the old plan paid a persist, a second aggregate, a
+        # broadcast build, and the join. The size filter IS the cap (the
+        # old HAVING > cap anti-join, same buckets dropped); the sorted
+        # list makes doc_a < doc_b by construction. Safe ONLY capped: an
+        # uncapped boilerplate bucket would collect an unbounded array
+        # (10k docs = 10^8 in-row pairs), which is exactly the blowup the
+        # self-join form spreads across tasks — so the uncapped branch
+        # keeps the join.
+        grouped = (
             banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket_size)
-            .select("band", "bucket")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("__ds"))
+            .filter(
+                (F.size("__ds") >= 2) & (F.size("__ds") <= max_bucket_size)
+            )
         )
-        # r13: cap the LEFT side only — a pair needs both endpoints in the
-        # bucket, so emptying one side of an oversized bucket kills every
-        # pair from it; the candidate set is IDENTICAL to capping both
-        # sides, and the plan drops one whole aggregate+anti-join subtree
-        # (the old both-sides cap was re-derived once per self-join side).
-        left_banded = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+        candidates = (
+            grouped.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "__ds",
+                            lambda a, i: F.transform(
+                                F.slice(
+                                    F.col("__ds"), i + 2, F.size("__ds") - i - 1
+                                ),
+                                lambda b: F.struct(
+                                    a.alias("doc_a"), b.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("__p")
+            )
+            .select("__p.doc_a", "__p.doc_b")
+            .distinct()
+        )
     else:
-        left_banded = banded
-
-    candidates = (
-        left_banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        # UNCAPPED: quadratic buckets are possible by contract, so pairs
+        # come from the distributed self-join (oversized buckets fan out
+        # across tasks instead of materializing in one row)
+        candidates = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+            .distinct()
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
 
     sh = sigs.select("doc_id", "sh")
     verified = (
