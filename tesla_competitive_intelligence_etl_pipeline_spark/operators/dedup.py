@@ -996,6 +996,65 @@ def _band_explode(sigs: DataFrame, num_hashes: int, bands: int, *keep: str) -> D
     ).select(*keep, "doc_id", "bb.band", "bb.bucket")
 
 
+def _cross_band_pairs_capped(
+    both: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """Cross-side candidate pairs from capped LSH buckets, expanded IN-ROW
+    from one groupBy (r13 — guide §2.4 "remove shuffles outright", same
+    move as minhash_lsh_pairs' capped path). ``both`` carries one row per
+    (band, bucket) membership: (band, bucket, __side, __id) with __side=1
+    for the new/query corpus and __side=0 for the existing corpus.
+
+    The cap is judged on the COMBINED bucket population — exactly the
+    buckets the pre-r13 plan dropped via [census aggregate + broadcast
+    build + two anti-joins] before its cross-side band join — and a
+    surviving bucket holds at most cap members, so the new x old expansion
+    is bounded at (cap/2)^2 structs per row. One shuffle of
+    (band, bucket, side, id) replaces the census shuffle, the broadcast,
+    both anti-joins, AND the cross-side join's shuffle of both band
+    tables. Safe ONLY capped: an uncapped boilerplate bucket would
+    collect an unbounded array — uncapped callers keep the join form.
+    collect_list skips the NULLs the other side's ``when`` produces, and
+    the emitted pair SET is order-independent, so list order (which is
+    nondeterministic) cannot affect results."""
+    grouped = (
+        both.groupBy("band", "bucket")
+        .agg(
+            F.collect_list(
+                F.when(F.col("__side") == 1, F.col("__id"))
+            ).alias("__new"),
+            F.collect_list(
+                F.when(F.col("__side") == 0, F.col("__id"))
+            ).alias("__old"),
+            F.count("*").alias("__bsz"),
+        )
+        .filter(
+            (F.col("__bsz") <= max_bucket_size)
+            & (F.size("__new") >= 1)
+            & (F.size("__old") >= 1)
+        )
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "__new",
+                        lambda a: F.transform(
+                            "__old",
+                            lambda b: F.struct(
+                                a.alias("doc_id"), b.alias("match_id")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p")
+        )
+        .select("__p.doc_id", "__p.match_id")
+        .distinct()
+    )
+
+
 def cross_corpus_neardup_indexed(
     new_docs: DataFrame,
     spark,
@@ -1041,25 +1100,23 @@ def cross_corpus_neardup_indexed(
     )
     if max_bucket_size is not None:
         # cap judged on the COMBINED bucket population (mirrors the tagged-
-        # union operator): an oversized boilerplate bucket blows up the join
-        # whichever side its members sit on
-        both = new_band.select("band", "bucket").unionAll(
-            old_band.select("band", "bucket")
+        # union operator); r13: candidates expand in-row from one groupBy
+        # over the tagged union — see _cross_band_pairs_capped
+        both = new_band.select(
+            "band", "bucket", F.lit(1).alias("__side"), F.col("doc_id").alias("__id")
+        ).unionAll(
+            old_band.select(
+                "band", "bucket", F.lit(0).alias("__side"),
+                F.col("match_id").alias("__id"),
+            )
         )
-        over = (
-            both.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket_size)
-            .select("band", "bucket")
+        candidates = _cross_band_pairs_capped(both, max_bucket_size)
+    else:
+        candidates = (
+            new_band.join(old_band, ["band", "bucket"])  # cross-side ONLY
+            .select("doc_id", "match_id")
+            .distinct()
         )
-        new_band = new_band.join(F.broadcast(over), ["band", "bucket"], "left_anti")
-        old_band = old_band.join(F.broadcast(over), ["band", "bucket"], "left_anti")
-
-    candidates = (
-        new_band.join(old_band, ["band", "bucket"])  # cross-side ONLY
-        .select("doc_id", "match_id")
-        .distinct()
-    )
     sh_new = new_sigs.select("doc_id", F.col("sh").alias("sh_a"))
     sh_old = old_sigs.select(F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b"))
     return (
@@ -1108,23 +1165,23 @@ def cross_corpus_neardup_indexed_portable(
         "doc_id", "match_id"
     )
     if max_bucket_size is not None:
-        both = new_band.select("band", "bucket").unionAll(
-            old_band.select("band", "bucket")
+        # r13: in-row expansion from one groupBy over the tagged union —
+        # see _cross_band_pairs_capped (identical candidate set)
+        both = new_band.select(
+            "band", "bucket", F.lit(1).alias("__side"), F.col("doc_id").alias("__id")
+        ).unionAll(
+            old_band.select(
+                "band", "bucket", F.lit(0).alias("__side"),
+                F.col("match_id").alias("__id"),
+            )
         )
-        over = (
-            both.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket_size)
-            .select("band", "bucket")
+        candidates = _cross_band_pairs_capped(both, max_bucket_size)
+    else:
+        candidates = (
+            new_band.join(old_band, ["band", "bucket"])  # cross-side ONLY
+            .select("doc_id", "match_id")
+            .distinct()
         )
-        new_band = new_band.join(F.broadcast(over), ["band", "bucket"], "left_anti")
-        old_band = old_band.join(F.broadcast(over), ["band", "bucket"], "left_anti")
-
-    candidates = (
-        new_band.join(old_band, ["band", "bucket"])  # cross-side ONLY
-        .select("doc_id", "match_id")
-        .distinct()
-    )
     sh_new = new_sigs.select("doc_id", F.col("sh").alias("sh_a"))
     sh_old = old_sigs.select(F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b"))
     return (
@@ -1200,26 +1257,28 @@ def cross_corpus_neardup(
         ).alias("bb"),
     ).select("__side", "doc_id", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        banded = banded.persist()
-        over = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket_size)
-            .select("band", "bucket")
+        # r13: banded already carries the side tag, so the capped
+        # candidates expand in-row from ONE groupBy consuming banded once
+        # — no persist, no census aggregate, no broadcast anti-join, no
+        # cross-side join (see _cross_band_pairs_capped; identical set)
+        candidates = _cross_band_pairs_capped(
+            banded.select(
+                "band", "bucket", "__side", F.col("doc_id").alias("__id")
+            ),
+            max_bucket_size,
         )
-        banded = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
-
-    new_side = banded.filter(F.col("__side") == 1).select(
-        F.col("doc_id").alias("doc_id"), "band", "bucket"
-    )
-    old_side = banded.filter(F.col("__side") == 0).select(
-        F.col("doc_id").alias("match_id"), "band", "bucket"
-    )
-    candidates = (
-        new_side.join(old_side, ["band", "bucket"])  # cross-side ONLY
-        .select("doc_id", "match_id")
-        .distinct()
-    )
+    else:
+        new_side = banded.filter(F.col("__side") == 1).select(
+            F.col("doc_id").alias("doc_id"), "band", "bucket"
+        )
+        old_side = banded.filter(F.col("__side") == 0).select(
+            F.col("doc_id").alias("match_id"), "band", "bucket"
+        )
+        candidates = (
+            new_side.join(old_side, ["band", "bucket"])  # cross-side ONLY
+            .select("doc_id", "match_id")
+            .distinct()
+        )
     sh_new = sigs.filter(F.col("__side") == 1).select("doc_id", F.col("sh").alias("sh_a"))
     sh_old = sigs.filter(F.col("__side") == 0).select(
         F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b")

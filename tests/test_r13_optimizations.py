@@ -144,6 +144,52 @@ def test_minhash_signature_empty_array_contract(spark):
     assert list(row["s"]) == [None, None, None, None]
 
 
+def test_cross_corpus_capped_inrow_expansion(spark, tmp_path):
+    """r13: the capped cross-corpus paths expand candidates in-row from one
+    groupBy (see dd._cross_band_pairs_capped) instead of the census +
+    broadcast-anti-join + cross-side-join plan. Semantics pinned: a bucket
+    whose COMBINED population exceeds the cap contributes no pairs (the six
+    identical docs split 3/3 across sides land in one 6-member bucket per
+    band, all over cap=4), while under-cap cross-side near-dups still pair;
+    within-side pairs never appear. All three capped operators must agree."""
+    base = " ".join(f"tok{j}" for j in range(40))
+    other = " ".join(f"w{j}" for j in range(40))
+    new = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (10, other + " tail")],
+        "doc_id long, text string",
+    )
+    old = spark.createDataFrame(
+        [(101, base), (102, base), (103, base), (110, other)],
+        "doc_id long, text string",
+    )
+
+    def pairs(df):
+        return sorted((r.doc_id, r.match_id) for r in df.collect())
+
+    capped = pairs(dd.cross_corpus_neardup(new, old, threshold=0.5, max_bucket_size=4))
+    assert capped == [(10, 110)]
+    uncapped = pairs(dd.cross_corpus_neardup(new, old, threshold=0.5))
+    assert uncapped == sorted(
+        [(a, b) for a in (1, 2, 3) for b in (101, 102, 103)] + [(10, 110)]
+    )
+
+    sig_path = str(tmp_path / "sigs")
+    dd.write_signature_table(old, sig_path)
+    assert pairs(
+        dd.cross_corpus_neardup_indexed(
+            new, spark, sig_path, threshold=0.5, max_bucket_size=4
+        )
+    ) == [(10, 110)]
+
+    psig_path = str(tmp_path / "psigs")
+    dd.write_signature_table_portable(old, psig_path)
+    assert pairs(
+        dd.cross_corpus_neardup_indexed_portable(
+            new, spark, psig_path, threshold=0.5, max_bucket_size=4
+        )
+    ) == [(10, 110)]
+
+
 def test_connected_components_touched_only_iteration(spark):
     """r13: the label loop iterates only edge-touched vertices; singletons
     re-attach via the final left join. Mixed graph with a majority of
