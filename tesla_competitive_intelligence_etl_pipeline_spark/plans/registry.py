@@ -66,9 +66,14 @@ def _dsum(expr: str, scale: int = 6) -> str:
 )
 def flagship_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = src.load_table(spark, sf_dir, "customer")
-    # r13: spread keyed on the grouping key — the groupBy reuses this
-    # exchange (guide §2.4/§2.5); scale-adaptive no-op on split-rich inputs
-    orders = src.spread(src.load_table(spark, sf_dir, "orders"), "o_custkey")
+    # r13 (revised): an earlier spread(orders, o_custkey) here measured
+    # SLOWER warm — the map side is a cheap count+sum, so the keyed
+    # exchange shipped every raw order row where map-side partial
+    # aggregation previously collapsed them before the shuffle
+    # (guide §2.3 "aggregate before you shuffle" beats §2.5 spreading
+    # when per-row work is light). Interleaved A/B: 0.48 -> 0.60 s warm
+    # with the spread; reverted.
+    orders = src.load_table(spark, sf_dir, "orders")
     nation = src.load_table(spark, sf_dir, "nation")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("*").alias("order_cnt"),

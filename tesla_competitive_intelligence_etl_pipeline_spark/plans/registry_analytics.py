@@ -77,12 +77,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> top-k by revenue."""
     c = src.load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = src.load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
-    # r13: spread the fact probe side of the broadcast joins (guide §2.5)
-    l = src.spread(
-        src.load_table(spark, sf_dir, "lineitem").filter(
-            F.col("l_shipdate") > "1995-03-15"
-        ),
-        "l_orderkey",
+    # r13 (revised): an earlier spread of this probe side measured SLOWER
+    # warm — the probe's per-row work (one broadcast lookup + one product)
+    # is far cheaper than shuffling the filtered fact rows, and the
+    # groupBy's own exchange already spreads the aggregation
+    # (guide §2.3 over §2.5 when map work is light). Reverted.
+    l = src.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -121,8 +122,10 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = src.load_table(spark, sf_dir, "nation")
     c = src.load_table(spark, sf_dir, "customer")
     o = src.load_table(spark, sf_dir, "orders")
-    # r13: spread the fact side of the snowflake join (guide §2.5)
-    l = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    # r13 (revised): an earlier spread of the fact side measured SLOWER
+    # warm (0.58 -> 0.67 s interleaved A/B) — cheap probe-side map work,
+    # so the extra exchange of raw fact rows dominates. Reverted.
+    l = src.load_table(spark, sf_dir, "lineitem")
     s = src.load_table(spark, sf_dir, "supplier")
     return (
         F.broadcast(r)

@@ -1620,12 +1620,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade volume — two broadcast nation dims
     with an inequality between them, per-year revenue."""
     s = src.load_table(spark, sf_dir, "supplier")
-    # r13: spread the fact probe side (guide §2.5)
-    li = src.spread(
-        src.load_table(spark, sf_dir, "lineitem").filter(
-            F.col("l_shipdate").between("1996-01-01", "1997-12-31")
-        ),
-        "l_orderkey",
+    # r13 (revised): probe-side spread measured SLOWER warm across this
+    # shape class (tpch_suite +24% interleaved A/B) — cheap probe map
+    # work, extra raw-row exchange. Reverted (guide §2.3 over §2.5).
+    li = src.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
     )
     o = src.load_table(spark, sf_dir, "orders")
     c = src.load_table(spark, sf_dir, "customer")
@@ -1671,12 +1670,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = src.load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
     )
-    # r13: spread the fact probe side (guide §2.5)
-    li = src.spread(
-        src.load_table(spark, sf_dir, "lineitem").filter(
-            F.col("l_returnflag") == "R"
-        ),
-        "l_orderkey",
+    # r13 (revised): probe-side spread measured SLOWER warm (tpch_suite
+    # +24% interleaved A/B) — reverted, see q7 note.
+    li = src.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
     )
     n = src.load_table(spark, sf_dir, "nation")
     return (
@@ -1726,8 +1723,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims broadcast, one groupBy on year with two exact-decimal sums divided
     in double space (reference parity: numeric discipline of
     transform.py:184-186)."""
-    # r13: spread the fact probe side (guide §2.5)
-    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    # r13 (revised): probe-side spread measured SLOWER warm (tpch_suite
+    # +24% interleaved A/B) — reverted, see q7 note.
+    li = src.load_table(spark, sf_dir, "lineitem")
     p = src.load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     s = src.load_table(spark, sf_dir, "supplier")
     o = src.load_table(spark, sf_dir, "orders").filter(

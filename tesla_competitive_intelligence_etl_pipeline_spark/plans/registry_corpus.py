@@ -384,8 +384,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-conjunctions across both join sides. Catalyst
     derives the single-side residuals (brand/size on part, quantity 1-30 on
     lineitem) and pushes them below the broadcast join."""
-    # r13: spread the fact probe side (guide §2.5)
-    li = src.spread(src.load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    # r13 (revised): probe-side spread measured SLOWER warm (tpch_suite
+    # +24% interleaved A/B) — reverted (guide §2.3 over §2.5).
+    li = src.load_table(spark, sf_dir, "lineitem")
     p = src.load_table(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731

@@ -70,12 +70,11 @@ def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-1: exact dedup by content hash over a simulated re-crawl (every doc
     appears twice under different ids); survivor = lowest id."""
     docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # r13: spread AFTER the union (one exchange, not one per branch) so the
-    # normalize+md5 map side runs across cores (guide §2.5)
-    recrawl = src.spread(
-        docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000)),
-        "doc_id",
-    )
+    # r13 (revised): an earlier spread here measured SLOWER (0.39 -> 0.67 s)
+    # — it shuffled the full TEXT payload to parallelize a cheap
+    # normalize+md5 whose groupBy exchange ships only the md5 keys
+    # (guide §2.3 / §8: shuffle keys and metadata, not payloads). Reverted.
+    recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
     return dd.exact_dedup(recrawl)
 
 

@@ -177,12 +177,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional counts by category."""
     o = src.load_table(spark, sf_dir, "orders")
-    # r13: spread the fact probe side (guide §2.5)
-    li = src.spread(
-        src.load_table(spark, sf_dir, "lineitem").filter(
-            F.col("l_shipdate") >= "1997-01-01"
-        ),
-        "l_orderkey",
+    # r13 (revised): probe-side spread measured SLOWER warm (tpch_suite
+    # +24% interleaved A/B) — cheap probe map work, extra raw-row
+    # exchange. Reverted (guide §2.3 over §2.5).
+    li = src.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1997-01-01"
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
