@@ -274,6 +274,19 @@ def main() -> None:
 
     load_after = round(os.getloadavg()[0], 2)
 
+    # Scaling-contract evidence (r14 — VERDICT r13 item 1, the
+    # suspect_cpus_ignored flag): stamp the ACTUAL master, the JVM's
+    # defaultParallelism, and the effective shuffle-partition count (read
+    # AFTER the queries ran, i.e. post-_configure) into both artifacts, so
+    # the driver's lower-core twin run PROVES $SPARK_GRAFT_CPUS reached the
+    # JVM instead of leaving it to code reading.
+    exec_env = {
+        "cpus_env": int(cpus),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+    }
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # The stdout contract is ONE SMALL json line (the driver's capture
     # truncated the full 160-query dict in round 3 — VERDICT r3 item 3):
@@ -301,6 +314,7 @@ def main() -> None:
         "loadavg_after": load_after,
         "waited_for_idle_sec": waited_for_idle_sec,
         "contaminated": contaminated,
+        **exec_env,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Artifact hygiene (VERDICT r7 item 4): the committed BENCH_DETAIL.json
@@ -334,6 +348,7 @@ def main() -> None:
                 "loadavg_before": load_before,
                 "loadavg_after": load_after,
                 "contaminated": contaminated,
+                **exec_env,
                 "detail_file": detail_name,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -349,7 +349,38 @@ def kmeans_df(
                 stacklevel=2,
             )
         for _ in range(max_iters):
-            assigned = assign_clusters_join(slim, "__v", cents, id_col)
+            # Assignment WITHOUT the join-back (r14 — guide §1.2 step 1 /
+            # §2.4: one shuffle fewer per iteration): the update step only
+            # needs (cluster, __v), and __v is constant across the k
+            # broadcast-fanned rows of one id, so it rides INSIDE the argmin
+            # struct instead of being re-attached by the
+            # assign_clusters_join(slim)-back-to-slim join. The comparator
+            # is untouched — (s, j) is strictly ordered within an id group
+            # (one row per cluster), so the trailing __v field can never
+            # decide a min; assignments are bit-identical to
+            # assign_clusters_join (pinned in tests).
+            score = F.aggregate(
+                F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            assigned = (
+                slim.join(F.broadcast(cents))
+                .groupBy(id_col)
+                .agg(
+                    F.min(
+                        F.struct(
+                            score.alias("s"),
+                            F.col("cluster").alias("j"),
+                            F.col("__v").alias("v"),
+                        )
+                    ).alias("__best")
+                )
+                .select(
+                    F.col("__best").getField("j").alias("cluster"),
+                    F.col("__best").getField("v").alias("__v"),
+                )
+            )
             means = (
                 assigned.select(
                     "cluster", array_to_vector(F.col("__v")).alias("__vv")
@@ -363,32 +394,31 @@ def kmeans_df(
                     ).alias("new_c"),
                 )
             )
+            # The per-cluster squared shift is computed IN the same plan the
+            # checkpoint materializes (the old centroid is right there in
+            # the join) — the former dedicated old x new join per iteration
+            # is gone; the convergence probe below just max-reduces k
+            # checkpointed rows (r14, guide §1.2 step 1).
             new_cents = _truncate_lineage(
                 cents.join(means, "cluster", "left").select(
-                    "cluster", F.coalesce("new_c", "centroid").alias("centroid")
+                    "cluster",
+                    F.coalesce("new_c", "centroid").alias("centroid"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("centroid"),
+                            F.coalesce("new_c", "centroid"),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("__shift"),
                 ),
                 reliable,
             )
             # convergence: ONE scalar (max squared centroid shift) — the
             # only driver-bound data in the whole loop
-            shift = (
-                cents.alias("o")
-                .join(new_cents.alias("nw"), "cluster")
-                .select(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("o.centroid"),
-                            F.col("nw.centroid"),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d")
-                )
-                .agg(F.max("d").alias("m"))
-                .first()["m"]
-            )
-            cents = new_cents
+            shift = new_cents.agg(F.max("__shift").alias("m")).first()["m"]
+            cents = new_cents.select("cluster", "centroid")
             if shift < tol:
                 break
     finally:
@@ -1312,13 +1342,22 @@ def ivfpq_topk_batch(
         .withColumn("__adc", F.round(adc, 6))
         .withColumn("__sr", F.row_number().over(short_w))
         .filter(F.col("__sr") <= k * refine)
-        .select(query_id_col, id_col, query_vec_col)
+        # the candidate's cell rides along (r14 — VERDICT r13 item 6, guide
+        # §6 partition pruning): joining the refine scan on (cell, id)
+        # instead of id alone lets dynamic partition pruning cut the
+        # cell-partitioned vectors/ table to the shortlisted cells — the
+        # per-query path prunes via its isin() filter, but this batch path
+        # previously read EVERY cell's float vectors to refine a few
+        # hundred rows. Candidates are unchanged: codes and vectors carry
+        # the SAME cell for an id (both written from one assignment), so
+        # the extra equi-key drops nothing.
+        .select(query_id_col, cell_col, id_col, query_vec_col)
     )
     final_w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
     return (
-        vectors.join(F.broadcast(shortlist), id_col)
+        vectors.join(F.broadcast(shortlist), [cell_col, id_col])
         .select(
             F.col(query_id_col),
             F.col(id_col),

@@ -923,10 +923,22 @@ def x5_sentiment_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5e (sentiment via broadcast lexicon join — the corpus never
     shuffles for the lexicon) + X-5f (per-language mix report) rolled up to
     language granularity."""
-    # r13: tokenize map side spread across cores (guide §2.5)
-    docs = src.spread(src.load_table(spark, sf_dir, "documents"), "doc_id")
+    # r13: tokenize map side spread across cores (guide §2.5). r14 (guide
+    # §1.2 step 1 — don't compute it twice): tokenize ONCE below the spread
+    # exchange — the sentiment branch exploded tokens(text) while the final
+    # aggregate re-split the same text for token_count; projecting the token
+    # array (and dropping the raw text) before the shuffle lets BOTH
+    # branches reuse the one exchange AND the one tokenization, and ships
+    # no byte twice. total_tokens = size(__toks) is definitionally
+    # token_count (same split expression).
+    docs = src.spread(
+        src.load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", tx.tokens(F.col("text")).alias("__toks")
+        ),
+        "doc_id",
+    )
     lex = spark.createDataFrame(SENTIMENT_LEXICON, "tok string, score int")
-    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    toks = docs.select("doc_id", F.explode("__toks").alias("tok"))
     doc_sent = (
         toks.join(F.broadcast(lex), "tok")
         .groupBy("doc_id")
@@ -938,7 +950,7 @@ def x5_sentiment_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("bigint").alias("total_chars"),
-            F.sum(tx.token_count(F.col("text")).cast("decimal(38,0)"))
+            F.sum(F.size("__toks").cast("decimal(38,0)"))
             .cast("bigint")
             .alias("total_tokens"),
             F.sum(F.coalesce(F.col("sentiment"), F.lit(0))).cast("bigint").alias("total_sentiment"),

@@ -1,0 +1,142 @@
+"""Round-14 optimization regression tests.
+
+Covers the capped-LSH bucket-buffer guard (VERDICT r13 "What's wrong #1" +
+the three ADVICE r13 findings): over-cap buckets are dropped BEFORE any
+collect_list can buffer them, the cap is judged on COUNT(*) (NULL-id rows
+count — the pre-r13 census and DuckDB-oracle semantics), duplicate doc_id
+rows can no longer produce (id, id) self-pairs, and caller caps above
+``_IN_ROW_CAP_MAX`` fall back to the distributed self-join with identical
+results.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from tesla_competitive_intelligence_etl_pipeline_spark.operators import dedup as dd
+
+_TXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_capped_lsh_overcap_bucket_dropped_before_collect(spark):
+    # 6 identical docs -> one 6-member bucket per band; cap=5 drops them ALL
+    docs = _docs(spark, [(i, _TXT) for i in range(1, 7)])
+    capped = dd.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=5)
+    assert capped.count() == 0
+    # the guard is structural: the capped plan carries the census broadcast
+    # anti-join, so over-cap rows never reach the collect_list buffer
+    plan = _plan(capped)
+    assert "LeftAnti" in plan
+    assert "collect_list" in plan
+    # cap=6 keeps the bucket: all C(6,2)=15 pairs verify at jaccard 1.0
+    ok = dd.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=6)
+    rows = ok.collect()
+    assert len(rows) == 15
+    assert all(r["doc_a"] < r["doc_b"] and r["jaccard"] == 1.0 for r in rows)
+
+
+def test_capped_lsh_cap_counts_null_id_rows(spark):
+    # 5 real docs + 1 NULL-id row with the same text: COUNT(*)=6 > cap=5, so
+    # the bucket is dropped — the oracle's HAVING COUNT(*) semantics (ADVICE
+    # r13: the r13 size(collect_list) filter skipped NULLs and kept it)
+    docs = _docs(spark, [(i, _TXT) for i in range(1, 6)] + [(None, _TXT)])
+    assert dd.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=5).count() == 0
+    # at cap=6 the bucket survives; the NULL row itself cannot pair
+    rows = dd.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=6).collect()
+    assert len(rows) == 10  # C(5,2) among the real ids
+    assert all(r["doc_a"] is not None and r["doc_b"] is not None for r in rows)
+
+
+def test_capped_lsh_no_self_pairs_on_duplicate_ids(spark):
+    # duplicate doc_id rows sort adjacent in the in-row expansion and used
+    # to emit (id, id) pairs (ADVICE r13); the join form's strict < never did
+    docs = _docs(spark, [(1, _TXT), (1, _TXT), (2, _TXT)])
+    rows = dd.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=8).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+
+
+def test_capped_lsh_large_cap_falls_back_to_join_form(spark):
+    # a mixed corpus: one near-dup pair + unrelated docs
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words in this document body here"),
+            (4, "yet another unrelated text with its own token stream"),
+        ],
+    )
+    inrow = dd.minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=256)
+    big = dd.minhash_lsh_pairs(
+        docs, threshold=0.3, max_bucket_size=dd._IN_ROW_CAP_MAX + 1
+    )
+    # the big-cap plan is the distributed self-join (no in-row collect)
+    assert "collect_list" not in _plan(big)
+    assert "LeftAnti" in _plan(big)  # census guard still bounds the buckets
+    # no bucket here exceeds either cap, so the pair sets are identical
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])  # noqa: E731
+    assert sorted(map(key, inrow.collect())) == sorted(map(key, big.collect()))
+
+
+def test_ivfpq_batch_refine_vectors_scan_is_cell_pruned(spark, sf_dir, tmp_path):
+    # r14 (VERDICT r13 item 6): the batch refine step joins vectors/ on
+    # (cell, id) so dynamic partition pruning reaches the cell-partitioned
+    # VECTORS scan too — previously only codes/ was pruned and the refine
+    # read every cell's float vectors. Results are pinned against the
+    # per-query path by test_ivfpq_batch_plan_prunes_dynamically_and_broadcasts.
+    from pyspark.sql import functions as F
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import clustering
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    books = clustering.build_ivfpq_index(
+        emb, idx, m=4, k=16, max_iters=2, train_fraction=0.2, round_decimals=6
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = clustering.ivfpq_topk_batch(
+        spark, idx, queries, k=10, n_probe=2, refine=4, codebooks=books
+    )
+    plan = _plan(out)
+    # the vectors scan's own detail block must carry the pruning filter
+    blocks = plan.split("Location:")
+    vec_blocks = [b for b in blocks if "/vectors" in b.split("\n")[0]]
+    assert vec_blocks, "vectors scan missing from plan"
+    assert any("dynamicpruning" in b.lower() for b in vec_blocks), (
+        "vectors scan lost its dynamic partition pruning"
+    )
+
+
+def test_cross_capped_guard_drops_overcap_combined_bucket(spark):
+    # combined population 3 (2 new + 1 old identical docs) > cap=2 -> no
+    # pairs; the guard anti-join sits ahead of the conditional collects
+    new = _docs(spark, [(1, _TXT), (2, _TXT)])
+    old = _docs(spark, [(100, _TXT)])
+    capped = dd.cross_corpus_neardup(
+        new, old, threshold=0.1, max_bucket_size=2
+    )
+    assert capped.count() == 0
+    assert "LeftAnti" in _plan(capped)
+    # cap=3 keeps the bucket: each new doc matches the old one
+    ok = dd.cross_corpus_neardup(new, old, threshold=0.1, max_bucket_size=3)
+    assert {(r["doc_id"], r["match_id"]) for r in ok.collect()} == {
+        (1, 100),
+        (2, 100),
+    }
