@@ -208,6 +208,43 @@ def _capped_bucket_rows(banded: DataFrame, max_bucket_size: int) -> DataFrame:
     return banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
 
 
+def _capped_bucket_rows_shared(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """The SHARED-EXCHANGE form of the over-cap guard (r14): a COUNT(*)
+    window over (band, bucket) rides the very exchange the downstream pair
+    aggregation pays anyway — ONE evaluation of the band table and no extra
+    aggregate/broadcast stages. Three guard formulations were interleaved-
+    A/B'd on x2_minhash_lsh/x2_near_dedup_canonical/x2_cross_corpus_* at
+    sf0.1 (OPTIMIZATION_r14.md): this one costs the least on top of the r13
+    unguarded shape (the census + broadcast anti-join re-derives the band
+    rows — at production scale a second corpus-size pass over the
+    persisted/stored signatures — and adds two stages; an explicit
+    repartition + ReusedExchange census measured worst).
+
+    Memory contract (the point of the guard — VERDICT r13 "What's wrong"
+    #1): rows of a degenerate bucket DO reach the window's task, but
+    WindowExec buffers a partition group in an
+    ExternalAppendOnlyUnsafeRowArray that SPILLS to disk past
+    spark.sql.windowExec.buffer.spill.threshold (4096 rows) — bounded
+    memory, graceful degradation (guide §5) — and every AGGREGATION buffer
+    downstream of the filter is provably <= max_bucket_size entries. The
+    trade vs the census form: the census drops over-cap rows map-side
+    (never shuffles them) but pays its second pass + stages even when no
+    degenerate bucket exists; this form ships the (rare, 24-byte-row)
+    degenerate bucket to one task's disk and pays ~nothing otherwise. The
+    census form stays in use for the large-cap self-join fallback, where a
+    windowed frame on a self-join side defeats exchange reuse (the
+    measured-30x r12 lesson). COUNT(*) judges the cap — NULL-id rows
+    count, the pre-r13 census and DuckDB-oracle semantics (ADVICE r13)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -283,20 +320,22 @@ def minhash_lsh_pairs(
         # expanded IN-ROW from one groupBy instead of the pre-r13
         # [bucket-size census + broadcast anti-join + banded self-join +
         # distinct]. r14 (VERDICT r13 "What's wrong #1" — guide §5 memory):
-        # the census + broadcast anti-join GUARD returns, because the r13
+        # an over-cap GUARD returns ahead of the collect, because the r13
         # shape collected every bucket's full membership into one
         # aggregation buffer BEFORE the size filter — at 100 TB a degenerate
         # boilerplate bucket (10^7+ identical docs in one (band,bucket))
         # would materialize an unbounded array in a single
-        # ObjectHashAggregate buffer. With over-cap bucket rows anti-joined
-        # out FIRST, the collect_list buffer is provably <= cap entries.
-        # The census judges the cap on COUNT(*) — NULL-id rows count, which
-        # is both the pre-r13 semantics and what the DuckDB oracle's
+        # ObjectHashAggregate buffer. The guard is the shared-exchange
+        # COUNT(*) window (_capped_bucket_rows_shared — the cheapest of
+        # three measured formulations; see its docstring), so the
+        # collect_list buffer is provably <= cap entries and the cap is
+        # judged on COUNT(*) — NULL-id rows count, which is both the
+        # pre-r13 semantics and what the DuckDB oracle's
         # HAVING COUNT(*) <= cap computes (ADVICE r13). What stays removed
         # from the pre-r13 plan: the banded persist, the self-join, and the
         # join-side distinct — pairs still expand in-row from one groupBy.
         grouped = (
-            _capped_bucket_rows(banded, max_bucket_size)
+            _capped_bucket_rows_shared(banded, max_bucket_size)
             .groupBy("band", "bucket")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("__ds"))
             .filter(F.size("__ds") >= 2)
@@ -1070,19 +1109,20 @@ def _cross_band_pairs_capped(
     is bounded at (cap/2)^2 structs per row. One shuffle of
     (band, bucket, side, id) replaces the cross-side join's shuffle of
     both band tables and one of the two anti-joins. r14 (VERDICT r13
-    "What's wrong #1" — guide §5 memory): the census + ONE broadcast
-    anti-join guard returns ahead of the groupBy, because judging the cap
-    only AFTER collect_list buffered the whole bucket meant a degenerate
-    10^7-doc boilerplate bucket would materialize an unbounded array in a
-    single aggregation buffer at 100 TB scale; with over-cap rows
-    anti-joined out first, every buffer is provably <= cap entries.
+    "What's wrong #1" — guide §5 memory): an over-cap guard returns ahead
+    of the groupBy, because judging the cap only AFTER collect_list
+    buffered the whole bucket meant a degenerate 10^7-doc boilerplate
+    bucket would materialize an unbounded array in a single aggregation
+    buffer at 100 TB scale; the shared-exchange COUNT(*) window
+    (_capped_bucket_rows_shared) filters over-cap rows out first, so
+    every aggregation buffer is provably <= cap entries.
     Safe ONLY capped: an uncapped boilerplate bucket would still collect
     an unbounded array — uncapped callers keep the join form.
     collect_list skips the NULLs the other side's ``when`` produces, and
     the emitted pair SET is order-independent, so list order (which is
     nondeterministic) cannot affect results."""
     grouped = (
-        _capped_bucket_rows(both, max_bucket_size)
+        _capped_bucket_rows_shared(both, max_bucket_size)
         .groupBy("band", "bucket")
         .agg(
             F.collect_list(

@@ -881,6 +881,90 @@ def _utf8_byte_symbols(col: Column) -> Column:
     )
 
 
+def _assemble_token_ids_per_word(
+    words, lookup, vocab, byte_fallback: bool, id_col: str
+):
+    """Per-distinct-word token-id assembly (r14 — bpe_encode_ids'
+    ``assemble_per_word`` option): symbols explode and resolve ids over the
+    Heaps'-bounded (word -> sym) lookup instead of every occurrence; each
+    word's ordered id array is built once, the occurrence side joins one
+    (word -> ids) row, and the final per-doc groupBy collects n_words small
+    arrays instead of n_symbols structs. Ordering is bit-identical to the
+    per-occurrence form: the per-word array sorts by (spos[, bpos], tok_id)
+    — exactly the suffix of the per-occurrence (wpos, spos[, bpos], tok_id)
+    sort key — and the final assembly sorts by (wpos, ids) with wpos unique
+    per doc, then flattens (pinned in tests/test_r14_optimizations.py)."""
+    symtab = bpe_symbol_table(vocab, byte_fallback=byte_fallback)
+    wsyms = lookup.select(
+        "word", F.posexplode(F.split("sym", " ")).alias("__spos", "symbol")
+    )
+    wjoined = wsyms.join(symtab, "symbol", "left")
+    if byte_fallback:
+        # out-of-alphabet symbols expand to their UTF-8 byte tokens
+        # (<0xNN>, always in the extended table) instead of unk — the
+        # matched fast path keeps one row per symbol (__bpos 0); only the
+        # rare misses explode, then resolve ids through the same tiny
+        # broadcast table
+        matched = wjoined.filter(F.col("tok_id").isNotNull()).select(
+            "word", "__spos", F.lit(0).alias("__bpos"), F.col("tok_id")
+        )
+        unmatched = (
+            wjoined.filter(F.col("tok_id").isNull())
+            .select(
+                "word", "__spos",
+                F.posexplode(_utf8_byte_symbols(F.col("symbol"))).alias(
+                    "__bpos", "__bsym"
+                ),
+            )
+            .join(
+                symtab.select(
+                    F.col("symbol").alias("__bsym"),
+                    F.col("tok_id").alias("__btok"),
+                ),
+                "__bsym",
+                "left",
+            )
+            .select(
+                "word", "__spos", "__bpos", F.col("__btok").alias("tok_id")
+            )
+        )
+        wjoined = matched.unionByName(unmatched)
+        word_struct = F.struct(
+            "__spos", "__bpos",
+            F.coalesce(F.col("tok_id"), F.lit(-1).cast("long")).alias("tok_id"),
+        )
+    else:
+        word_struct = F.struct(
+            "__spos",
+            F.coalesce(F.col("tok_id"), F.lit(-1).cast("long")).alias("tok_id"),
+        )
+    wids = wjoined.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(word_struct)), lambda x: x["tok_id"]
+        ).alias("__ids")
+    )
+    return (
+        words.join(wids, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__wpos"), F.col("__ids")))
+            ).alias("__ws")
+        )
+        .select(
+            F.col(id_col),
+            F.flatten(F.transform("__ws", lambda x: x["__ids"])).alias(
+                "token_ids"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def bpe_encode_ids(
     docs,
     vocab,
@@ -890,6 +974,7 @@ def bpe_encode_ids(
     eow: str | None = None,
     byte_fallback: bool = False,
     pretokenize: str = "whitespace",
+    assemble_per_word: bool = False,
 ):
     """FULL tokenizer output: per document, the ordered BPE token-id
     sequence (plus its length) — what sequence packing / training-batch
@@ -902,6 +987,17 @@ def bpe_encode_ids(
     unrepresentable and decode(encode(x)) stays lossless on ANY input
     (the SentencePiece convention). Default off: the unk pins stay
     byte-identical.
+
+    ``assemble_per_word`` (r14, guide §2.3 — shuffle fewer rows): resolve
+    each DISTINCT word's ordered token-id array once and let the final
+    per-doc groupBy collect n_words small arrays instead of n_symbols
+    structs (bit-identical output, pinned in tests). Worth it when words
+    explode into MANY symbols (large vocabularies / byte-fallback-heavy
+    corpora: x5_bpe_gpt2_encode measured 0.84-0.85x at sf0.1 AND sf1);
+    NOT when high merge counts collapse words to few symbols (the
+    high-merge entry measured 1.18x — the extra word-keyed aggregation
+    outweighs the smaller doc-side shuffle), so the default stays the
+    per-occurrence assembly.
 
     Plan shape: words posexplode map-side (word order preserved through
     the kept positions); ONE shuffle joins the vocabulary by word (OOV
@@ -942,6 +1038,10 @@ def bpe_encode_ids(
             )
         )
         lookup = vocab.select("word", "sym").unionByName(oov_enc)
+        if assemble_per_word:
+            return _assemble_token_ids_per_word(
+                words, lookup, vocab, byte_fallback, id_col
+            )
         with_sym = words.join(lookup, "word", "left").select(
             F.col(id_col), "__wpos", F.col("sym").alias("__sym")
         )
@@ -950,6 +1050,16 @@ def bpe_encode_ids(
             fallback = _symbolize(F.col("word"), eow)
         else:
             fallback = bpe_apply_merges(F.col("word"), merges, eow)
+        if assemble_per_word:
+            lookup = (
+                words.select("word")
+                .distinct()
+                .join(vocab.select("word", "sym"), "word", "left")
+                .select("word", F.coalesce(F.col("sym"), fallback).alias("sym"))
+            )
+            return _assemble_token_ids_per_word(
+                words, lookup, vocab, byte_fallback, id_col
+            )
         with_sym = words.join(vocab, "word", "left").select(
             F.col(id_col),
             "__wpos",

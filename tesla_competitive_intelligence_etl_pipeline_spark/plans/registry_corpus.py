@@ -1653,6 +1653,13 @@ def x5_bpe_gpt2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.bpe_encode_ids(
             docs, vocab, merges=merges, pretokenize=cfg["pretokenize"],
             byte_fallback=bool(cfg["byte_fallback"]),
+            # r14: the gpt2 vocabulary explodes words into many symbols, so
+            # per-distinct-word id assembly wins here (0.84-0.85x in
+            # interleaved A/B at BOTH sf0.1 and sf1; bit-identical output —
+            # OPTIMIZATION_r14.md). The high-merge entries keep the default:
+            # their words collapse to few symbols and the same rewrite
+            # measured 1.18x there.
+            assemble_per_word=True,
         )
     )
 

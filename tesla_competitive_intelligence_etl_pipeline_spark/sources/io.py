@@ -48,17 +48,25 @@ def shared_scans(spark: SparkSession, sf_dir: str, *names: str):
     item 2: xtra_suite paid ~2x the sum of its branches this way).
 
     Mechanics, deliberate:
-    - No eager materialization: the first branch to execute fills the cached
+    - No eager materialization: the first branch to execute fills the
       blocks; the rest reuse them. Zero extra jobs.
-    - The persisted blocks are NOT unpersisted on exit — the composite's plan
-      is evaluated by the CALLER after the builder returns, so dropping them
-      here would forfeit the sharing. The session contract is that the
-      harness isolates queries (bench.py's clearCache; short-lived test
-      sessions); long-lived callers clear the cache themselves.
-    - The cached plan carries a ``WHERE true`` marker so that AFTER the block
-      exits, unrelated plain ``load_table`` reads do not silently hit the
-      leftover cache entry via Catalyst's plan-equality cache lookup (plan
-      shape tests must keep seeing the raw parquet scan).
+    - r14: the shared scan is a LAZY ``localCheckpoint`` instead of a
+      ``persist`` — same one-materialization sharing, but the lineage is
+      TRUNCATED below every branch, so a 13-15-branch composite's analyzer/
+      optimizer input shrinks and branch execution reads plain RDD blocks
+      instead of going through the in-memory-relation columnar layer.
+      Interleaved worktree A/B at sf0.1: tpch_suite 4.43 -> 3.51 s (0.79x),
+      xtra_suite 4.72 -> 4.50 s (0.95x), oracle green
+      (OPTIMIZATION_r14.md). Blocks are released by the ContextCleaner when
+      the composite's plan is dropped (the same lifecycle as the dedup
+      operators' _truncate_lineage) — note this is NOT covered by
+      ``spark.catalog.clearCache()``, and truncated lineage cannot
+      recompute a lost block on decommissioning-prone clusters (the
+      documented _truncate_lineage trade).
+    - The plan carries a ``WHERE true`` marker so that AFTER the block
+      exits, unrelated plain ``load_table`` reads do not silently alias the
+      composite's scan (plan shape tests must keep seeing the raw parquet
+      scan).
     - Nested blocks reuse the outer block's entry for a same-named table.
     """
     from pyspark.sql import functions as F
@@ -71,7 +79,7 @@ def shared_scans(spark: SparkSession, sf_dir: str, *names: str):
         df = (
             spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
             .where(F.lit(True))
-            .persist()
+            .localCheckpoint(eager=False)
         )
         _SCAN_CACHE[key] = df
         added.append(key)

@@ -312,11 +312,13 @@ def test_shared_scans_cache_is_scoped(spark, sf_dir):
         union_plan = _plan(
             a.select("doc_id").unionAll(b.select(F.col("doc_id") + 1))
         )
-        assert "InMemoryTableScan" in union_plan
+        # r14: the shared scan is a lazily-checkpointed RDD (lineage
+        # truncated below every composite branch), not an InMemoryRelation
+        assert "ExistingRDD" in union_plan
 
     fresh = src.load_table(spark, sf_dir, "documents")
-    assert "InMemoryTableScan" not in _plan(fresh.select("doc_id"))
-    spark.catalog.clearCache()  # release the composite-scoped blocks
+    fresh_plan = _plan(fresh.select("doc_id"))
+    assert "ExistingRDD" not in fresh_plan and "Scan parquet" in fresh_plan
 
 
 def test_q8_market_share_plan_broadcasts_dims_and_pushes_filters(spark, sf_dir, registry):

@@ -37,11 +37,14 @@ def test_capped_lsh_overcap_bucket_dropped_before_collect(spark):
     docs = _docs(spark, [(i, _TXT) for i in range(1, 7)])
     capped = dd.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=5)
     assert capped.count() == 0
-    # the guard is structural: the capped plan carries the census broadcast
-    # anti-join, so over-cap rows never reach the collect_list buffer
+    # the guard is structural: the capped plan carries the shared-exchange
+    # COUNT(*) window + filter BELOW the collect_list aggregate, so no
+    # aggregation buffer can exceed the cap
     plan = _plan(capped)
-    assert "LeftAnti" in plan
+    assert "Window" in plan
     assert "collect_list" in plan
+    # the window's count filter sits in the plan (the guard predicate)
+    assert "__bsz" in plan
     # cap=6 keeps the bucket: all C(6,2)=15 pairs verify at jaccard 1.0
     ok = dd.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=6)
     rows = ok.collect()
@@ -124,6 +127,42 @@ def test_ivfpq_batch_refine_vectors_scan_is_cell_pruned(spark, sf_dir, tmp_path)
     )
 
 
+def test_bpe_assemble_per_word_bit_identical(spark, sf_dir):
+    # r14: bpe_encode_ids(assemble_per_word=True) must return byte-identical
+    # token-id sequences on every branch it can take — the expression path,
+    # the >BPE_EXPR_MAX_MERGES UDF path, and byte fallback — including
+    # guaranteed-OOV words with digit runs (the winnower convention).
+    from pyspark.sql import functions as SF
+
+    from tesla_competitive_intelligence_etl_pipeline_spark.operators import text as tx
+    from tesla_competitive_intelligence_etl_pipeline_spark.sources import io as src
+
+    docs = (
+        src.load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            SF.concat(
+                SF.col("text"), SF.lit(" winnower"), SF.col("doc_id").cast("string")
+            ).alias("text"),
+        )
+        .limit(40)
+    )
+    merges, vocab = tx.bpe_train(docs, n_merges=6, return_vocab=True)
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], tuple(r["token_ids"]), r["n_tokens"]) for r in df.collect()
+        )
+
+    for kwargs in (
+        {"merges": merges},
+        {"merges": merges, "byte_fallback": True},
+    ):
+        base = rows(tx.bpe_encode_ids(docs, vocab, **kwargs))
+        pw = rows(tx.bpe_encode_ids(docs, vocab, assemble_per_word=True, **kwargs))
+        assert base == pw, f"per-word assembly diverged for {kwargs}"
+
+
 def test_cross_capped_guard_drops_overcap_combined_bucket(spark):
     # combined population 3 (2 new + 1 old identical docs) > cap=2 -> no
     # pairs; the guard anti-join sits ahead of the conditional collects
@@ -133,7 +172,7 @@ def test_cross_capped_guard_drops_overcap_combined_bucket(spark):
         new, old, threshold=0.1, max_bucket_size=2
     )
     assert capped.count() == 0
-    assert "LeftAnti" in _plan(capped)
+    assert "Window" in _plan(capped)  # shared-exchange count guard
     # cap=3 keeps the bucket: each new doc matches the old one
     ok = dd.cross_corpus_neardup(new, old, threshold=0.1, max_bucket_size=3)
     assert {(r["doc_id"], r["match_id"]) for r in ok.collect()} == {
