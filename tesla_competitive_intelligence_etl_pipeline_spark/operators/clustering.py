@@ -299,7 +299,15 @@ def kmeans_df(
     on any tie-free input the two variants produce IDENTICAL centroids and
     assignments (pinned in tests). Per-iteration centroid lineage is truncated (localCheckpoint;
     ``reliable=True`` for decommissioning-prone clusters, as in
-    operators/dedup). Returns (assignments df, (cluster, centroid) df)."""
+    operators/dedup). Returns (assignments df, (cluster, centroid) df).
+
+    Precondition: ``id_col`` must be unique — it is the grouping key of
+    the per-iteration assignment aggregate (r14) and of
+    assign_clusters_join's argmin, exactly as every other consumer of the
+    embeddings key assumes. Rows sharing an id would collapse to one
+    update contribution (pre-r14 they were re-attached by a join and each
+    counted, under a shared label — a differently-arbitrary answer);
+    deduplicate upstream if ingestion can produce id collisions."""
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.ml.stat import Summarizer
     from pyspark.sql import Window

@@ -943,12 +943,22 @@ def _assemble_token_ids_per_word(
             F.array_sort(F.collect_list(word_struct)), lambda x: x["tok_id"]
         ).alias("__ids")
     )
+    # a word absent from wids (possible only on pathological vocab rows with
+    # NULL sym — posexplode drops them from wsyms) must contribute NOTHING,
+    # as in the per-occurrence form; without the coalesce a single NULL
+    # element would NULL the whole doc's flatten()
+    empty_ids = F.array().cast("array<long>")
     return (
         words.join(wids, "word", "left")
         .groupBy(id_col)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("__wpos"), F.col("__ids")))
+                F.collect_list(
+                    F.struct(
+                        F.col("__wpos"),
+                        F.coalesce(F.col("__ids"), empty_ids).alias("__ids"),
+                    )
+                )
             ).alias("__ws")
         )
         .select(
