@@ -12,7 +12,7 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # keep test JVM small
 # off at 14% with zero failures shown), so every test measured >= 2 s in the
 # committed full-suite run is marked `slow` and deselected by the default
 # `-m 'not sf001 and not slow'` addopts — the default gate finishes in
-# ~5-6 min. The FULL suite stays one flag away (`-m 'slow or not slow'`)
+# ~5-6 min. The FULL suite stays one flag away (override addopts with -m 'not sf001'; the sf001 battery stays separate)
 # and is run + recorded in each round's OPTIMIZATION doc.
 _SLOW_FILE = Path(__file__).parent / "slow_tests.txt"
 _SLOW_IDS = frozenset(

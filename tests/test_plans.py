@@ -519,6 +519,13 @@ def test_highmerge_entry_runs_udf_regime(spark, sf_dir, registry):
     the DEPLOYMENT regime — 96 merges > BPE_EXPR_MAX_MERGES, so the plan
     carries exactly one ArrowEvalPython over the distinct-OOV subtree
     (the expression regime would show zero)."""
+    # fresh-build plan shape: leaked persisted intermediates from earlier
+    # in-session entries (the packing composites persist a fan-out whose
+    # cached plan CONTAINS this encode) get substituted by the CacheManager
+    # and print a second ArrowEvalPython — reproduced identically on the
+    # r13 tree, i.e. an order-sensitivity of the ASSERTION, not a plan
+    # regression (OPTIMIZATION_r14.md round-end gates)
+    spark.catalog.clearCache()
     plan = (
         registry["x5_bpe_encode_highmerge"][0](spark, sf_dir)
         ._jdf.queryExecution().optimizedPlan().toString()
@@ -539,6 +546,7 @@ def test_tokenize_pack_composite_plan_shape(spark, sf_dir, registry):
     tokenizer), and the cached plan must carry exactly one
     ArrowEvalPython over the distinct-OOV subtree plus the single range
     exchange of the two-pass prefix sum."""
+    spark.catalog.clearCache()  # fresh-build plan shape (see test above)
     df = registry["x5_tokenize_pack"][0](spark, sf_dir)
     qe = df._jdf.queryExecution()
     leaves = qe.optimizedPlan().collectLeaves()
